@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Four families, all shuffle-conscious:
+  *  - exact: hash-groupBy on content (shuffle on a 64-bit hash, never on
+  *    the full text — at 100 TB the text column never moves twice);
+  *  - MinHash + LSH banding: near-dup candidate pairs via band-bucket
+  *    equi-join (shuffles only (key, band hash) pairs);
+  *  - SimHash: 64-bit signature via signed bit-count aggregation,
+  *    hamming-banded for near-dup blocking;
+  *  - n-gram Jaccard: exact verification on candidate pairs only.
+  *
+  * All hash functions are Spark's codegen'd xxhash64 — no UDFs anywhere
+  * in the hot path; everything stays inside whole-stage codegen.
+  */
+object Dedup {
+
+  /** Words of `textCol`, lowercased, deduplicated. */
+  def wordSet(textCol: Column): Column =
+    array_distinct(split(lower(textCol), "\\s+"))
+
+  /** Exact dedup: keep the row with the smallest `idCol` per distinct
+    * `textCol`. Implemented as min-id-per-content-hash so the shuffle
+    * key is 8 bytes, then a semi-join back to recover full rows.
+    * Collision-safe: the group key includes the text itself, but only
+    * AFTER pre-aggregating on the hash (two-level aggregation keeps the
+    * wide column out of the first shuffle's hot path). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df
+      .select(col(idCol), col(textCol), xxhash64(col(textCol)).as("_h"))
+      .groupBy(col("_h"), col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("_h")
+    df.join(keep, Seq(idCol, textCol), "left_semi")
+  }
+
+  /** Word n-gram shingles of the text (n consecutive lowercased words),
+    * distinct per row. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(lower(textCol), "\\s+")
+    val starts = sequence(lit(1), greatest(size(words) - (n - 1), lit(1)))
+    array_distinct(transform(starts, i => array_join(slice(words, i, lit(n)), " ")))
+  }
+
+  /** MinHash signature columns: for permutation i, min over shingles of
+    * xxhash64(shingle, i). Returns (df with id + sig array, one shuffle). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleN: Int): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(shingles(col(textCol), shingleN)).as("_shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("_shingle"), lit(i))).as(s"_h$i"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"_h$i")): _*).as("minhash_sig"))
+  }
+
+  /** LSH banding over a MinHash signature: emit (id, band_idx, band_hash)
+    * rows; docs sharing any band bucket are near-dup candidates.
+    * bands*rowsPerBand must equal the signature length. */
+  def lshBands(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(
+        array_join(transform(
+          slice(col("minhash_sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          h => h.cast("string")), ","),
+        b))
+    sig.select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Near-duplicate pairs via MinHash LSH, verified with exact word-set
+    * Jaccard ≥ `threshold`. Output: (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * Scale shape: the candidate join shuffles only (band_idx, band_hash,
+    * id); texts are re-joined for verification only on the (small)
+    * candidate set. Bucket skew (a viral duplicate) is handled by AQE
+    * skew-join splitting. */
+  def minHashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3,
+                      threshold: Double = 0.6): DataFrame = {
+    val sig = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val banded = lshBands(sig, idCol, bands, numHashes / bands)
+    val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(candidates, df, idCol, textCol, threshold, shingleN)
+  }
+
+  /** Exact shingle-set Jaccard on explicit candidate pairs (the same
+    * sets the MinHash signatures estimate, so LSH+verify converges to
+    * the exact `ngramJaccardPairs` result as recall → 1). */
+  def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
+                    textCol: String, threshold: Double, shingleN: Int): DataFrame = {
+    val sets = df.select(col(idCol), shingles(col(textCol), shingleN).as("_ws"))
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("_ws").as("_wa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("_ws").as("_wb")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("_wa"), col("_wb"))).cast("double") /
+        size(array_union(col("_wa"), col("_wb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact all-candidates n-gram Jaccard near-dup join via an inverted
+    * index on shingles: pairs sharing at least `minCommon` shingles are
+    * verified exactly. This is the non-probabilistic (full recall above
+    * the shared-shingle floor) variant; MinHash is the constant-cost
+    * approximation of the same result. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol), col(textCol))
+      .withColumn("_sh", shingles(col(textCol), shingleN))
+    val inv = sh.select(col(idCol), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
+    val a = inv.select(col(idCol).as("id_a"), col("_n").as("_na"), col("_s"))
+    val b = inv.select(col(idCol).as("id_b"), col("_n").as("_nb"), col("_s"))
+    a.join(b, Seq("_s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "_na", "_nb")
+      .agg(count(lit(1)).as("_common"))
+      .withColumn("jaccard",
+        col("_common").cast("double") / (col("_na") + col("_nb") - col("_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the word multiset: per bit, sum +1/-1 over each
+    * word-hash's bit, then assemble set bits. Single shuffle (the 64
+    * signed sums are one aggregation). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("_w"))
+      .withColumn("_h", xxhash64(col("_w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"_b$i"))
+    val agg = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Near-dup candidate pairs by SimHash hamming distance ≤ maxHamming,
+    * blocked on 16-bit bands (any doc pair within hamming 3 of a 64-bit
+    * signature must agree exactly on at least one of 4 bands). */
+  def simHashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking guarantees recall only for hamming <= 3")
+    val sig = simHash(df, idCol, textCol)
+    val bandVals = array((0 until 4).map(bi =>
+      shiftright(col("simhash"), bi * 16).bitwiseAND(lit(65535L))): _*)
+    val banded = sig.select(col(idCol), col("simhash"),
+      posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("_sa"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("_sb"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

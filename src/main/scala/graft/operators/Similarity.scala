@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact; the baseline and the verifier.
+  *    All math is built-in higher-order functions (zip_with + aggregate)
+  *    — codegen-friendly, no UDFs, vectors never leave the executors.
+  *  - LSH (random hyperplane / SRP) bucketed: approximate; candidates
+  *    meet only within matching signature buckets, so the join shuffles
+  *    (bucket, id, vec) instead of forming the full cross product. This
+  *    is the 100 TB path: bucket count scales with corpus size while
+  *    per-bucket work stays bounded.
+  *
+  * Hyperplanes are generated driver-side from a fixed seed (deterministic
+  * across runs) and shipped as literals — they are tiny (nBits × dim).
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential fold — stable
+    * result for a given element order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k most-similar pairs (id_a < id_b) by cosine over the
+    * whole corpus. O(n²) — the correctness baseline; use `annTopK` at
+    * scale. Norms are precomputed once per row so the pair-stage does
+    * only the dot product. */
+  def bruteForcePairsTopK(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
+      .limit(k)
+  }
+
+  /** Exact top-k neighbors for each row of `queries` against `corpus`
+    * (brute force, ranked per query). */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))
+    q.join(broadcast(c), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic gaussian hyperplanes: nBits × dim, seed-fixed. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Signed-random-projection signature (int bucket id) for a vector
+    * column: bit i = (v · plane_i) > 0. */
+  def srpSignature(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vecCol, typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k similar pairs via multi-table SRP-LSH: `nTables`
+    * independent signatures of `nBits` hyperplane bits each; a pair is a
+    * candidate if it collides in ANY table (standard L-table LSH — a
+    * single table's recall decays as bits grow, OR-ing tables restores
+    * it at linear cost). Candidates are deduped then ranked by exact
+    * cosine.
+    *
+    * Scale shape: each table's bucket join shuffles (table, bucket, id,
+    * vec); candidate count ≈ nTables × Σ bucket²/2, bounded by choosing
+    * nBits ≈ log2(n/targetBucketSize). The exact cross product never
+    * materializes. */
+  def annPairsTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
+                   seed: Long = 7L): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val sigs = array((0 until nTables).map { t =>
+      srpSignature(col("v"), hyperplanes(nBits, dim, seed + t))
+    }: _*)
+    val banded = v.select(col("id"), col("v"), col("norm"),
+      posexplode(sigs).as(Seq("table_idx", "bucket")))
+    val a = banded.select(col("id").as("id_a"), col("v").as("va"),
+      col("norm").as("na"), col("table_idx"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("v").as("vb"),
+      col("norm").as("nb"), col("table_idx"), col("bucket"))
+    a.join(b, Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .groupBy("id_a", "id_b").agg(first("cosine").as("cosine"))
+      .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: quality scoring,
+  * token counting, language ID, and document fingerprinting.
+  *
+  * Everything is built-in expressions (codegen'd, UDF-free); each
+  * operator is a narrow projection so Catalyst prunes the scan to the
+  * text column only.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that")
+
+  /** Quality features per document: char/word counts, mean word length,
+    * punctuation ratio, stopword ratio, uppercase ratio. The classic
+    * cheap pre-filters of a training-data pipeline. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = split(text, "\\s+")
+    val nChars = length(text)
+    val nWords = size(words)
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      (nChars.cast("double") / greatest(nWords, lit(1)).cast("double")).as("mean_word_len"),
+      ((nChars - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
+        greatest(nChars, lit(1)).cast("double")).as("punct_ratio"),
+      (size(filter(words, w => array_contains(typedLit(stopwords), lower(w)))).cast("double") /
+        greatest(nWords, lit(1)).cast("double")).as("stopword_ratio"),
+      ((nChars - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+        greatest(nChars, lit(1)).cast("double")).as("upper_ratio"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-space symbols) — the
+    * standard pre-tokenizer shape, giving a cheap proxy for LLM token
+    * cost per document. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(split(col(textCol), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("bpe_tokens"))
+
+  /** Tiny built-in character-trigram profiles per language. Real systems
+    * load learned profiles; the mechanism (score = profile hits per
+    * trigram, argmax over languages) is the production shape. */
+  val trigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "ing", "ion", "ent", " th", "he ", "er ", " of", "of "),
+    "de" -> Seq("der", "die", "und", "sch", "ein", "ich", "cht", " de", "en ", "ch "),
+    "fr" -> Seq("les", "des", "ent", "que", " de", "ion", "eur", " le", "la ", "es "),
+    "es" -> Seq("los", "las", " de", "que", "ión", "ado", "nte", " la", "el ", "os "),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中", "大"))
+
+  /** Language ID: for each language, count profile-trigram occurrences
+    * (substring scan via locate in a fold — no UDF), predict argmax with
+    * deterministic tie-break on language code. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = lower(col(textCol))
+    def score(lang: String): Column =
+      trigramProfiles(lang).map { tri =>
+        // count occurrences of `tri`: (len(text) - len(remove(text, tri))) / len(tri)
+        ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(tri), ""))) /
+          lit(tri.length)).cast("int")
+      }.reduce(_ + _)
+    val langs = trigramProfiles.keys.toSeq.sorted
+    val scored = df.select(
+      (col(idCol) +: langs.map(l => score(l).as(s"score_$l"))): _*)
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.select(col(idCol), best.getField("l").as("pred_lang"),
+      best.getField("s").as("score"))
+  }
+
+  /** 64-bit rolling polynomial fingerprint of the document content
+    * (Karp–Rabin over UTF-8 bytes: h = h*31 + b, wrapping). Identical
+    * content ⇒ identical fingerprint; order-sensitive unlike bag-of-words
+    * hashes. Built from a fold over the byte array — no UDF. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Spark 4 runs ANSI mode, where bigint overflow throws — keep the
+    // accumulator under 2^55 each step so acc*31 + char can never
+    // overflow while remaining deterministic.
+    val text = col(textCol)
+    val codes = transform(
+      sequence(lit(1), length(text)),
+      i => ascii(substr(text, i, lit(1))).cast("bigint"))
+    val h = aggregate(codes, lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + c, lit(1L << 55)))
+    df.select(col(idCol), h.as("fingerprint"))
+  }
+}

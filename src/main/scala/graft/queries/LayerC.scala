@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Layer C — the LLM-training-data-pipeline operators (SURVEY.md §2.3):
+  * dedup (exact / MinHash / SimHash / n-gram Jaccard), similarity search
+  * (brute-force + LSH ANN), and text analysis (quality, tokens, lang-ID,
+  * fingerprints) over the `documents` and `embeddings` fixtures.
+  *
+  * Oracles: exact dedup, n-gram Jaccard, quality and token metrics are
+  * SQL-expressible and checked against DuckDB; hash-based signatures
+  * (xxhash64) and LSH internals have no DuckDB equivalent → rows-only.
+  */
+object LayerC {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+
+    // exact dedup: keep min doc_id per distinct text
+    "c1_dedup_exact" -> { (s, dir) =>
+      Dedup.exactDedup(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // MinHash LSH near-dup pairs, verified by exact word-set Jaccard
+    "c2_dedup_minhash" -> { (s, dir) =>
+      Dedup.minHashDupPairs(docs(s, dir), "doc_id", "text",
+          numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures)
+    "c3_dedup_simhash" -> { (s, dir) =>
+      Dedup.simHashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // exact n-gram Jaccard near-dup join (inverted-index blocked) —
+    // SQL-expressible, so it doubles as the recall oracle for c2/c3
+    "c4_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
+    // brute-force exact cosine top-20 pairs
+    "c5_cosine_topk" -> { (s, dir) =>
+      Similarity.bruteForcePairsTopK(embs(s, dir), "vec_id", "embedding", 20)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
+    },
+
+    // per-query exact kNN: top-5 neighbors for the first 10 vectors
+    "c6_knn" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    },
+
+    // approximate top-20 pairs via SRP-LSH buckets (scale path of c5)
+    "c7_ann_lsh" -> { (s, dir) =>
+      // fixture vectors are near-orthogonal (top cosine ≈ 0.5), so the
+      // bucketing is loose (4 bits × 12 tables → recall ≈ 0.9 at that
+      // similarity); corpora with true near-dups (cos ≥ 0.9) would use
+      // 8-12 bits and fewer tables.
+      Similarity.annPairsTopK(embs(s, dir), "vec_id", "embedding", 20,
+          nBits = 4, nTables = 12, dim = 64, seed = 7L)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
+    },
+
+    // text quality features
+    "c8_text_quality" -> { (s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // token counting (whitespace + BPE-ish regex)
+    "c9_token_count" -> { (s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // language ID vs the labeled lang column, aggregated to a confusion
+    // count per (label, prediction)
+    "c10_langid" -> { (s, dir) =>
+      val pred = TextAnalysis.langId(docs(s, dir), "doc_id", "text")
+      docs(s, dir).select("doc_id", "lang").join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // rolling-hash document fingerprints (content-identity check)
+    "c11_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  )
+
+  // c2 (MinHash+LSH, exact-verified) provably converges to c4's exact
+  // result; with 32 bands recall is 1.0 on this corpus (checked), so it
+  // shares c4's oracle.
+  private val ngramJaccardSql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [array_to_string(words[i:i+2], ' ')
+      |     FOR i IN range(1, greatest(len(words) - 1, 2))]) AS s
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
+      |        FROM documents) w)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "c2_dedup_minhash" -> ngramJaccardSql,
+    "c4_ngram_jaccard" -> ngramJaccardSql,
+    "c1_dedup_exact" ->
+      """SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |JOIN (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text) k
+        |  ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "c8_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_words,
+        |  CAST(length(text) AS DOUBLE) /
+        |    greatest(len(string_split_regex(text, '\s+')), 1) AS mean_word_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) /
+        |    greatest(length(text), 1) AS punct_ratio,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    w -> list_contains(['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that'], lower(w)))) AS DOUBLE) /
+        |    greatest(len(string_split_regex(text, '\s+')), 1) AS stopword_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) /
+        |    greatest(length(text), 1) AS upper_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "c9_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
