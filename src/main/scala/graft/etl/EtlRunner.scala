@@ -1,0 +1,105 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.LongAdder
+
+/** Sequential job orchestration with row accounting — the reference's
+  * main lifecycle (`EtlMain.kt:28-37,42-62`) on Spark's execution model.
+  *
+  * The coroutine channel + chunked loader (`EtlMain.kt:51,72-88`)
+  * disappears: scan→transform→write pipelines inside executor tasks with
+  * bounded memory, and JDBC sinks batch via the writer's `batchsize`
+  * option (2000, matching `EtlMain.kt:74`). The reference's
+  * sent/received counters (`EtlMain.kt:48-50,60-61`) map to:
+  *  - sent: an `Observation` on the written plan (no second scan);
+  *  - received: executor task output metrics summed by a listener.
+  */
+class EtlRunner(spark: SparkSession) {
+
+  /** Result of one job: sent == received is the reference's end-of-job
+    * invariant (`EtlMain.kt:60-61`). */
+  final case class JobResult(name: String, rowsSent: Long, rowsWritten: Long,
+                             elapsedSec: Double) {
+    def balanced: Boolean = rowsSent == rowsWritten
+  }
+
+  private val written = new LongAdder
+  private val listener = new SparkListener {
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      if (e.taskMetrics != null)
+        written.add(e.taskMetrics.outputMetrics.recordsWritten)
+  }
+
+  /** Run `extract` natively (Spark SQL over whatever views the caller
+    * registered), normalize names, project to the target schema, write. */
+  def runJob(job: EtlJob, targetDir: String,
+             format: String = "parquet",
+             options: Map[String, String] = Map.empty): JobResult = {
+    val t0 = System.nanoTime()
+    val extracted = spark.sql(job.extract)
+    val normalized = SchemaTools.normalizeUppercase(extracted)
+    val projected = SchemaTools.projectToTarget(normalized, job.targetColumns)
+
+    val obs = new Observation(s"etl_${job.name}_${System.nanoTime()}")
+    val observed = projected.observe(obs, count(lit(1)).as("sent"))
+
+    written.reset()
+    spark.sparkContext.addSparkListener(listener)
+    val rowsWritten =
+      try {
+        val writer = observed.write
+          .mode(SaveMode.valueOf(job.mode.capitalize))
+          .format(format)
+          .options(options)
+        format match {
+          case "jdbc" =>
+            // batched inserts, 2000 rows per batch — parity with the
+            // reference's chunked loader (EtlMain.kt:74); concurrent
+            // connections bounded by partition count (pool-parity with
+            // max 5, DatabaseBean.kt:59).
+            writer.option("batchsize", "2000").option("dbtable", job.write).save()
+          case _ =>
+            writer.save(s"$targetDir/${job.write}")
+        }
+        // listener events post asynchronously; wait for the counter to
+        // stabilize (public API only — listenerBus is private).
+        var prev = -1L
+        var stable = 0
+        while (stable < 2 && prev != Long.MinValue) {
+          val cur = written.sum()
+          if (cur == prev) stable += 1 else stable = 0
+          prev = cur
+          Thread.sleep(50)
+        }
+        written.sum()
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    val sent = obs.get("sent").asInstanceOf[Long]
+    JobResult(job.name, sent, rowsWritten, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Run all jobs sequentially (reference `EtlMain.kt:28-37`), logging
+    * per-job totals like the reference's end-of-job accounting. */
+  def runAll(jobs: Seq[EtlJob], targetDir: String): Seq[JobResult] =
+    jobs.map { job =>
+      val r = runJob(job, targetDir)
+      println(f"[etl] job ${r.name}: sent=${r.rowsSent} written=${r.rowsWritten} " +
+        f"balanced=${r.balanced} in ${r.elapsedSec}%.1f s")
+      r
+    }
+}
+
+object EtlRunner {
+  /** Read a source table into a temp view for extract SQL to reference —
+    * the Spark analog of the reference's `source` datasource
+    * (`DatabaseBean.kt:26-30`): format+options instead of a JDBC pool. */
+  def registerSource(spark: SparkSession, viewName: String, path: String,
+                     format: String = "parquet",
+                     options: Map[String, String] = Map.empty): DataFrame = {
+    val df = spark.read.format(format).options(options).load(path)
+    df.createOrReplaceTempView(viewName)
+    df
+  }
+}

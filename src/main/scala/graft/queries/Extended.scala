@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{Generator, SchemaTools}
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+/** Streaming, ETL-parity, and multimodal queries.
+  *
+  * The two `s*` entries execute REAL Structured Streaming queries
+  * (file-source replay → windowed agg → memory sink, run to completion)
+  * and are checked against DuckDB batch oracles — streaming results must
+  * equal their batch equivalents on bounded input.
+  */
+object Extended {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // tumbling 1 h windows × event_type via Structured Streaming
+    "s1_stream_tumble" -> { (s, dir) =>
+      Streams.runToCompletion(s,
+          Streams.tumblingCounts(Streams.eventStream(s, dir)), "s1_tumble")
+        .orderBy("window_start", "event_type")
+    },
+
+    // 30-minute-gap session windows per user via Structured Streaming
+    "s2_stream_session" -> { (s, dir) =>
+      Streams.runToCompletion(s,
+          Streams.sessionCounts(Streams.eventStream(s, dir)), "s2_session")
+        .orderBy("user_id", "session_start")
+    },
+
+    // deterministic seeded generator (reference `import` entry point)
+    "e1_generator" -> { (s, _) =>
+      Generator.addresses(s, 10000L).orderBy("id")
+    },
+
+    // the reference demo job (addrx): generate → project → filter →
+    // uppercase-normalize (ClassMapMapper semantics)
+    "e2_etl_demo" -> { (s, _) =>
+      SchemaTools.normalizeUppercase(
+        Generator.addresses(s, 20000L)
+          .select("id", "street_address", "city", "state", "postal_code", "country")
+          .filter(col("id") < 13422))
+        .orderBy("ID")
+    },
+
+    // multimodal: binary payload + metadata → mapPartitions feature
+    // extraction (decode stubbed; plumbing real) → per-mime aggregate
+    "m1_multimodal_features" -> { (s, dir) =>
+      val feats = Multimodal.extractFeatures(s,
+        Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+      feats.groupBy("mime")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(element_at(col("features"), 1)), 6).as("avg_bin0"),
+             min(size(col("features"))).as("feat_dim"))
+        .orderBy("mime")
+    },
+
+    // video frame sampling plumbing: evenly-spaced payload slices
+    "m2_frame_sample" -> { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.attachBinary(Tables.load(s, dir, "documents")), n = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+             sum(length(col("frame_payload"))).as("sampled_bytes"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_stream_tumble" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, count(1) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // gaps-and-islands sessionization == Spark session_window on bounded
+    // input (new session when the gap is >= 30 min; Spark's window end is
+    // exclusive at start+gap)
+    "s2_stream_session" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT min(ts) AS session_start, user_id,
+        |       count(1) AS n_events, max(ts) AS last_ts
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

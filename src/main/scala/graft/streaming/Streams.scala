@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Structured Streaming over the `events` fixture (SURVEY.md §2.2
+  * "Streaming"): the reference's channel pipeline (`EtlMain.kt:51`) is
+  * pipelined *batch*; this module is the real unbounded path —
+  * `readStream` → windowed/stateful transforms → sink, with watermarks
+  * bounding state.
+  *
+  * For verification the parquet fixture is replayed through the file
+  * source and the streaming query runs to completion into a memory sink;
+  * the result must equal the batch-equivalent plan (checked against a
+  * DuckDB oracle). Same code shape serves a Kafka source in production —
+  * only the `readStream.format` changes.
+  */
+object Streams {
+
+  /** Streaming DataFrame over the events parquet (file source replay).
+    * Schema comes from a batch peek — a streaming source needs it
+    * up front. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    // schema must reflect the RAW file layout (ts = nanos-as-long, see
+    // Tables.load) — the batch loader's converted schema would make the
+    // file source mis-read the nanos column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(rawSchema)
+      // the file source needs a directory or glob, not a bare file —
+      // the single-char glob makes it resolve $dir as the base
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts per event type, 1 h windows, with a
+    * watermark bounding state at 2 h of event time. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user: events within a 30-minute gap merge into
+    * one session. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("session_window.start").as("session_start"),
+              col("user_id"), col("n_events"), col("last_ts"))
+
+  /** Run a streaming aggregation to completion into a memory sink and
+    * return the final result as a batch DataFrame. `complete` output
+    * mode keeps every window in the sink so the result is comparable to
+    * the batch equivalent (append mode would hold back windows newer
+    * than the final watermark). */
+  def runToCompletion(spark: SparkSession, streamingDf: DataFrame,
+                      name: String): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = streamingDf.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),          // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "another unrelated document entirely separate words here")
+  ).toDF("id", "text")
+
+  test("exactDedup keeps the min-id row per distinct text") {
+    val out = Dedup.exactDedup(corpus, "id", "text").select("id")
+      .as[Long].collect().sorted
+    assert(out.sameElements(Array(1L, 3L, 4L, 5L)))
+  }
+
+  test("minHashDupPairs finds the planted near-dup and exact dup only") {
+    val pairs = Dedup.minHashDupPairs(corpus, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))  // near dups
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngramJaccardPairs agrees with minHash on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minHashDupPairs(corpus, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == mh)
+  }
+
+  test("simHash: identical texts get identical signatures; near dups are close") {
+    val sigs = Dedup.simHash(corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simHashDupPairs reports hamming-0 for the exact dup") {
+    val pairs = Dedup.simHashDupPairs(corpus, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("qualityFeatures computes exact counts on a known string") {
+    val df = Seq((1L, "The cat, the dog!")).toDF("id", "text")
+    val r = TextAnalysis.qualityFeatures(df, "id", "text").collect().head
+    assert(r.getAs[Int]("n_chars") == 17)
+    assert(r.getAs[Int]("n_words") == 4)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 17) < 1e-12)
+    // "The" and "the" are stopwords (case-insensitive) → 2 of 4
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-12)
+    assert(math.abs(r.getAs[Double]("upper_ratio") - 1.0 / 17) < 1e-12)
+  }
+
+  test("tokenCounts: BPE-ish segmentation splits words, digits, symbols") {
+    val df = Seq((1L, "hello world42 x-y")).toDF("id", "text")
+    val r = TextAnalysis.tokenCounts(df, "id", "text").collect().head
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    // hello | world | 42 | x | - | y
+    assert(r.getAs[Int]("bpe_tokens") == 6)
+  }
+
+  test("langId prefers the language whose trigrams dominate") {
+    val df = Seq(
+      (1L, "the thing and the other thing of the kind"),
+      (2L, "der dichter und die schrift sind schlicht und schoen")
+    ).toDF("id", "text")
+    val preds = TextAnalysis.langId(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "de")
+  }
+
+  test("fingerprint: equal content equal hash, different content different hash") {
+    val df = Seq((1L, "abc def"), (2L, "abc def"), (3L, "abc def ")).toDF("id", "text")
+    val fps = TextAnalysis.fingerprint(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}
