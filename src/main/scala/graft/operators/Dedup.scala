@@ -39,12 +39,10 @@ object Dedup {
   }
 
   /** Word n-gram shingles of the text (n consecutive lowercased words),
-    * distinct per row. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val words = split(lower(textCol), "\\s+")
-    val starts = sequence(lit(1), greatest(size(words) - (n - 1), lit(1)))
-    array_distinct(transform(starts, i => array_join(slice(words, i, lit(n)), " ")))
-  }
+    * distinct per row — a single codegen'd pass (see
+    * graft.functions.WordShingles for why not the built-in composition). */
+  def shingles(textCol: Column, n: Int): Column =
+    graft.functions.ShingleFunctions.word_shingles(textCol, n)
 
   /** MinHash signature columns: for permutation i, min over shingles of
     * xxhash64(shingle, i). Returns (df with id + sig array, one shuffle). */
@@ -117,11 +115,20 @@ object Dedup {
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol), col(textCol))
       .withColumn("_sh", shingles(col(textCol), shingleN))
-    val inv = sh.select(col(idCol), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
+    // join key is the 64-bit shingle hash, not the shingle text: the
+    // self-join output (quadratic in shingle document frequency) then
+    // shuffles 8-byte keys instead of multi-word strings
+    val inv = sh.select(col(idCol), size(col("_sh")).as("_n"),
+      explode(col("_sh")).as("_s0"))
+      .select(col(idCol), col("_n"), xxhash64(col("_s0")).as("_s"))
     val a = inv.select(col(idCol).as("id_a"), col("_n").as("_na"), col("_s"))
     val b = inv.select(col(idCol).as("id_b"), col("_n").as("_nb"), col("_s"))
-    a.join(b, Seq("_s"))
-      .filter(col("id_a") < col("id_b"))
+    // size-ratio prune (exact-safe): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so J ≥ t requires the set sizes to be within a factor of 1/t —
+    // evaluated inside the join so pruned pairs never reach the shuffle
+    a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b") &&
+        col("_na") >= col("_nb") * threshold && col("_nb") >= col("_na") * threshold)
+      .drop(b("_s"))
       .groupBy("id_a", "id_b", "_na", "_nb")
       .agg(count(lit(1)).as("_common"))
       .withColumn("jaccard",

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.dot_product
 
 /** Vector similarity search over an embedding column (`array<float>`).
   *
@@ -20,10 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (sequential fold — stable
-    * result for a given element order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<double> columns — a custom codegen'd
+    * Catalyst expression (graft.functions.DotProduct): the higher-order
+    * `aggregate(zip_with(...))` form evaluates interpreted per element
+    * and measured ~20× slower on the sf0.1 bench. */
+  def dot(a: Column, b: Column): Column = dot_product(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -88,12 +90,19 @@ object Similarity {
     * nBits ≈ log2(n/targetBucketSize). The exact cross product never
     * materializes. */
   def annPairsTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                   nBits: Int = 6, nTables: Int = 8, dim: Int = 64,
+                   nBits: Int = 0, nTables: Int = 8, dim: Int = 64,
                    seed: Long = 7L): DataFrame = {
+    // nBits <= 0 → size buckets to the corpus: 2^bits ≈ n/32 keeps
+    // expected bucket size ~32 as the corpus grows (candidate count
+    // stays ~linear in n instead of quadratic)
+    val bits =
+      if (nBits > 0) nBits
+      else math.max(2, (math.log(math.max(df.count(), 64L).toDouble / 32.0) /
+        math.log(2.0)).round.toInt)
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", l2norm(col("v")))
     val sigs = array((0 until nTables).map { t =>
-      srpSignature(col("v"), hyperplanes(nBits, dim, seed + t))
+      srpSignature(col("v"), hyperplanes(bits, dim, seed + t))
     }: _*)
     val banded = v.select(col("id"), col("v"), col("norm"),
       posexplode(sigs).as(Seq("table_idx", "bucket")))

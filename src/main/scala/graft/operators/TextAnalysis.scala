@@ -82,16 +82,7 @@ object TextAnalysis {
     * (Karp–Rabin over UTF-8 bytes: h = h*31 + b, wrapping). Identical
     * content ⇒ identical fingerprint; order-sensitive unlike bag-of-words
     * hashes. Built from a fold over the byte array — no UDF. */
-  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Spark 4 runs ANSI mode, where bigint overflow throws — keep the
-    // accumulator under 2^55 each step so acc*31 + char can never
-    // overflow while remaining deterministic.
-    val text = col(textCol)
-    val codes = transform(
-      sequence(lit(1), length(text)),
-      i => ascii(substr(text, i, lit(1))).cast("bigint"))
-    val h = aggregate(codes, lit(0L),
-      (acc, c) => pmod(acc * lit(31L) + c, lit(1L << 55)))
-    df.select(col(idCol), h.as("fingerprint"))
-  }
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextFunctions.fingerprint64(col(textCol)).as("fingerprint"))
 }

@@ -69,12 +69,12 @@ object LayerC {
 
     // approximate top-20 pairs via SRP-LSH buckets (scale path of c5)
     "c7_ann_lsh" -> { (s, dir) =>
-      // fixture vectors are near-orthogonal (top cosine ≈ 0.5), so the
-      // bucketing is loose (4 bits × 12 tables → recall ≈ 0.9 at that
-      // similarity); corpora with true near-dups (cos ≥ 0.9) would use
-      // 8-12 bits and fewer tables.
+      // fixture vectors are near-orthogonal (top cosine ≈ 0.5) — the
+      // hardest LSH regime, hence 12 tables; bucket bits auto-size to
+      // the corpus (nBits=0 → 2^bits ≈ n/32). Corpora with true
+      // near-dups (cos ≥ 0.9) need far fewer tables.
       Similarity.annPairsTopK(embs(s, dir), "vec_id", "embedding", 20,
-          nBits = 4, nTables = 12, dim = 64, seed = 7L)
+          nBits = 0, nTables = 12, dim = 64, seed = 7L)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
     },
