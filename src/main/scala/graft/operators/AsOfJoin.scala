@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the payload of the most recent
+  * right row with `rightTime <= leftTime` within the same key group —
+  * the operator Spark's built-ins lack (time-series enrichment,
+  * "state as of event time").
+  *
+  * Implemented with the union + last-non-null-window technique rather
+  * than a range join: both sides are tagged and unioned, sorted within
+  * each key by (time, side), and each left row picks up the running
+  * `last(payload, ignoreNulls)` carried from right rows. This costs ONE
+  * shuffle on the key (the window sort) regardless of time-range width —
+  * a range-condition join would either broadcast-nested-loop or explode
+  * per-bucket; at 100 TB the union-window shape is the only one that
+  * holds (it is how production time-series stores implement as-of).
+  */
+object AsOfJoin {
+
+  /** @param payloadCols right-side columns to carry onto left rows
+    *                    (null when no right row precedes the left row)
+    * @param rightTieBreak extra right-side column ordering the winner
+    *                      among right rows with equal timestamps */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           payloadCols: Seq[String], rightTieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // tag sides; right contributes only key/time/payload/tiebreak
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", lit(null).cast("long"))
+    val lAligned = payloadCols.foldLeft(l)((df, c) =>
+      df.withColumn(s"_p_$c", lit(null).cast(right.schema(c).dataType)))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side") :+
+        col(rightTieBreak).cast("long").as("_tie")) ++
+        payloadCols.map(c => col(c).as(s"_p_$c")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val unioned = lAligned.unionByName(r)
+    // right rows (side 0) sort before left rows at equal time → inclusive
+    // <= semantics; _tie orders concurrent right rows deterministically
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"_asof_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w)))
+    carried
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+  }
+}
