@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming (SURVEY.md §2.2 "Streaming" — stateful ops):
+  * `flatMapGroupsWithState` with explicit per-key state, the Spark-native
+  * form of hand-rolled stream state machines.
+  *
+  * The example operator: per-user cumulative spend with a running event
+  * count, emitting one update per input event. State is one small case
+  * class per user — bounded by user cardinality; production pipelines
+  * add state TTL via GroupStateTimeout to bound it by activity instead.
+  */
+object Stateful {
+
+  case class EventIn(user_id: Long, event_id: Long, value: Double)
+  case class UserState(nEvents: Long, totalValue: Double)
+  case class UserUpdate(user_id: Long, event_id: Long, n_events: Long, total_value: Double)
+
+  def updateUser(userId: Long, events: Iterator[EventIn],
+                 state: GroupState[UserState]): Iterator[UserUpdate] = {
+    var st = state.getOption.getOrElse(UserState(0L, 0.0))
+    // within a micro-batch, order by event_id for determinism
+    val out = events.toSeq.sortBy(_.event_id).map { e =>
+      st = UserState(st.nEvents + 1, st.totalValue + e.value)
+      UserUpdate(userId, e.event_id, st.nEvents, st.totalValue)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Streaming per-user running totals over the event stream. */
+  def runningTotals(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("value"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(updateUser)
+  }
+
+  /** Run the stateful query to completion into a memory sink. */
+  def runToCompletion(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = runningTotals(spark, Streams.eventStream(spark, dir))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** foreachBatch sink: reuse an arbitrary batch writer per micro-batch —
+    * the streaming face of the ETL write path (micro-batch id gives
+    * idempotency hooks; here: append one parquet dir per batch). */
+  def writeViaForeachBatch(spark: SparkSession, events: DataFrame,
+                           outDir: String): Unit = {
+    val q = Streams.tumblingCounts(events)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}
