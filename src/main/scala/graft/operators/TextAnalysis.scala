@@ -59,16 +59,16 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中", "大"))
 
   /** Language ID: for each language, count profile-trigram occurrences
-    * (substring scan via locate in a fold — no UDF), predict argmax with
-    * deterministic tie-break on language code. */
+    * (one alternation regex per language — non-overlapping, left-to-
+    * right, ~10× fewer text scans than per-trigram passes), predict
+    * argmax with deterministic tie-break on language code. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = lower(col(textCol))
-    def score(lang: String): Column =
-      trigramProfiles(lang).map { tri =>
-        // count occurrences of `tri`: (len(text) - len(remove(text, tri))) / len(tri)
-        ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(tri), ""))) /
-          lit(tri.length)).cast("int")
-      }.reduce(_ + _)
+    def score(lang: String): Column = {
+      val alternation = trigramProfiles(lang)
+        .map(java.util.regex.Pattern.quote).mkString("|")
+      size(regexp_extract_all(text, lit(alternation), lit(0))).cast("int")
+    }
     val langs = trigramProfiles.keys.toSeq.sorted
     val scored = df.select(
       (col(idCol) +: langs.map(l => score(l).as(s"score_$l"))): _*)
