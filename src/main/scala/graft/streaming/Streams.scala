@@ -35,6 +35,18 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Replay a directory of already-normalized parquet files as a stream,
+    * `maxFilesPerTrigger` files per micro-batch — the harness for
+    * exercising stateful operators ACROSS batch boundaries (a
+    * single-batch replay never tests state merge). */
+  def replayStream(spark: SparkSession, path: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
   /** Tumbling-window counts per event type, 1 h windows, with a
     * watermark bounding state at 2 h of event time. */
   def tumblingCounts(events: DataFrame): DataFrame =

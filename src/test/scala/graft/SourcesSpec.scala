@@ -16,7 +16,7 @@ class SourcesSpec extends AnyFunSuite {
   test("parquet/csv/json round-trip preserves rows (explicit schema for text)") {
     val work = Files.createTempDirectory("graft_src").toString
     val df = sample
-    for (fmt <- Seq("parquet", "csv", "json")) {
+    for (fmt <- Seq("parquet", "orc", "csv", "json")) {
       val opts = if (fmt == "csv") Map("header" -> "true") else Map.empty[String, String]
       Sources.write(df, fmt, s"$work/$fmt", SaveMode.Overwrite, opts)
       val back = Sources.read(spark, SourceSpec(fmt, s"$work/$fmt",

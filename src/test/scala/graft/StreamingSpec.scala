@@ -20,6 +20,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("session windows survive micro-batch boundaries (time-ordered replay)") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_replay").toString
+    val ev = Tables.load(spark, dir, "events").select("ts", "user_id", "event_id", "value")
+    // split into 6 sequential time ranges written in order, so the file
+    // source replays them as 6 in-order micro-batches and sessions span
+    // batch boundaries (watermark advances monotonically, nothing late)
+    val cuts = ev.selectExpr("percentile(cast(ts as double), array(0.1667,0.3333,0.5,0.6667,0.8333)) as c")
+      .collect().head.getSeq[Double](0)
+    val edges = (Double.MinValue +: cuts) :+ Double.MaxValue
+    edges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      ev.filter(col("ts").cast("double") > lo && col("ts").cast("double") <= hi)
+        .coalesce(1).write.mode("append").parquet(s"$work/split")
+      Thread.sleep(1100) // distinct modification seconds → stable replay order
+    }
+    val streamed = Streams.runToCompletion(spark,
+      Streams.sessionCounts(
+        Streams.replayStream(spark, s"$work/split", ev.schema, maxFilesPerTrigger = 1)),
+      "t_session_multi")
+      .orderBy("user_id", "session_start").collect()
+    val single = Streams.runToCompletion(spark,
+      Streams.sessionCounts(Streams.eventStream(spark, dir)), "t_session_single")
+      .orderBy("user_id", "session_start")
+      .collect()
+    assert(streamed.length == single.length)
+    streamed.zip(single).foreach { case (m, s) => assert(m == s, s"$m != $s") }
+  }
+
+  test("watermark drops events arriving later than the lateness bound") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_late").toString
+    val ev = Tables.load(spark, dir, "events").select("ts", "user_id", "event_id", "value")
+    // random scatter across files: most of the replay arrives far behind
+    // the watermark (2 h), so it must be dropped — fewer sessions than
+    // the in-order run. This asserts late-data POLICY, not a bug.
+    ev.repartition(6).write.mode("overwrite").parquet(s"$work/scatter")
+    val scattered = Streams.runToCompletion(spark,
+      Streams.sessionCounts(
+        Streams.replayStream(spark, s"$work/scatter", ev.schema, maxFilesPerTrigger = 1)),
+      "t_session_scatter").count()
+    val inOrder = Streams.runToCompletion(spark,
+      Streams.sessionCounts(Streams.eventStream(spark, dir)), "t_session_inorder").count()
+    assert(scattered < inOrder,
+      s"expected late-data drops: scattered=$scattered inOrder=$inOrder")
+  }
+
   test("streaming session windows match batch gaps-and-islands") {
     val streamed = Streams.runToCompletion(spark,
       Streams.sessionCounts(Streams.eventStream(spark, dir)), "t_session")
