@@ -31,9 +31,11 @@ object GraftExtensions {
     ("fingerprint64", "fingerprint64(s) - 64-bit rolling content hash",
       (children: Seq[Expression]) => Fingerprint64(children.head)),
     ("word_shingles", "word_shingles(s, n) - distinct lowercased word n-grams",
-      (children: Seq[Expression]) => {
-        val n = children(1).eval(null).asInstanceOf[Int]
-        WordShingles(children.head, n)
+      (children: Seq[Expression]) => children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _: org.apache.spark.sql.types.IntegerType) =>
+          WordShingles(children.head, n)
+        case other => throw new IllegalArgumentException(
+          s"word_shingles: second argument must be an INT literal, got ${other.sql}")
       }))
 
   /** Register the same functions on an already-running session (temp

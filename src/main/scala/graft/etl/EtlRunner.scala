@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{count, lit}
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import java.util.concurrent.atomic.LongAdder
 
 /** Sequential job orchestration with row accounting — the reference's
@@ -26,9 +26,18 @@ class EtlRunner(spark: SparkSession) {
   }
 
   private val written = new LongAdder
+  // Scope counting to THIS job group: stages belonging to other
+  // concurrent actions on the session must not pollute the count.
+  private val myGroup = s"graft-etl-${System.nanoTime()}"
+  private val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
   private val listener = new SparkListener {
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
+      val group = Option(e.properties)
+        .map(_.getProperty("spark.jobGroup.id")).orNull
+      if (group == myGroup) e.stageIds.foreach(id => myStages.add(id))
+    }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-      if (e.taskMetrics != null)
+      if (e.taskMetrics != null && myStages.contains(e.stageId))
         written.add(e.taskMetrics.outputMetrics.recordsWritten)
   }
 
@@ -45,12 +54,22 @@ class EtlRunner(spark: SparkSession) {
     val obs = new Observation(s"etl_${job.name}_${System.nanoTime()}")
     val observed = projected.observe(obs, count(lit(1)).as("sent"))
 
+    // accept the same mode strings DataFrameWriter.mode(String) accepts
+    val saveMode = job.mode.toLowerCase match {
+      case "append" => SaveMode.Append
+      case "overwrite" => SaveMode.Overwrite
+      case "ignore" => SaveMode.Ignore
+      case "error" | "errorifexists" | "default" => SaveMode.ErrorIfExists
+      case other => throw new IllegalArgumentException(s"unknown save mode: $other")
+    }
     written.reset()
+    myStages.clear()
+    spark.sparkContext.setJobGroup(myGroup, s"etl:${job.name}")
     spark.sparkContext.addSparkListener(listener)
     val rowsWritten =
       try {
         val writer = observed.write
-          .mode(SaveMode.valueOf(job.mode.capitalize))
+          .mode(saveMode)
           .format(format)
           .options(options)
         format match {
@@ -64,17 +83,23 @@ class EtlRunner(spark: SparkSession) {
             writer.save(s"$targetDir/${job.write}")
         }
         // listener events post asynchronously; wait for the counter to
-        // stabilize (public API only — listenerBus is private).
+        // stabilize, up to a 10 s cap (public API only — listenerBus is
+        // private). Task retries can still double-count (documented
+        // at-least-once accounting, matching the write semantics).
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
         var prev = -1L
         var stable = 0
-        while (stable < 2 && prev != Long.MinValue) {
+        while (stable < 3 && System.nanoTime() < deadline) {
           val cur = written.sum()
           if (cur == prev) stable += 1 else stable = 0
           prev = cur
-          Thread.sleep(50)
+          Thread.sleep(100)
         }
         written.sum()
-      } finally spark.sparkContext.removeSparkListener(listener)
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(listener)
+      }
 
     val sent = obs.get("sent").asInstanceOf[Long]
     JobResult(job.name, sent, rowsWritten, (System.nanoTime() - t0) / 1e9)

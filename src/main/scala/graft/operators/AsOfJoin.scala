@@ -28,30 +28,33 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            payloadCols: Seq[String], rightTieBreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
-    // tag sides; right contributes only key/time/payload/tiebreak
+    // The payload travels as ONE struct column: a struct of right-side
+    // values is non-null even when every field is null, so
+    // last(_p, ignoreNulls) atomically picks the latest right ROW —
+    // per-column windows would stitch fields from different right rows
+    // whenever payloads contain nulls.
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_tie", lit(null).cast("long"))
-    val lAligned = payloadCols.foldLeft(l)((df, c) =>
-      df.withColumn(s"_p_$c", lit(null).cast(right.schema(c).dataType)))
+      .withColumn("_p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(payloadCols.map(c => right.schema(c).copy(name = c)))))
     val r = right.select(
       (keys.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side") :+
-        col(rightTieBreak).cast("long").as("_tie")) ++
-        payloadCols.map(c => col(c).as(s"_p_$c")) ++
+        col(rightTieBreak).cast("long").as("_tie") :+
+        struct(payloadCols.map(col): _*).as("_p")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val unioned = lAligned.unionByName(r)
+    val unioned = l.unionByName(r)
     // right rows (side 0) sort before left rows at equal time → inclusive
     // <= semantics; _tie orders concurrent right rows deterministically
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"_asof_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w)))
-    carried
+    unioned
+      .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+        payloadCols.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -19,10 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Words of `textCol`, lowercased, deduplicated. */
-  def wordSet(textCol: Column): Column =
-    array_distinct(split(lower(textCol), "\\s+"))
-
   /** Exact dedup: keep the row with the smallest `idCol` per distinct
     * `textCol`. Implemented as min-id-per-content-hash so the shuffle
     * key is 8 bytes, then a semi-join back to recover full rows.
@@ -70,8 +66,10 @@ object Dedup {
     sig.select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
   }
 
-  /** Near-duplicate pairs via MinHash LSH, verified with exact word-set
-    * Jaccard ≥ `threshold`. Output: (id_a, id_b, jaccard), id_a < id_b.
+  /** Near-duplicate pairs via MinHash LSH, verified with exact
+    * shingle-set Jaccard ≥ `threshold` (the same n-gram sets the
+    * signatures estimate — NOT word-set Jaccard, which runs higher for
+    * near-dups). Output: (id_a, id_b, jaccard), id_a < id_b.
     *
     * Scale shape: the candidate join shuffles only (band_idx, band_hash,
     * id); texts are re-joined for verification only on the (small)
@@ -80,6 +78,8 @@ object Dedup {
   def minHashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3,
                       threshold: Double = 0.6): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val sig = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
     val banded = lshBands(sig, idCol, bands, numHashes / bands)
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
@@ -172,7 +172,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("_sa").bitwiseXOR(col("_sb"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: band collisions include far pairs
+      // (hamming up to 64); dedup should shuffle only the near ones
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

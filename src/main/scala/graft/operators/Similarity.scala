@@ -92,15 +92,18 @@ object Similarity {
   def annPairsTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
                    nBits: Int = 0, nTables: Int = 8, dim: Int = 64,
                    seed: Long = 7L): DataFrame = {
-    // nBits <= 0 → size buckets to the corpus: 2^bits ≈ n/32 keeps
-    // expected bucket size ~32 as the corpus grows (candidate count
-    // stays ~linear in n instead of quadratic)
-    val bits =
-      if (nBits > 0) nBits
-      else math.max(2, (math.log(math.max(df.count(), 64L).toDouble / 32.0) /
-        math.log(2.0)).round.toInt)
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", l2norm(col("v")))
+    // nBits <= 0 → size buckets to the corpus: 2^bits ≈ n/32 keeps
+    // expected bucket size ~32 as the corpus grows (candidate count
+    // stays ~linear in n instead of quadratic). The sizing count runs on
+    // the cached projected vectors, which the signature/join stages then
+    // reuse — the upstream plan is evaluated once, not twice.
+    if (nBits <= 0) v.cache()
+    val bits =
+      if (nBits > 0) nBits
+      else math.max(2, (math.log(math.max(v.count(), 64L).toDouble / 32.0) /
+        math.log(2.0)).round.toInt)
     val sigs = array((0 until nTables).map { t =>
       srpSignature(col("v"), hyperplanes(bits, dim, seed + t))
     }: _*)
