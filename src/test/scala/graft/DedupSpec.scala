@@ -52,4 +52,13 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((1L, 2L)) == 0)
   }
+
+  test("prefix-filtered jaccard join equals the naive inverted index") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pfx = Dedup.ngramJaccardPairsPrefix(corpus, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact == pfx)
+    assert(pfx.nonEmpty)
+  }
 }
