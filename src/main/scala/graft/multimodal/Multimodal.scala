@@ -80,6 +80,31 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize stub: deterministic payload downsampling to roughly a
+    * target byte budget (every k-th byte; stride rounding can overshoot
+    * by up to 2×), with metadata updated to the target
+    * dimensions — the plumbing shape of image resizing (payload
+    * transform + metadata rewrite in one pass). A real implementation
+    * decodes, resamples pixels, and re-encodes here. */
+  def resizeStub(withBinary: DataFrame, targetW: Int, targetH: Int,
+                 bytesPerPixelBudget: Int = 1): DataFrame = {
+    val budget = targetW * targetH * bytesPerPixelBudget
+    val n = length(col("payload"))
+    val stride = greatest((n / budget).cast("int"), lit(1))
+    val positions = sequence(lit(1), n, stride)
+    val resized = array_join(transform(positions, i => substr(col("payload").cast("string"), i, lit(1))), "")
+    withBinary
+      .filter(col("meta.mime").startsWith("image/"))
+      .select(
+        col("doc_id"),
+        encode(resized, "UTF-8").as("payload"),
+        struct(
+          col("meta.mime").as("mime"),
+          lit(targetW).as("width"),
+          lit(targetH).as("height"),
+          col("meta.duration_ms").as("duration_ms")).as("meta"))
+  }
+
   /** Frame sampling stub: slice `n` evenly-spaced fixed-size chunks from
     * the payload — the plumbing shape of video frame extraction
     * (explode to one row per frame). */

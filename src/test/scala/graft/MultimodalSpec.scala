@@ -46,4 +46,16 @@ class MultimodalSpec extends AnyFunSuite {
     val byDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
     assert(byDoc.length == 1 && byDoc.head.getLong(0) == 3L && byDoc.head.getLong(1) == 4L)
   }
+
+  test("resizeStub shrinks image payloads and rewrites metadata") {
+    val resized = Multimodal.resizeStub(Multimodal.attachBinary(docs), 2, 2)
+    val rows = resized.collect()
+    // image/jpeg for doc_id % 4 == 0, image/png for % 4 == 1
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 4L))
+    rows.foreach { r =>
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(meta.getInt(1) == 2 && meta.getInt(2) == 2)
+      assert(r.getAs[Array[Byte]]("payload").length <= 4)
+    }
+  }
 }
