@@ -43,12 +43,13 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
-    // exact n-gram Jaccard near-dup join (prefix-filtered inverted
-    // index, AllPairs-style) — SQL-expressible, so it doubles as the
-    // recall oracle for c2/c3; output proven identical to the naive
-    // index at 2.9× less cost on the 50k-doc probe
+    // exact n-gram Jaccard near-dup join — SQL-expressible, so it
+    // doubles as the recall oracle for c2/c3. The plain inverted index
+    // wins at this corpus size (≤5k docs: 2.6 s vs 6.0 s); the
+    // prefix-filtered variant (identical output) takes over on large or
+    // dup-heavy corpora (50k docs: 76 s vs 218 s) — see PLANS.md.
     "c4_ngram_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccardPairsPrefix(docs(s, dir), "doc_id", "text",
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
           shingleN = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")

@@ -233,13 +233,15 @@ object Relational {
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
     },
 
-    // ntile + dense_rank over global ordering
+    // ntile + dense_rank within partitions (a global window would
+    // single-partition at scale; keyed windows shuffle once on the key)
     "q13_window_ntile" -> { (s, dir) =>
-      val w = Window.orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       t(s, dir, "orders")
         .withColumn("quartile", ntile(4).over(w))
         .withColumn("drank", dense_rank().over(w))
-        .select("o_orderkey", "o_totalprice", "quartile", "drank")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "quartile", "drank")
         .orderBy("o_orderkey")
     },
 
@@ -594,11 +596,12 @@ object Relational {
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
 
     "q13_window_ntile" ->
-      """SELECT o_orderkey, o_totalprice,
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  CAST(dense_rank() OVER w AS INTEGER) AS drank
         |FROM orders
-        |WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q16_rollup" ->
