@@ -33,6 +33,17 @@ object Extended {
         .orderBy("user_id", "session_start")
     },
 
+    // custom stateful streaming (flatMapGroupsWithState): per-user
+    // running totals — a REAL stateful streaming run, oracle-checked
+    // against the batch cumulative-window SQL
+    "s3_stream_stateful" -> { (s, dir) =>
+      // totals rounded: DuckDB windowed SUM uses segment-tree (pairwise)
+      // addition whose last bits differ from sequential accumulation
+      graft.streaming.Stateful.runToCompletion(s, dir, "s3_stateful")
+        .withColumn("total_value", round(col("total_value"), 4))
+        .orderBy("user_id", "event_id")
+    },
+
     // deterministic seeded generator (reference `import` entry point)
     "e1_generator" -> { (s, _) =>
       Generator.addresses(s, 10000L).orderBy("id")
@@ -75,6 +86,15 @@ object Extended {
     "s1_stream_tumble" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, count(1) AS n
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "s3_stream_stateful" ->
+      """SELECT user_id, event_id,
+        |  count(1) OVER w AS n_events,
+        |  round(sum(value) OVER w, 4) AS total_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // gaps-and-islands sessionization == Spark session_window on bounded
     // input (new session when the gap is >= 30 min; Spark's window end is

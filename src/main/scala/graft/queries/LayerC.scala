@@ -139,6 +139,32 @@ object LayerC {
         |  ON d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // DuckDB list_cosine_similarity on ::DOUBLE[] matches the codegen
+    // DotProduct cosine bit-for-bit (verified empirically), so the
+    // vector queries get full value oracles.
+    "c5_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |ORDER BY list_cosine_similarity(a.e, b.e) DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
+
+    "c6_knn" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    list_cosine_similarity(q.e, c.e) AS raw_cos
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT query_id, nn_id, raw_cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY raw_cos DESC, nn_id ASC) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT query_id, nn_id, round(raw_cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "c8_text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars,
