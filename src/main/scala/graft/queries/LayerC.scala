@@ -108,6 +108,39 @@ object LayerC {
     "c11_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // character-trigram frequency profile per labeled language — the
+    // corpus-statistics side of language ID (top-10 per lang)
+    "c12_char_ngrams" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val tri = d.select(col("lang"), lower(col("text")).as("t"))
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))"))
+          .as("tri"))
+        .groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(desc("n"), asc("tri"))
+      tri.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("lang", "tri", "n", "rk")
+        .orderBy("lang", "rk")
+    },
+
+    // per-source stopword share — corpus curation statistics
+    "c13_stopword_stats" -> { (s, dir) =>
+      val stoplist = typedLit(TextAnalysis.stopwords)
+      docs(s, dir)
+        .select(col("source"), split(lower(col("text")), "\\s+").as("w"))
+        .select(col("source"), size(col("w")).as("n_words"),
+          size(filter(col("w"), x => array_contains(stoplist, x))).as("n_stop"))
+        .groupBy("source")
+        .agg(
+          sum(col("n_words").cast("long")).as("total_words"),
+          sum(col("n_stop").cast("long")).as("total_stop"),
+          round(sum(col("n_stop").cast("double")) / sum(col("n_words").cast("double")), 6)
+            .as("stop_share"))
+        .orderBy("source")
     }
   )
 
@@ -179,6 +212,33 @@ object LayerC {
         |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) /
         |    greatest(length(text), 1) AS upper_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "c12_char_ngrams" ->
+      """WITH tri AS (
+        |  SELECT lang, unnest([substring(t, i, 3)
+        |           FOR i IN range(1, greatest(length(t) - 2, 1) + 1)]) AS tri
+        |  FROM (SELECT lang, lower(text) AS t FROM documents) x),
+        |agg AS (SELECT lang, tri, count(1) AS n FROM tri GROUP BY lang, tri),
+        |r AS (SELECT lang, tri, n,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY n DESC, tri ASC) AS INTEGER) AS rk
+        |      FROM agg)
+        |SELECT lang, tri, n, rk FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
+
+    "c13_stopword_stats" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    string_split_regex(lower(text), '\s+') AS ws
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(len(ws)) AS BIGINT) AS total_words,
+        |  CAST(sum(len(list_filter(ws, x -> list_contains(
+        |    ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that'], x)))) AS BIGINT) AS total_stop,
+        |  round(CAST(sum(len(list_filter(ws, x -> list_contains(
+        |    ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that'], x)))) AS DOUBLE) /
+        |    CAST(sum(len(ws)) AS DOUBLE), 6) AS stop_share
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
     "c9_token_count" ->
       """SELECT doc_id,
