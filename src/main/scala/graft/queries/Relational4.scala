@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Layer B continuation #3: HAVING, LIMIT/OFFSET pagination, set-op type
+  * coercion, interval arithmetic, ordered string aggregation. */
+object Relational4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+
+    // GROUP BY ... HAVING over an aggregate predicate
+    "q57_having" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") > 650)
+        .orderBy("l_suppkey")
+    },
+
+    // LIMIT + OFFSET pagination over a total order
+    "q58_limit_offset" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .offset(10).limit(15)
+    },
+
+    // UNION type coercion: int column unioned with double → double
+    "q59_union_coercion" -> { (s, dir) =>
+      val ints = t(s, dir, "part").select(col("p_size").cast("int").as("x"))
+      val dbls = t(s, dir, "part").select(col("p_retailprice").as("x"))
+      ints.union(dbls)
+        .agg(count(lit(1)).as("n"), round(min(col("x")), 6).as("min_x"),
+             round(max(col("x")), 6).as("max_x"))
+    },
+
+    // interval arithmetic in predicates and projections
+    "q60_interval_arith" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") + expr("INTERVAL 30 DAYS") < lit("1995-06-01").cast("timestamp"))
+        .select(
+          col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"),
+          (col("o_orderdate") - expr("INTERVAL 1 HOUR")).as("hour_before"))
+        .orderBy("o_orderkey")
+    },
+
+    // ordered string aggregation (listagg shape): deterministic via sort
+    "q61_string_agg" -> { (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+             count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    },
+
+    // nested struct aggregation: per-region list of (name, key) structs
+    "q62_struct_agg" -> { (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(sort_array(collect_list(struct(col("n_name").as("name"),
+          col("n_nationkey").as("key")))).as("members"))
+        .orderBy("n_regionkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q57_having" ->
+      """SELECT l_suppkey, count(1) AS n_lines
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING count(1) > 650 ORDER BY l_suppkey""".stripMargin,
+
+    "q58_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 15 OFFSET 10""".stripMargin,
+
+    "q59_union_coercion" ->
+      """SELECT count(1) AS n, round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+        |FROM (SELECT CAST(p_size AS DOUBLE) AS x FROM part
+        |      UNION ALL SELECT p_retailprice FROM part) u""".stripMargin,
+
+    "q60_interval_arith" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 90 DAY AS due_date,
+        |  o_orderdate - INTERVAL 1 HOUR AS hour_before
+        |FROM orders
+        |WHERE o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1995-06-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q61_string_agg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(1) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q62_struct_agg" ->
+      """SELECT n_regionkey,
+        |  list_sort(list({'name': n_name, 'key': n_nationkey})) AS members
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+  )
+}
