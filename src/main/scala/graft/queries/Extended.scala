@@ -44,6 +44,20 @@ object Extended {
         .orderBy("user_id", "event_id")
     },
 
+    // streaming deduplication: a doubled replay of the event stream
+    // deduped on event_id inside the stream (dropDuplicates + watermark
+    // bounds the dedup state by event time) must equal the distinct set
+    "s4_stream_dedup" -> { (s, dir) =>
+      val ev = Streams.eventStream(s, dir)
+      val doubled = ev.union(ev)
+      val deduped = doubled
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      Streams.runToCompletion(s, deduped, "s4_dedup").orderBy("event_type")
+    },
+
     // deterministic seeded generator (reference `import` entry point)
     "e1_generator" -> { (s, _) =>
       Generator.addresses(s, 10000L).orderBy("id")
@@ -86,6 +100,11 @@ object Extended {
     "s1_stream_tumble" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, count(1) AS n
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "s4_stream_dedup" ->
+      """SELECT event_type, count(1) AS n
+        |FROM (SELECT DISTINCT event_id, event_type FROM events) d
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "s3_stream_stateful" ->
       """SELECT user_id, event_id,

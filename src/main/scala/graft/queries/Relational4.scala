@@ -67,6 +67,25 @@ object Relational4 {
         .agg(sort_array(collect_list(struct(col("n_name").as("name"),
           col("n_nationkey").as("key")))).as("members"))
         .orderBy("n_regionkey")
+    },
+
+    // upsert/merge: apply an "updates" changeset to a target keyed by
+    // o_orderkey — updated rows win, unmatched target rows survive,
+    // brand-new rows append (the ETL pattern the reference's INSERT-only
+    // loader cannot express; at scale this is the partition-overwrite /
+    // MERGE INTO shape)
+    "q63_upsert_merge" -> { (s, dir) =>
+      val target = t(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val updates = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+        .union(t(s, dir, "orders").agg((max("o_orderkey") + 1).as("o_orderkey"))
+          .select(col("o_orderkey"), lit(42.0).as("o_totalprice"), lit("N").as("o_orderstatus")))
+      target.join(updates, Seq("o_orderkey"), "left_anti")
+        .union(updates)
+        .orderBy("o_orderkey")
     }
   )
 
@@ -103,6 +122,18 @@ object Relational4 {
     "q62_struct_agg" ->
       """SELECT n_regionkey,
         |  list_sort(list({'name': n_name, 'key': n_nationkey})) AS members
-        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q63_upsert_merge" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 'U' AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT max(o_orderkey) + 1, 42.0, 'N' FROM orders)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus FROM (
+        |  SELECT t.o_orderkey, t.o_totalprice, t.o_orderstatus
+        |  FROM orders t ANTI JOIN updates u USING (o_orderkey)
+        |  UNION ALL SELECT * FROM updates) m
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

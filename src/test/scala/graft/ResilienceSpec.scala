@@ -11,28 +11,18 @@ import org.apache.spark.TaskContext
 class ResilienceSpec extends AnyFunSuite {
 
   test("task retry: a transiently-failing partition succeeds on reattempt") {
-    // needs a fault-tolerant local master — the shared session is local[4]
-    // (1 attempt); build an isolated one with 3 attempts per task
-    val s = SparkSession.builder()
-      .master("local[4, 3]").appName("retry-test")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      import s.implicits._
-      val out = s.range(0, 1000, 1, 8).as[Long]
-        .mapPartitions { it =>
-          // first attempt of every partition dies; retries succeed
-          if (TaskContext.get().attemptNumber() == 0)
-            throw new RuntimeException("transient failure (simulated)")
-          it
-        }
-        .count()
-      assert(out == 1000)
-    } finally {
-      // leave the default session for other suites
-      SparkSession.setDefaultSession(TestSpark.spark)
-      SparkSession.setActiveSession(TestSpark.spark)
-    }
+    // shared session runs local[4, 3] → up to 3 attempts per task
+    val s = TestSpark.spark
+    import s.implicits._
+    val out = s.range(0, 1000, 1, 8).as[Long]
+      .mapPartitions { it =>
+        // first attempt of every partition dies; retries succeed
+        if (TaskContext.get().attemptNumber() == 0)
+          throw new RuntimeException("transient failure (simulated)")
+        it
+      }
+      .count()
+    assert(out == 1000)
   }
 
   test("AQE splits a skewed join partition") {
