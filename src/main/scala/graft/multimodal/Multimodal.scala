@@ -89,15 +89,21 @@ object Multimodal {
   def resizeStub(withBinary: DataFrame, targetW: Int, targetH: Int,
                  bytesPerPixelBudget: Int = 1): DataFrame = {
     val budget = targetW * targetH * bytesPerPixelBudget
-    val n = length(col("payload"))
+    val n = length(col("payload"))  // byte length for BinaryType
     val stride = greatest((n / budget).cast("int"), lit(1))
-    val positions = sequence(lit(1), n, stride)
-    val resized = array_join(transform(positions, i => substr(col("payload").cast("string"), i, lit(1))), "")
+    // sample bytes DIRECTLY on the binary column (substr slices bytes);
+    // a string round-trip would reinterpret bytes as UTF-8 and corrupt
+    // or inflate non-ASCII payloads
+    val positions = sequence(lit(1), greatest(n, lit(1)), stride)
+    val sampled = aggregate(
+      transform(positions, i => substr(col("payload"), i, lit(1))),
+      lit(Array.emptyByteArray),
+      (acc, b) => concat(acc, b))
     withBinary
       .filter(col("meta.mime").startsWith("image/"))
       .select(
         col("doc_id"),
-        encode(resized, "UTF-8").as("payload"),
+        when(n === 0, col("payload")).otherwise(sampled).as("payload"),
         struct(
           col("meta.mime").as("mime"),
           lit(targetW).as("width"),

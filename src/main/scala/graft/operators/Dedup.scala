@@ -126,8 +126,12 @@ object Dedup {
     // size-ratio prune (exact-safe): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
     // so J ≥ t requires the set sizes to be within a factor of 1/t —
     // evaluated inside the join so pruned pairs never reach the shuffle
+    // epsilon guards float overshoot: n*t can land 1 ulp above the exact
+    // product (e.g. 450*0.54), which would reject boundary pairs whose
+    // true Jaccard equals the threshold exactly
     a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b") &&
-        col("_na") >= col("_nb") * threshold && col("_nb") >= col("_na") * threshold)
+        col("_na") >= col("_nb") * threshold - lit(1e-9) &&
+        col("_nb") >= col("_na") * threshold - lit(1e-9))
       .drop(b("_s"))
       .groupBy("id_a", "id_b", "_na", "_nb")
       .agg(count(lit(1)).as("_common"))
@@ -162,12 +166,15 @@ object Dedup {
       .partitionBy(col(idCol)).orderBy(col("_df").asc, col("_s").asc)
     val prefix = inv.join(dfreq, "_s")
       .withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") <= col("_n") - ceil(col("_n") * threshold) + 1)
+      // epsilon inside ceil: float overshoot of n*t would shorten the
+      // prefix one below the AllPairs-safe bound (see join prune note)
+      .filter(col("_rank") <= col("_n") - ceil(col("_n") * threshold - lit(1e-9)) + 1)
       .select(col(idCol), col("_n"), col("_s"))
     val a = prefix.select(col(idCol).as("id_a"), col("_n").as("_na"), col("_s"))
     val b = prefix.select(col(idCol).as("id_b"), col("_n").as("_nb"), col("_s"))
     val candidates = a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b") &&
-        col("_na") >= col("_nb") * threshold && col("_nb") >= col("_na") * threshold)
+        col("_na") >= col("_nb") * threshold - lit(1e-9) &&
+        col("_nb") >= col("_na") * threshold - lit(1e-9))
       .select("id_a", "id_b").distinct()
     verifyJaccard(candidates, df, idCol, textCol, threshold, shingleN)
   }

@@ -50,9 +50,12 @@ object Extended {
     "s4_stream_dedup" -> { (s, dir) =>
       val ev = Streams.eventStream(s, dir)
       val doubled = ev.union(ev)
+      // the event-time column must be part of the dedup key for the
+      // watermark to evict dedup state — event_id alone would keep one
+      // state entry per id forever on an unbounded stream
       val deduped = doubled
         .withWatermark("ts", "2 hours")
-        .dropDuplicates("event_id")
+        .dropDuplicates("event_id", "ts")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
       Streams.runToCompletion(s, deduped, "s4_dedup").orderBy("event_type")

@@ -144,6 +144,11 @@ object LayerC {
     }
   )
 
+  // single source of truth for the stopword list in oracle SQL —
+  // c8/c13 must track TextAnalysis.stopwords exactly
+  private val stoplistSql: String =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
   // c2 (MinHash+LSH, exact-verified) provably converges to c4's exact
   // result; with 32 bands recall is 1.0 on this corpus (checked), so it
   // shares c4's oracle.
@@ -175,13 +180,18 @@ object LayerC {
     // DuckDB list_cosine_similarity on ::DOUBLE[] matches the codegen
     // DotProduct cosine bit-for-bit (verified empirically), so the
     // vector queries get full value oracles.
+    // selection is top-20 by RAW cosine (mirrors bruteForcePairsTopK's
+    // internal limit); presentation order is by the ROUNDED value
+    // (mirrors the query's final orderBy)
     "c5_cosine_topk" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
-        |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |ORDER BY list_cosine_similarity(a.e, b.e) DESC, id_a, id_b
-        |LIMIT 20""".stripMargin,
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |top AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.e, b.e) AS raw
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  ORDER BY raw DESC, id_a, id_b LIMIT 20)
+        |SELECT id_a, id_b, round(raw, 6) AS cosine FROM top
+        |ORDER BY cosine DESC, id_a, id_b""".stripMargin,
 
     "c6_knn" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
@@ -199,19 +209,19 @@ object LayerC {
         |ORDER BY query_id, rank""".stripMargin,
 
     "c8_text_quality" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS INTEGER) AS n_chars,
-        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_words,
-        |  CAST(length(text) AS DOUBLE) /
-        |    greatest(len(string_split_regex(text, '\s+')), 1) AS mean_word_len,
-        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) /
-        |    greatest(length(text), 1) AS punct_ratio,
-        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
-        |    w -> list_contains(['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that'], lower(w)))) AS DOUBLE) /
-        |    greatest(len(string_split_regex(text, '\s+')), 1) AS stopword_ratio,
-        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) /
-        |    greatest(length(text), 1) AS upper_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_words,
+         |  CAST(length(text) AS DOUBLE) /
+         |    greatest(len(string_split_regex(text, '\\s+')), 1) AS mean_word_len,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) /
+         |    greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |    w -> list_contains($stoplistSql, lower(w)))) AS DOUBLE) /
+         |    greatest(len(string_split_regex(text, '\\s+')), 1) AS stopword_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) /
+         |    greatest(length(text), 1) AS upper_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "c12_char_ngrams" ->
       """WITH tri AS (
@@ -227,18 +237,18 @@ object LayerC {
         |ORDER BY lang, rk""".stripMargin,
 
     "c13_stopword_stats" ->
-      """WITH w AS (
-        |  SELECT source,
-        |    string_split_regex(lower(text), '\s+') AS ws
-        |  FROM documents)
-        |SELECT source,
-        |  CAST(sum(len(ws)) AS BIGINT) AS total_words,
-        |  CAST(sum(len(list_filter(ws, x -> list_contains(
-        |    ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that'], x)))) AS BIGINT) AS total_stop,
-        |  round(CAST(sum(len(list_filter(ws, x -> list_contains(
-        |    ['the','a','an','of','to','in','and','or','is','are','was','for','on','with','as','by','at','it','this','that'], x)))) AS DOUBLE) /
-        |    CAST(sum(len(ws)) AS DOUBLE), 6) AS stop_share
-        |FROM w GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH w AS (
+         |  SELECT source,
+         |    string_split_regex(lower(text), '\\s+') AS ws
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(sum(len(ws)) AS BIGINT) AS total_words,
+         |  CAST(sum(len(list_filter(ws, x -> list_contains(
+         |    $stoplistSql, x)))) AS BIGINT) AS total_stop,
+         |  round(CAST(sum(len(list_filter(ws, x -> list_contains(
+         |    $stoplistSql, x)))) AS DOUBLE) /
+         |    CAST(sum(len(ws)) AS DOUBLE), 6) AS stop_share
+         |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
     "c9_token_count" ->
       """SELECT doc_id,

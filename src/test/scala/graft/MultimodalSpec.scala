@@ -55,7 +55,20 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach { r =>
       val meta = r.getStruct(r.fieldIndex("meta"))
       assert(meta.getInt(1) == 2 && meta.getInt(2) == 2)
-      assert(r.getAs[Array[Byte]]("payload").length <= 4)
+      // documented bound: stride rounding can overshoot up to 2× budget
+      assert(r.getAs[Array[Byte]]("payload").length <= 8)
     }
+  }
+
+  test("resizeStub: byte-exact sampling, non-ASCII and empty payloads survive") {
+    import org.apache.spark.sql.functions._
+    val weird = Seq((0L, "héllo wörld ünïcode"), (4L, "")).toDF("doc_id", "text")
+    val out = Multimodal.resizeStub(Multimodal.attachBinary(weird), 2, 2).collect()
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    // sampled bytes must be a subset of the original UTF-8 bytes, in order
+    val orig = "héllo wörld ünïcode".getBytes("UTF-8")
+    assert(byId(0L).nonEmpty && byId(0L).length <= 2 * 4)
+    assert(byId(0L).forall(orig.contains))
+    assert(byId(4L).isEmpty)  // empty payload: no crash, empty result
   }
 }
