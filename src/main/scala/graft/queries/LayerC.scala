@@ -149,6 +149,21 @@ object LayerC {
   private val stoplistSql: String =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  // langid scoring replicated in SQL from the same profile map: per-lang
+  // literal alternation regex (all alternatives equal length per lang →
+  // identical non-overlapping counts in Java regex and RE2), argmax with
+  // ascending-lang tie-break mirroring the Scala fold
+  private val langidScoreSql: String = {
+    val langs = TextAnalysis.trigramProfiles.keys.toSeq.sorted
+    langs.map { l =>
+      val pat = TextAnalysis.trigramProfiles(l).mkString("|")
+      s"len(regexp_extract_all(lower(text), '$pat')) AS score_$l"
+    }.mkString(",\n    ")
+  }
+  private val langidValuesSql: String =
+    TextAnalysis.trigramProfiles.keys.toSeq.sorted
+      .map(l => s"('$l', score_$l)").mkString(", ")
+
   // c2 (MinHash+LSH, exact-verified) provably converges to c4's exact
   // result; with 32 bands recall is 1.0 on this corpus (checked), so it
   // shares c4's oracle.
@@ -180,6 +195,22 @@ object LayerC {
     // DuckDB list_cosine_similarity on ::DOUBLE[] matches the codegen
     // DotProduct cosine bit-for-bit (verified empirically), so the
     // vector queries get full value oracles.
+    "c10_langid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    $langidScoreSql
+         |  FROM documents),
+         |unp AS (
+         |  SELECT doc_id, lang, v.pl AS pred_lang, v.s AS score
+         |  FROM scored, LATERAL (VALUES $langidValuesSql) AS v(pl, s)),
+         |best AS (
+         |  SELECT doc_id, lang, pred_lang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pred_lang ASC) AS rk
+         |  FROM unp)
+         |SELECT lang, pred_lang, count(1) AS n
+         |FROM best WHERE rk = 1
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
     // selection is top-20 by RAW cosine (mirrors bruteForcePairsTopK's
     // internal limit); presentation order is by the ROUNDED value
     // (mirrors the query's final orderBy)
