@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, Dedup}
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asof picks the latest right ROW atomically — null fields never stitch") {
+    // right rows for key 1: (t=1: p1=5, p2=7), (t=2: p1=9, p2=NULL);
+    // a left row at t=3 must see (9, NULL), not (9, 7)
+    val right = Seq((1L, 1L, Some(5), Some(7), 10L), (1L, 2L, Some(9), None, 11L))
+      .toDF("k", "rt", "p1", "p2", "rid")
+    val left = Seq((1L, 3L, "x"), (1L, 0L, "y")).toDF("k", "lt", "tag")
+    val rows = AsOfJoin.asof(left, right, Seq("k"), "lt", "rt",
+      Seq("p1", "p2"), "rid").collect()
+      .map(r => r.getAs[String]("tag") ->
+        (r.getAs[Any]("asof_p1"), r.getAs[Any]("asof_p2"))).toMap
+    assert(rows("x") == ((9, null)))
+    assert(rows("y") == ((null, null)))  // no right row at or before t=0
+  }
+
+  test("asof inclusive at equal timestamps, tie-broken by the tiebreak column") {
+    val right = Seq((1L, 5L, 100, 1L), (1L, 5L, 200, 2L)).toDF("k", "rt", "p", "rid")
+    val left = Seq((1L, 5L, "same_t")).toDF("k", "lt", "tag")
+    val r = AsOfJoin.asof(left, right, Seq("k"), "lt", "rt", Seq("p"), "rid")
+      .collect().head
+    assert(r.getAs[Int]("asof_p") == 200)  // highest rid among equal times wins
+  }
+
+  test("jaccard threshold boundary survives float overshoot (J exactly = t)") {
+    // A: 452 words -> 450 shingles; B: prefix of 245 words -> 243 shingles
+    // intersection 243, union 450 -> J = 0.54 exactly; 450*0.54 overshoots
+    // by 1 ulp in double, which must not reject the pair
+    val wordsA = (0 until 452).map(i => s"w$i")
+    val df = Seq((1L, wordsA.mkString(" ")), (2L, wordsA.take(245).mkString(" ")))
+      .toDF("id", "text")
+    for (f <- Seq(
+      Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.54),
+      Dedup.ngramJaccardPairsPrefix(df, "id", "text", threshold = 0.54))) {
+      val pairs = f.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0.54),
+        s"boundary pair missing: ${pairs.toSeq}")
+    }
+  }
+}
