@@ -67,7 +67,10 @@ object Relational3 {
         .select(
           col("n_nationkey"),
           col("m")("name").as("name"),
-          map_keys(col("m")).as("ks"),
+          // complex outputs projected through scalars so the DuckDB oracle
+          // harness can sort/hash them (pandas cannot sort ndarray columns)
+          array_join(map_keys(col("m")), ",").as("ks"),
+          to_json(col("m")).as("m_json"),
           size(col("m")).as("m_size"))
         .orderBy("n_nationkey")
     },
@@ -134,7 +137,8 @@ object Relational3 {
     "q52_maps" ->
       """SELECT n_nationkey,
         |  n_name AS name,
-        |  ['name', 'region'] AS ks,
+        |  'name,region' AS ks,
+        |  CAST(json_object('name', n_name, 'region', CAST(n_regionkey AS VARCHAR)) AS VARCHAR) AS m_json,
         |  CAST(2 AS INTEGER) AS m_size
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 

@@ -65,7 +65,9 @@ object Relational4 {
       t(s, dir, "nation")
         .groupBy("n_regionkey")
         .agg(sort_array(collect_list(struct(col("n_name").as("name"),
-          col("n_nationkey").as("key")))).as("members"))
+          col("n_nationkey").as("key")))).as("members_raw"))
+        // struct list serialized to JSON so the oracle harness can hash it
+        .select(col("n_regionkey"), to_json(col("members_raw")).as("members"))
         .orderBy("n_regionkey")
     },
 
@@ -121,7 +123,7 @@ object Relational4 {
 
     "q62_struct_agg" ->
       """SELECT n_regionkey,
-        |  list_sort(list({'name': n_name, 'key': n_nationkey})) AS members
+        |  CAST(to_json(list_sort(list({'name': n_name, 'key': n_nationkey}))) AS VARCHAR) AS members
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q63_upsert_merge" ->
