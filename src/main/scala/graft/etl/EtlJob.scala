@@ -14,9 +14,15 @@ import scala.jdk.CollectionConverters._
   *  - `write` names a target table/path instead of an INSERT statement:
   *    the reference's named-parameter INSERT + unused-binding tolerance
   *    (`DatabaseBean.kt:46`) becomes an explicit projection onto the
-  *    target columns before the write.
-  *  - `ddl` jobs run setup once, fixing reference quirk Q4 (DDL executed
-  *    per extracted row, SURVEY.md §2.1).
+  *    target columns before the write. `fromProps` still accepts a full
+  *    `INSERT INTO t (cols) VALUES (...)` statement (the reference's
+  *    literal layout, `application.properties:18-21`) and parses the
+  *    table + column list out of it.
+  *  - `mode = "ddl"` jobs execute `write` as a statement exactly once,
+  *    before any rows flow — fixing reference quirk Q4 where DDL rode
+  *    the per-row insert path (`application.properties:12-15` job 0 ran
+  *    its CREATE TABLE once per extracted row, SURVEY.md §2.1).
+  *    `fromProps` infers it when `write` starts with a DDL verb.
   */
 final case class EtlJob(
     name: String,
@@ -26,6 +32,13 @@ final case class EtlJob(
     targetColumns: Seq[String] = Nil)
 
 object EtlJob {
+
+  private val DdlVerb = "(?is)^\\s*(create|drop|alter|truncate)\\b.*".r
+  private val InsertStmt =
+    "(?is)^\\s*insert\\s+into\\s+([\\w.]+)\\s*\\(([^)]*)\\)\\s*values\\b.*".r
+
+  /** True when `write` is a DDL statement rather than a target name. */
+  def isDdl(write: String): Boolean = DdlVerb.matches(write)
 
   /** Parse jobs from a java-properties file mirroring the reference's
     * `loader.jobs[i].{name,extract,write}` layout
@@ -48,13 +61,25 @@ object EtlJob {
           if (default != null) default
           else throw new IllegalArgumentException(s"loader.jobs[$i].$field missing")
         }
-      EtlJob(
-        name = p("name"),
-        extract = p("extract"),
-        write = p("write"),
-        mode = p("mode", "append"),
-        targetColumns = Option(props.getProperty(s"loader.jobs[$i].columns"))
-          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+      val rawWrite = p("write")
+      val explicitCols = Option(props.getProperty(s"loader.jobs[$i].columns"))
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+      rawWrite match {
+        case w if isDdl(w) =>
+          // reference job 0 shape: the write IS the setup statement
+          EtlJob(p("name"), p("extract"), w, mode = p("mode", "ddl"))
+        case InsertStmt(table, cols) =>
+          // reference job 1 shape: full INSERT statement — the target
+          // table and column list are parsed out; the named bindings
+          // (:ID etc., DatabaseBean.kt:46) become the projection
+          EtlJob(p("name"), p("extract"), table, mode = p("mode", "append"),
+            targetColumns =
+              if (explicitCols.nonEmpty) explicitCols
+              else cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case w =>
+          EtlJob(p("name"), p("extract"), w, mode = p("mode", "append"),
+            targetColumns = explicitCols)
+      }
     }
   }
 }

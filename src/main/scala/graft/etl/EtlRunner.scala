@@ -41,12 +41,31 @@ class EtlRunner(spark: SparkSession) {
         written.add(e.taskMetrics.outputMetrics.recordsWritten)
   }
 
+  /** Execute a DDL job's statement exactly once — against the target
+    * database for jdbc jobs, else against the engine's own catalog. The
+    * reference routed DDL through the per-row insert path (quirk Q4,
+    * `application.properties:12-15`); here it never touches row flow. */
+  private def runDdl(job: EtlJob, format: String,
+                     options: Map[String, String]): Unit =
+    if (format == "jdbc") {
+      val props = new java.util.Properties()
+      options.get("user").foreach(props.setProperty("user", _))
+      options.get("password").foreach(props.setProperty("password", _))
+      val conn = java.sql.DriverManager.getConnection(options("url"), props)
+      try { val st = conn.createStatement(); try st.execute(job.write) finally st.close() }
+      finally conn.close()
+    } else spark.sql(job.write)
+
   /** Run `extract` natively (Spark SQL over whatever views the caller
     * registered), normalize names, project to the target schema, write. */
   def runJob(job: EtlJob, targetDir: String,
              format: String = "parquet",
              options: Map[String, String] = Map.empty): JobResult = {
     val t0 = System.nanoTime()
+    if (job.mode.equalsIgnoreCase("ddl")) {
+      runDdl(job, format, options)
+      return JobResult(job.name, 0L, 0L, (System.nanoTime() - t0) / 1e9)
+    }
     val extracted = spark.sql(job.extract)
     val normalized = SchemaTools.normalizeUppercase(extracted)
     val projected = SchemaTools.projectToTarget(normalized, job.targetColumns)
@@ -79,23 +98,31 @@ class EtlRunner(spark: SparkSession) {
             // connections bounded by partition count (pool-parity with
             // max 5, DatabaseBean.kt:59).
             writer.option("batchsize", "2000").option("dbtable", job.write).save()
+            // Spark's v1 JDBC writer does not populate task output
+            // metrics, so listener accounting would report 0 forever.
+            // A successful save() committed every partition, i.e. every
+            // observed row reached the database — the observed count IS
+            // the written count. Listener accounting below covers file
+            // formats only.
+            obs.get("sent").asInstanceOf[Long]
           case _ =>
             writer.save(s"$targetDir/${job.write}")
+            // listener events post asynchronously; wait for the counter
+            // to stabilize, up to a 10 s cap (public API only —
+            // listenerBus is private). Task retries can still
+            // double-count (documented at-least-once accounting,
+            // matching the write semantics).
+            val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+            var prev = -1L
+            var stable = 0
+            while (stable < 3 && System.nanoTime() < deadline) {
+              val cur = written.sum()
+              if (cur == prev) stable += 1 else stable = 0
+              prev = cur
+              Thread.sleep(100)
+            }
+            written.sum()
         }
-        // listener events post asynchronously; wait for the counter to
-        // stabilize, up to a 10 s cap (public API only — listenerBus is
-        // private). Task retries can still double-count (documented
-        // at-least-once accounting, matching the write semantics).
-        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-        var prev = -1L
-        var stable = 0
-        while (stable < 3 && System.nanoTime() < deadline) {
-          val cur = written.sum()
-          if (cur == prev) stable += 1 else stable = 0
-          prev = cur
-          Thread.sleep(100)
-        }
-        written.sum()
       } finally {
         spark.sparkContext.clearJobGroup()
         spark.sparkContext.removeSparkListener(listener)
@@ -106,10 +133,14 @@ class EtlRunner(spark: SparkSession) {
   }
 
   /** Run all jobs sequentially (reference `EtlMain.kt:28-37`), logging
-    * per-job totals like the reference's end-of-job accounting. */
-  def runAll(jobs: Seq[EtlJob], targetDir: String): Seq[JobResult] =
+    * per-job totals like the reference's end-of-job accounting. DDL jobs
+    * execute first-in-sequence like any other (the reference lists its
+    * `tableCreate` job before the loads). */
+  def runAll(jobs: Seq[EtlJob], targetDir: String,
+             format: String = "parquet",
+             options: Map[String, String] = Map.empty): Seq[JobResult] =
     jobs.map { job =>
-      val r = runJob(job, targetDir)
+      val r = runJob(job, targetDir, format, options)
       println(f"[etl] job ${r.name}: sent=${r.rowsSent} written=${r.rowsWritten} " +
         f"balanced=${r.balanced} in ${r.elapsedSec}%.1f s")
       r

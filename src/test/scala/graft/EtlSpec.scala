@@ -50,6 +50,68 @@ class EtlSpec extends AnyFunSuite {
     assert(jobs(1).targetColumns == Seq("id", "city"))
   }
 
+  test("fromProps recognizes the reference's DDL and INSERT write shapes") {
+    // verbatim shapes from the reference application.properties:12-21
+    val props = new java.util.Properties()
+    props.setProperty("loader.jobs[0].name", "tableCreate")
+    props.setProperty("loader.jobs[0].extract", "select 1")
+    props.setProperty("loader.jobs[0].write",
+      "CREATE TABLE IF NOT EXISTS addrx (id INTEGER PRIMARY KEY," +
+        "street_address VARCHAR(100),city VARCHAR(50))")
+    props.setProperty("loader.jobs[1].name", "addrx")
+    props.setProperty("loader.jobs[1].extract",
+      "select id,street_address,city from addresses where id <13422")
+    props.setProperty("loader.jobs[1].write",
+      "INSERT INTO addrx  (id, street_address, city)  " +
+        "VALUES ( :ID,:STREET_ADDRESS,:CITY)")
+    val jobs = EtlJob.fromProps(props)
+    assert(jobs(0).mode == "ddl")
+    assert(jobs(0).write.startsWith("CREATE TABLE"))
+    assert(jobs(1).mode == "append")
+    assert(jobs(1).write == "addrx")
+    assert(jobs(1).targetColumns == Seq("id", "street_address", "city"))
+  }
+
+  test("reference job sequence: DDL once, then batched JDBC load (Derby)") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val work = Files.createTempDirectory("graft_etl_jdbc").toString
+    Generator.addresses(spark, 20000).write.mode("overwrite")
+      .parquet(s"$work/addresses")
+    EtlRunner.registerSource(spark, "addresses", s"$work/addresses")
+
+    val url = "jdbc:derby:memory:etlSeq;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("loader.jobs[0].name", "tableCreate")
+    props.setProperty("loader.jobs[0].extract", "select 1")
+    // Derby has no IF NOT EXISTS; semantics of reference job 0 otherwise
+    props.setProperty("loader.jobs[0].write",
+      "CREATE TABLE addrx (id INTEGER PRIMARY KEY," +
+        "street_address VARCHAR(100),city VARCHAR(50),state VARCHAR(50)," +
+        "postal_code VARCHAR(20),country VARCHAR(50))")
+    props.setProperty("loader.jobs[1].name", "addrx")
+    props.setProperty("loader.jobs[1].extract",
+      "select id,street_address,city,state,postal_code,country " +
+        "from addresses where id <13422")
+    props.setProperty("loader.jobs[1].write",
+      "INSERT INTO addrx (id, street_address, city, state, postal_code, country) " +
+        "VALUES ( :ID,:STREET_ADDRESS,:CITY,:STATE,:POSTAL_CODE,:COUNTRY)")
+
+    val jobs = EtlJob.fromProps(props)
+    val results = new EtlRunner(spark).runAll(jobs, work, "jdbc", Map("url" -> url))
+    assert(results.forall(_.balanced))
+    assert(results(1).rowsSent == 13421)
+    assert(results(1).rowsWritten == 13421)
+
+    // read back through the partitioned JDBC source — full round trip
+    val back = graft.sources.Sources.jdbc(spark, url, "addrx",
+      partitionColumn = Some(("ID", 0L, 20000L)), numPartitions = 5)
+    assert(back.count() == 13421)
+    val src = spark.sql("select id from addresses where id < 13422")
+      .collect().map(_.getInt(0)).sorted
+    val got = back.select("ID").collect().map(_.getInt(0)).sorted
+    assert(got.sameElements(src))
+  }
+
   test("runner end-to-end: demo copy job balances sent == written") {
     val work = Files.createTempDirectory("graft_etl").toString
     Generator.addresses(spark, 20000).write.mode("overwrite")

@@ -26,15 +26,18 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
-  test("jdbc reader builds partitioned-read options (no DB in container — plan only)") {
-    // no JDBC driver is shipped in /opt/spark/jars, so constructing the
-    // reader must fail at connect/driver time, not at option plumbing
-    val e = intercept[Exception] {
-      Sources.jdbc(spark, "jdbc:h2:mem:none", "t",
-        partitionColumn = Some(("id", 0L, 100L)), numPartitions = 5).count()
-    }
-    val msg = String.valueOf(e.getMessage)
-    assert(msg.contains("driver") || msg.contains("Driver") || msg.contains("connect"),
-      s"unexpected failure mode: $msg")
+  test("jdbc round-trip: batched write then partitioned read (embedded Derby)") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:srcRt;create=true"
+    val df = spark.range(1, 5001)
+      .selectExpr("CAST(id AS INT) AS id", "concat('row_', id) AS name",
+        "CAST(id AS DOUBLE) / 7 AS score")
+    Sources.write(df, "jdbc", "", SaveMode.Overwrite,
+      Map("url" -> url, "dbtable" -> "rt"))
+    val back = Sources.jdbc(spark, url, "rt",
+      partitionColumn = Some(("id", 1L, 5000L)), numPartitions = 5)
+    assert(back.rdd.getNumPartitions == 5)
+    assert(back.count() == 5000)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 }
