@@ -1,24 +1,28 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
 /** Multimodal column handling: media as opaque `binary` payloads with a
   * typed metadata struct, plus per-partition feature extraction.
   *
-  * The Spark-side plumbing — schema, partitioning, batch iteration
-  * shape — is real and tested. The actual media decode (JPEG/PNG/audio
-  * frames) is STUBBED behind `decodeStub`: this container has no codec
-  * libraries, so the stub derives a deterministic 16-bin byte histogram
-  * from the payload. Swapping in a real decoder changes only that one
-  * function; everything around it (schema contract, mapPartitions
-  * batching, downstream aggregation) is production-shaped.
+  * Images are REAL: payloads are JPEG/PNG bytes encoded with
+  * `javax.imageio` (JDK built-in — no external codecs needed), and
+  * feature extraction / resizing decode actual pixels. Audio/video
+  * payloads remain deterministic stand-ins (the JDK ships no PCM/H.264
+  * codec): their features come from `byteHistogram`, documented as the
+  * stub it is. Swapping in a real audio decoder changes only that one
+  * function.
   *
   * At 100 TB: payloads stay columnar in parquet (binary column), feature
-  * extraction is embarrassingly parallel per partition, and the feature
-  * table is written back separately so downstream queries never re-read
-  * media bytes.
+  * extraction is embarrassingly parallel per partition (iterator-to-
+  * iterator `mapPartitions`, no per-partition materialization), and the
+  * feature table is written back separately so downstream queries never
+  * re-read media bytes.
   */
 object Multimodal {
 
@@ -28,28 +32,103 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
-  /** Attach a binary payload + metadata struct to the documents fixture
-    * (deterministic: payload = UTF-8 of text, metadata derived from
-    * doc_id) — the stand-in for real media ingestion. */
-  def attachBinary(docs: DataFrame): DataFrame = {
-    val mime = element_at(
-      typedLit(Seq("image/jpeg", "image/png", "audio/wav", "video/mp4")),
-      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
-    docs.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        mime.as("mime"),
-        (pmod(col("doc_id") * 37, lit(1920)) + 1).cast("int").as("width"),
-        (pmod(col("doc_id") * 53, lit(1080)) + 1).cast("int").as("height"),
-        (pmod(col("doc_id") * 97, lit(600000))).as("duration_ms")).as("meta"))
+  private val payloadSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", metadataType, nullable = true)))
+
+  private val mimes = Array("image/jpeg", "image/png", "audio/wav", "video/mp4")
+
+  /** Deterministic synthetic image for `seed`: a smooth two-axis gradient
+    * with seed-dependent channel offsets (smooth → stable under JPEG),
+    * encoded via ImageIO. Stands in for real media ingestion. */
+  def encodeImage(seed: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val ro = ((seed * 1103515245L + 12345L) >>> 33).toInt & 0xff
+    val go = ((seed * 69069L + 1L) >>> 33).toInt & 0xff
+    val bo = ((seed * 6364136223846793005L + 1442695040888963407L) >>> 33).toInt & 0xff
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (ro + x * 255 / math.max(w - 1, 1)) & 0xff
+        val g = (go + y * 255 / math.max(h - 1, 1)) & 0xff
+        val b = (bo + (x + y) * 127 / math.max(w + h - 2, 1)) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, format, bos)
+    bos.toByteArray
   }
 
-  /** STUB for the real media decoder: deterministic 16-bin byte
-    * histogram, L1-normalized. A real implementation would decode pixels
-    * or PCM samples here; the signature (bytes → fixed-length features)
-    * and call site are what production code keeps. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
+  /** Attach a binary payload + metadata struct to the documents fixture.
+    * Image mimes get REAL encoded JPEG/PNG bytes (deterministic gradient,
+    * small dims so decode stays cheap at any SF); audio/video get the
+    * UTF-8 text bytes as a stand-in payload with a duration. */
+  def attachBinary(docs: DataFrame): DataFrame = {
+    val enc = Encoders.row(payloadSchema)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mime = mimes((id % 4).toInt)
+          mime match {
+            case "image/jpeg" | "image/png" =>
+              val w = 8 + (id * 37 % 24).toInt
+              val h = 8 + (id * 53 % 24).toInt
+              val fmt = if (mime == "image/png") "png" else "jpg"
+              Row(id, encodeImage(id, w, h, fmt), Row(mime, w, h, null))
+            case _ =>
+              val text = if (r.isNullAt(1)) null else r.getString(1)
+              val bytes = if (text == null) null else text.getBytes("UTF-8")
+              Row(id, bytes, Row(mime, null, null, id * 97 % 600000))
+          }
+        }
+      }(enc)
+  }
+
+  /** Decode an image payload with `javax.imageio`. None when the bytes
+    * are null/empty/not a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[BufferedImage] = {
+    if (payload == null || payload.isEmpty) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+  }
+
+  /** 16-bin L1-normalized luminance histogram over decoded pixels
+    * (ITU-R BT.601 luma weights). */
+  def lumaHistogram(img: BufferedImage): Array[Float] = {
+    val bins = new Array[Float](16)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val luma = math.min((0.299 * r + 0.587 * g + 0.114 * b).toInt, 255)
+        bins(luma / 16) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val total = (w * h).toFloat
+    var i = 0
+    while (i < 16) { bins(i) /= total; i += 1 }
+    bins
+  }
+
+  /** Fallback features for mimes the JDK cannot decode (audio/video):
+    * deterministic 16-bin byte histogram, L1-normalized. This is the one
+    * remaining stub — a real PCM/frame decoder would slot in here. */
+  def byteHistogram(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     if (payload != null && payload.nonEmpty) {
       payload.foreach(b => bins((b & 0xff) / 16) += 1f)
@@ -60,55 +139,81 @@ object Multimodal {
     bins
   }
 
-  /** Per-partition feature extraction over the binary column. Runs as a
-    * single `mapPartitions` pass: one decode per row, iterator-to-
-    * iterator (no per-partition materialization), preserving
-    * partitioning. Output: (doc_id, mime, features[16]). */
+  /** Per-partition feature extraction over the binary column, one decode
+    * per row, iterator-to-iterator. Image payloads decode for real:
+    * width/height come from the decoded image and features are the luma
+    * histogram; other mimes fall back to the byte histogram with null
+    * dims. Output: (doc_id, mime, width, height, features[16]). */
   def extractFeatures(spark: SparkSession, withBinary: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("mime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val enc = Encoders.row(schema)
     withBinary
       .select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          Row(r.getLong(0), r.getString(1),
-            decodeStub(r.getAs[Array[Byte]]("payload")).toSeq)
+          val payload = r.getAs[Array[Byte]]("payload")
+          val mime = r.getString(1)
+          val decoded = if (mime != null && mime.startsWith("image/"))
+            decodeImage(payload) else None
+          decoded match {
+            case Some(img) =>
+              Row(r.getLong(0), mime, img.getWidth, img.getHeight,
+                lumaHistogram(img).toSeq)
+            case None =>
+              Row(r.getLong(0), mime, null, null, byteHistogram(payload).toSeq)
+          }
         }
       }(enc)
   }
 
-  /** Resize stub: deterministic payload downsampling to roughly a
-    * target byte budget (every k-th byte; stride rounding can overshoot
-    * by up to 2×), with metadata updated to the target
-    * dimensions — the plumbing shape of image resizing (payload
-    * transform + metadata rewrite in one pass). A real implementation
-    * decodes, resamples pixels, and re-encodes here. */
-  def resizeStub(withBinary: DataFrame, targetW: Int, targetH: Int,
-                 bytesPerPixelBudget: Int = 1): DataFrame = {
-    val budget = targetW * targetH * bytesPerPixelBudget
-    val n = length(col("payload"))  // byte length for BinaryType
-    val stride = greatest((n / budget).cast("int"), lit(1))
-    // sample bytes DIRECTLY on the binary column (substr slices bytes);
-    // a string round-trip would reinterpret bytes as UTF-8 and corrupt
-    // or inflate non-ASCII payloads
-    val positions = sequence(lit(1), greatest(n, lit(1)), stride)
-    val sampled = aggregate(
-      transform(positions, i => substr(col("payload"), i, lit(1))),
-      lit(Array.emptyByteArray),
-      (acc, b) => concat(acc, b))
+  /** Linear stride byte-sampling to ~`budget` bytes: every k-th byte,
+    * single pass (the non-decodable-payload fallback for resize). */
+  def strideSample(payload: Array[Byte], budget: Int): Array[Byte] = {
+    if (payload == null || payload.length <= math.max(budget, 1)) payload
+    else {
+      val stride = math.max(payload.length / budget, 1)
+      val n = (payload.length + stride - 1) / stride
+      val out = new Array[Byte](n)
+      var i = 0
+      var j = 0
+      while (j < payload.length) { out(i) = payload(j); i += 1; j += stride }
+      out
+    }
+  }
+
+  /** Real image resize: decode → Graphics2D resample to targetW×targetH →
+    * re-encode as PNG, metadata rewritten in the same pass. Payloads with
+    * an image mime that fail to decode fall back to linear stride byte
+    * sampling (a single O(n) pass — no quadratic re-concatenation). */
+  def resize(withBinary: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val enc = Encoders.row(payloadSchema)
     withBinary
       .filter(col("meta.mime").startsWith("image/"))
-      .select(
-        col("doc_id"),
-        when(n === 0, col("payload")).otherwise(sampled).as("payload"),
-        struct(
-          col("meta.mime").as("mime"),
-          lit(targetW).as("width"),
-          lit(targetH).as("height"),
-          col("meta.duration_ms").as("duration_ms")).as("meta"))
+      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]]("payload")
+          decodeImage(payload) match {
+            case Some(img) =>
+              val scaled = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+              val g = scaled.createGraphics()
+              try g.drawImage(img, 0, 0, targetW, targetH, null)
+              finally g.dispose()
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(scaled, "png", bos)
+              Row(id, bos.toByteArray, Row("image/png", targetW, targetH, null))
+            case None =>
+              Row(id, strideSample(payload, targetW * targetH),
+                Row(r.getString(2), targetW, targetH, null))
+          }
+        }
+      }(enc)
   }
 
   /** Frame sampling stub: slice `n` evenly-spaced fixed-size chunks from

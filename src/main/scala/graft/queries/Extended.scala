@@ -77,14 +77,18 @@ object Extended {
     },
 
     // multimodal: binary payload + metadata → mapPartitions feature
-    // extraction (decode stubbed; plumbing real) → per-mime aggregate
+    // extraction (images REALLY decoded via javax.imageio; audio/video
+    // byte-histogram stub) → per-mime aggregate over decoded dimensions
     "m1_multimodal_features" -> { (s, dir) =>
       val feats = Multimodal.extractFeatures(s,
         Multimodal.attachBinary(Tables.load(s, dir, "documents")))
       feats.groupBy("mime")
         .agg(count(lit(1)).as("n_docs"),
              round(avg(element_at(col("features"), 1)), 6).as("avg_bin0"),
-             min(size(col("features"))).as("feat_dim"))
+             min(size(col("features"))).as("feat_dim"),
+             min(col("width")).as("min_w"),
+             max(col("width")).as("max_w"),
+             max(col("height")).as("max_h"))
         .orderBy("mime")
     },
 
