@@ -61,6 +61,15 @@ object Extended {
       Streams.runToCompletion(s, deduped, "s4_dedup").orderBy("event_type")
     },
 
+    // watermarked stream-stream inner join (clicks ⋈ purchases within
+    // 1 h, same user) — real Structured Streaming, equal to the batch
+    // self-join oracle on bounded input
+    "s5_stream_join" -> { (s, dir) =>
+      Streams.runToCompletionAppend(s,
+          Streams.clickPurchaseJoin(Streams.eventStream(s, dir)), "s5_join")
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+
     // deterministic seeded generator (reference `import` entry point)
     "e1_generator" -> { (s, _) =>
       Generator.addresses(s, 10000L).orderBy("id")
@@ -112,6 +121,15 @@ object Extended {
       """SELECT event_type, count(1) AS n
         |FROM (SELECT DISTINCT event_id, event_type FROM events) d
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s5_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     "s3_stream_stateful" ->
       """SELECT user_id, event_id,

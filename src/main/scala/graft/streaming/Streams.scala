@@ -66,6 +66,46 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
               col("user_id"), col("n_events"), col("last_ts"))
 
+  /** Watermarked stream-stream inner join: purchases within 1 h after a
+    * click by the same user. Both sides carry event-time watermarks AND
+    * the join condition bounds purchase_ts relative to click_ts — the
+    * two things Spark needs to evict join state: a click's state can be
+    * dropped once the watermark passes click_ts + 1 h, so state stays
+    * O(events-per-watermark-window) regardless of total stream length.
+    * Inner joins emit on match (append mode), nothing held back. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Run an append-mode streaming query (stream-stream joins support
+    * only append) to completion into a memory sink. */
+  def runToCompletionAppend(spark: SparkSession, streamingDf: DataFrame,
+                            name: String): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = streamingDf.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Run a streaming aggregation to completion into a memory sink and
     * return the final result as a batch DataFrame. `complete` output
     * mode keeps every window in the sink so the result is comparable to

@@ -66,6 +66,42 @@ class StreamingSpec extends AnyFunSuite {
       s"expected late-data drops: scattered=$scattered inOrder=$inOrder")
   }
 
+  test("stream-stream join matches batch self-join, across micro-batch boundaries") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_ssjoin").toString
+    val ev = Tables.load(spark, dir, "events")
+      .select("ts", "user_id", "event_id", "event_type")
+    // time-ordered 4-way split so clicks and their matching purchases
+    // can land in DIFFERENT micro-batches — the join must carry state
+    val cuts = ev.selectExpr(
+      "percentile(cast(ts as double), array(0.25,0.5,0.75)) as c")
+      .collect().head.getSeq[Double](0)
+    val edges = (Double.MinValue +: cuts) :+ Double.MaxValue
+    edges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), _) =>
+      ev.filter(col("ts").cast("double") > lo && col("ts").cast("double") <= hi)
+        .coalesce(1).write.mode("append").parquet(s"$work/split")
+      Thread.sleep(1100) // distinct modification seconds → stable replay order
+    }
+    val streamed = Streams.runToCompletionAppend(spark,
+      Streams.clickPurchaseJoin(
+        Streams.replayStream(spark, s"$work/split", ev.schema, maxFilesPerTrigger = 1)),
+      "t_ssjoin_multi")
+      .orderBy("user_id", "click_id", "purchase_id").collect()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+      .orderBy("user_id", "click_id", "purchase_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming session windows match batch gaps-and-islands") {
     val streamed = Streams.runToCompletion(spark,
       Streams.sessionCounts(Streams.eventStream(spark, dir)), "t_session")
