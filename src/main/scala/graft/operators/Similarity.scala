@@ -71,6 +71,13 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Bucket-bit count for a corpus of `n` rows: 2^bits ≈ n/32 keeps the
+    * expected bucket size ~32 as the corpus grows, so candidate counts
+    * stay ~linear in n instead of quadratic. */
+  def sizeBits(n: Long): Int =
+    math.max(2, (math.log(math.max(n, 64L).toDouble / 32.0) /
+      math.log(2.0)).round.toInt)
+
   /** Signed-random-projection signature (int bucket id) for a vector
     * column: bit i = (v · plane_i) > 0. */
   def srpSignature(vecCol: Column, planes: Seq[Seq[Double]]): Column =
@@ -94,16 +101,13 @@ object Similarity {
                    seed: Long = 7L): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("norm", l2norm(col("v")))
-    // nBits <= 0 → size buckets to the corpus: 2^bits ≈ n/32 keeps
-    // expected bucket size ~32 as the corpus grows (candidate count
-    // stays ~linear in n instead of quadratic). The sizing count runs on
-    // the cached projected vectors, which the signature/join stages then
-    // reuse — the upstream plan is evaluated once, not twice.
-    if (nBits <= 0) v.cache()
-    val bits =
-      if (nBits > 0) nBits
-      else math.max(2, (math.log(math.max(v.count(), 64L).toDouble / 32.0) /
-        math.log(2.0)).round.toInt)
+    // nBits <= 0 → size buckets to the corpus (sizeBits). The count runs
+    // on the RAW input, where a parquet source answers it from footer
+    // metadata — the projected vectors are never cached just to be
+    // counted (caching the corpus is a memory cliff at 100 TB, and a
+    // leaked cache besides). Callers at extreme scale who can't afford
+    // even a metadata count pass nBits explicitly.
+    val bits = if (nBits > 0) nBits else sizeBits(df.count())
     val sigs = array((0 until nTables).map { t =>
       srpSignature(col("v"), hyperplanes(bits, dim, seed + t))
     }: _*)
@@ -120,5 +124,42 @@ object Similarity {
       .groupBy("id_a", "id_b").agg(first("cosine").as("cosine"))
       .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
       .limit(k)
+  }
+
+  /** Approximate k-NN, query-vs-corpus: probe `queries` into the
+    * corpus's SRP-LSH buckets. Unlike `bruteForceKnn` the corpus is
+    * NEVER broadcast — both sides are signed with the same hyperplanes,
+    * exploded to (table, bucket) rows, and equi-joined, so the shuffle
+    * key is (table_idx, bucket) and each bucket holds ~n/2^bits corpus
+    * rows. This is the retrieval shape that scales: corpus and query
+    * sets both partition by bucket. Recall comes from OR-ing `nTables`
+    * independent tables; a query that shares no bucket with enough
+    * corpus rows surfaces fewer than k neighbors (standard ANN
+    * semantics — the spec quantifies recall vs brute force). */
+  def annKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nBits: Int = 0, nTables: Int = 8,
+             dim: Int = 64, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = if (nBits > 0) nBits else sizeBits(corpus.count())
+    val planes = (0 until nTables).map(t => hyperplanes(bits, dim, seed + t))
+    def sig(vc: Column): Column = array(planes.map(p => srpSignature(vc, p)): _*)
+    val c = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+      .select(col("nn_id"), col("cv"), col("cn"),
+        posexplode(sig(col("cv"))).as(Seq("table_idx", "bucket")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(sig(col("qv"))).as(Seq("table_idx", "bucket")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))
+    q.join(c, Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .groupBy("query_id", "nn_id").agg(first("cosine").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 }

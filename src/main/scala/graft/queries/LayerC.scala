@@ -82,6 +82,16 @@ object LayerC {
         .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
     },
 
+    // bucketed ANN kNN: queries probe the corpus's LSH buckets — the
+    // scale path of c6 (no corpus broadcast; shuffle key = table+bucket)
+    "c14_ann_knn" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.annKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          5, nBits = 0, nTables = 16, dim = 64, seed = 7L)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
