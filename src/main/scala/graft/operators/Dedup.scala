@@ -24,14 +24,19 @@ object Dedup {
     * key is 8 bytes, then a semi-join back to recover full rows.
     * Collision-safe: the group key includes the text itself, but only
     * AFTER pre-aggregating on the hash (two-level aggregation keeps the
-    * wide column out of the first shuffle's hot path). */
+    * wide column out of the first shuffle's hot path). NULL text is one
+    * distinct value (SQL GROUP BY semantics — matching a DuckDB
+    * `GROUP BY text` oracle): the semi-join back uses null-safe equality
+    * so the surviving NULL-text row is not silently dropped. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = df
-      .select(col(idCol), col(textCol), xxhash64(col(textCol)).as("_h"))
-      .groupBy(col("_h"), col(textCol))
-      .agg(min(col(idCol)).as(idCol))
-      .drop("_h")
-    df.join(keep, Seq(idCol, textCol), "left_semi")
+      .select(col(idCol).as("_keep_id"), col(textCol).as("_keep_text"),
+        xxhash64(col(textCol)).as("_h"))
+      .groupBy(col("_h"), col("_keep_text"))
+      .agg(min(col("_keep_id")).as("_keep_id"))
+    df.join(keep,
+      df(idCol) === keep("_keep_id") && df(textCol) <=> keep("_keep_text"),
+      "left_semi")
   }
 
   /** Word n-gram shingles of the text (n consecutive lowercased words),
@@ -107,10 +112,16 @@ object Dedup {
   }
 
   /** Exact all-candidates n-gram Jaccard near-dup join via an inverted
-    * index on shingles: pairs sharing at least `minCommon` shingles are
-    * verified exactly. This is the non-probabilistic (full recall above
-    * the shared-shingle floor) variant; MinHash is the constant-cost
-    * approximation of the same result. */
+    * index on shingles. This is the non-probabilistic (full recall)
+    * variant; MinHash is the constant-cost approximation of the same
+    * result.
+    *
+    * Collision-proof by construction: the 64-bit shingle hashes are used
+    * ONLY to generate candidates (a hash collision can at worst add a
+    * spurious candidate pair), and the Jaccard itself is then computed
+    * by `verifyJaccard` over the materialized shingle STRING sets — so
+    * the output is exact regardless of hash collisions, at the cost of
+    * re-joining texts for the (small) candidate set. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol), col(textCol))
@@ -129,16 +140,11 @@ object Dedup {
     // epsilon guards float overshoot: n*t can land 1 ulp above the exact
     // product (e.g. 450*0.54), which would reject boundary pairs whose
     // true Jaccard equals the threshold exactly
-    a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b") &&
+    val candidates = a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b") &&
         col("_na") >= col("_nb") * threshold - lit(1e-9) &&
         col("_nb") >= col("_na") * threshold - lit(1e-9))
-      .drop(b("_s"))
-      .groupBy("id_a", "id_b", "_na", "_nb")
-      .agg(count(lit(1)).as("_common"))
-      .withColumn("jaccard",
-        col("_common").cast("double") / (col("_na") + col("_nb") - col("_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(candidates, df, idCol, textCol, threshold, shingleN)
   }
 
   /** Exact n-gram Jaccard join with PREFIX FILTERING (AllPairs/PPJoin):

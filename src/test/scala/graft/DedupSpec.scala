@@ -53,6 +53,48 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("exactDedup keeps one NULL-text row (null-safe semi-join)") {
+    val withNulls = Seq(
+      (1L, Some("same")), (2L, Some("same")),
+      (3L, None), (4L, None), (5L, Some("other"))
+    ).toDF("id", "text")
+    val out = Dedup.exactDedup(withNulls, "id", "text").select("id")
+      .as[Long].collect().sorted
+    // GROUP BY semantics: NULL is one distinct value → min-id row 3 stays
+    assert(out.sameElements(Array(1L, 3L, 5L)))
+  }
+
+  test("simHashDupPairs on the fixture: total recall at hamming<=3, precision floor") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emitted = Dedup.simHashDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(emitted.nonEmpty)
+    // RECALL is total by construction (4-band blocking covers hamming<=3):
+    // every pair whose signatures are within hamming 3 must be emitted.
+    // Check against brute-force hamming over all near-dup ground truth.
+    val sigs = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groundTruth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val withinH3 = groundTruth.filter { case (a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    }.toSet
+    assert(withinH3.subsetOf(emitted),
+      s"missing hamming<=3 pairs: ${withinH3.diff(emitted)}")
+    // PRECISION: every emitted pair is a genuine near-dup in the metric
+    // SimHash actually estimates — word-level similarity (shingleN=1):
+    // word-reordered docs legitimately collide at hamming 0 while their
+    // 3-gram sets are disjoint, so the floor is on word-set Jaccard
+    val jacc = Dedup.verifyJaccard(
+        emitted.toSeq.toDF("id_a", "id_b"), docs, "doc_id", "text",
+        threshold = 0.0, shingleN = 1)
+      .select("jaccard").as[Double].collect()
+    assert(jacc.length == emitted.size)
+    val floor = jacc.min
+    assert(floor >= 0.5, s"emitted pair with exact word-set jaccard $floor < 0.5")
+  }
+
   test("prefix-filtered jaccard join equals the naive inverted index") {
     val exact = Dedup.ngramJaccardPairs(corpus, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
