@@ -185,6 +185,56 @@ object Dedup {
     verifyJaccard(candidates, df, idCol, textCol, threshold, shingleN)
   }
 
+  /** Embedding-cosine near-duplicate dedup (EXACT): drop every row whose
+    * cosine similarity with ANY lower-id row reaches `threshold`; the
+    * lowest-id representative of each similarity neighborhood survives.
+    * One deterministic pass — no transitive-closure ambiguity: a row is
+    * dropped iff a lower-id row within `threshold` exists, which is
+    * exactly expressible as a SQL NOT EXISTS (the DuckDB oracle).
+    *
+    * O(n²) candidate join by design — this is the correctness tier and
+    * the verifier for `embeddingDedupAnn`, same role brute-force cosine
+    * plays for ANN search. */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("_eid"), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_norm", Similarity.l2norm(col("_v")))
+    val a = v.select(col("_eid").as("_ida"), col("_v").as("_va"), col("_norm").as("_na"))
+    val b = v.select(col("_eid").as("_idb"), col("_v").as("_vb"), col("_norm").as("_nb"))
+    val dupIds = a.join(b, col("_ida") < col("_idb") &&
+        (Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))) >= threshold)
+      .select(col("_idb").as("_eid")).distinct()
+    df.join(dupIds, df(idCol) === dupIds("_eid"), "left_anti")
+  }
+
+  /** Embedding-cosine near-dup dedup, LSH tier: identical keep-lowest-id
+    * semantics, but candidate pairs come from multi-table SRP-LSH bucket
+    * collisions instead of the full cross product — the 100 TB path
+    * (shuffle key = (table, bucket); candidates ~linear in n). Recall
+    * < 1 means a missed candidate KEEPS a duplicate (never drops a
+    * unique row) — the safe failure direction for training-data dedup.
+    * The spec quantifies agreement with the exact tier. */
+  def embeddingDedupAnn(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nBits: Int = 0, nTables: Int = 16,
+                        dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val bits = if (nBits > 0) nBits else Similarity.sizeBits(df.count())
+    val planes = (0 until nTables).map(t => Similarity.hyperplanes(bits, dim, seed + t))
+    val v = df.select(col(idCol).as("_eid"), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_norm", Similarity.l2norm(col("_v")))
+    val sigs = array(planes.map(p => Similarity.srpSignature(col("_v"), p)): _*)
+    val banded = v.select(col("_eid"), col("_v"), col("_norm"),
+      posexplode(sigs).as(Seq("_tbl", "_bkt")))
+    val a = banded.select(col("_eid").as("_ida"), col("_v").as("_va"),
+      col("_norm").as("_na"), col("_tbl"), col("_bkt"))
+    val b = banded.select(col("_eid").as("_idb"), col("_v").as("_vb"),
+      col("_norm").as("_nb"), col("_tbl"), col("_bkt"))
+    val dupIds = a.join(b, Seq("_tbl", "_bkt"))
+      .filter(col("_ida") < col("_idb") &&
+        (Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))) >= threshold)
+      .select(col("_idb").as("_eid")).distinct()
+    df.join(dupIds, df(idCol) === dupIds("_eid"), "left_anti")
+  }
+
   /** 64-bit SimHash of the word multiset: per bit, sum +1/-1 over each
     * word-hash's bit, then assemble set bits. Single shuffle (the 64
     * signed sums are one aggregation). */

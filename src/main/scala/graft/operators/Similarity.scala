@@ -126,6 +126,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) approximate kNN: a k-means coarse quantizer
+    * partitions the corpus into `nCells` Voronoi cells; each query
+    * probes only its `nProbe` nearest cells and ranks candidates by
+    * exact cosine. The centroid table is tiny (nCells × dim) and ships
+    * as literals, so cell assignment is a per-row argmin with the
+    * codegen dot product — no shuffle, no broadcast join. The candidate
+    * join shuffles on the cell id: each cell holds ~n/nCells corpus
+    * rows, so probe cost is ~(nProbe/nCells)·n per query instead of n.
+    *
+    * `trainFraction` < 1 fits the quantizer on a seeded sample — at
+    * 100 TB the quantizer needs thousands of vectors, not all of them.
+    * Fitting is a separate training pass (standard IVF build phase);
+    * the index (centroids + cell assignment) would be persisted in a
+    * real deployment rather than rebuilt per query. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+             seed: Long = 7L, trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val trainSet =
+      if (trainFraction >= 1.0) c else c.sample(trainFraction, seed)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("_fv").setPredictionCol("_cell")
+      .fit(trainSet.select(array_to_vector(col("cv")).as("_fv")))
+    val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    // squared distance to each centroid, up to the ||v||² constant:
+    // ||c||² − 2 v·c (same argmin) — codegen dot against literal planes
+    def cellDists(vc: Column): Column = array(centroids.map { cen =>
+      lit(cen.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(cen))
+    }: _*)
+    def nearestCell(vc: Column): Column = {
+      val d = cellDists(vc)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    val assigned = c.withColumn("_cell", nearestCell(col("cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    // per query: nProbe nearest cells (queries are the small side — the
+    // nCells-way explode + window ranks a bounded set)
+    val wp = Window.partitionBy("query_id").orderBy(asc("_cd"), asc("_cell"))
+    val probes = q
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(cellDists(col("qv"))).as(Seq("_cell", "_cd")))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("_cell"))
+    // each corpus row lives in exactly one cell and probed cells are
+    // distinct per query → no duplicate (query, nn) pairs to dedup
+    val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))
+    probes.join(assigned, Seq("_cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate k-NN, query-vs-corpus: probe `queries` into the
     * corpus's SRP-LSH buckets. Unlike `bruteForceKnn` the corpus is
     * NEVER broadcast — both sides are signed with the same hyperplanes,

@@ -92,6 +92,24 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
+    // embedding-cosine near-dup dedup, exact tier: drop rows with a
+    // lower-id neighbor at cosine >= 0.4 (SQL NOT EXISTS oracle)
+    "c15_embedding_dedup" -> { (s, dir) =>
+      graft.operators.Dedup.embeddingDedup(embs(s, dir), "vec_id", "embedding", 0.4)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+
+    // IVF kNN: k-means coarse quantizer, queries probe nProbe cells —
+    // the partition-pruned retrieval path (cells, not LSH buckets)
+    "c16_ivf_knn" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          5, nCells = 16, nProbe = 8, seed = 7L)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -193,6 +211,15 @@ object LayerC {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c15_embedding_dedup" ->
+      """SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings o
+        |  WHERE o.vec_id < e.vec_id
+        |    AND list_cosine_similarity(CAST(o.embedding AS DOUBLE[]),
+        |                               CAST(e.embedding AS DOUBLE[])) >= 0.4)
+        |ORDER BY e.vec_id""".stripMargin,
+
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,
     "c1_dedup_exact" ->

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -93,6 +93,27 @@ class DedupSpec extends AnyFunSuite {
     assert(jacc.length == emitted.size)
     val floor = jacc.min
     assert(floor >= 0.5, s"emitted pair with exact word-set jaccard $floor < 0.5")
+  }
+
+  test("embeddingDedup: exact tier matches NOT-EXISTS semantics; ANN tier never over-drops") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val kept = Dedup.embeddingDedup(e, "vec_id", "embedding", 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.size < e.count())  // fixture has 66 pairs >= 0.4 → drops happen
+    // independent brute-force reference: a row survives iff no lower-id
+    // row reaches cosine 0.4
+    val pairs = Similarity.bruteForcePairsTopK(e, "vec_id", "embedding", Int.MaxValue)
+      .filter($"cosine" >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val expectDropped = pairs.map(_._2).toSet
+    val all = e.select("vec_id").as[Long].collect().toSet
+    assert(kept == all.diff(expectDropped))
+    // ANN tier: missed candidates may KEEP dups but never drop uniques
+    val annKept = Dedup.embeddingDedupAnn(e, "vec_id", "embedding", 0.4,
+      nTables = 16, dim = 64, seed = 7L).select("vec_id").as[Long].collect().toSet
+    assert(kept.subsetOf(annKept), "ANN tier dropped a row the exact tier kept")
+    val agreement = kept.size.toDouble / annKept.size
+    assert(agreement >= 0.9, s"ANN kept ${annKept.size} vs exact ${kept.size}")
   }
 
   test("prefix-filtered jaccard join equals the naive inverted index") {

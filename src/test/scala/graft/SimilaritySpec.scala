@@ -69,6 +69,26 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ivfKnn: recall >= 0.8 vs brute force; full probe is exhaustive") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" < 20)
+    val k = 5
+    val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", k)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    // near-orthogonal fixture scatters neighbors across cells (worst
+    // case for IVF) → probe half the cells; clustered corpora need fewer
+    val ivf = Similarity.ivfKnn(e, queries, "vec_id", "embedding", k,
+        nCells = 16, nProbe = 8, seed = 7L)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+    // probing ALL cells makes IVF exhaustive — must equal brute force
+    val full = Similarity.ivfKnn(e, queries, "vec_id", "embedding", k,
+        nCells = 8, nProbe = 8, seed = 7L)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("cosine of opposite vectors is -1") {
     import org.apache.spark.sql.functions._
     val df = vecs.filter($"vec_id".isin(1L, 4L))
