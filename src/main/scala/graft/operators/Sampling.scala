@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training pipelines.
+  *
+  * `randomSplit` is seed-stable only for a fixed partitioning — a
+  * repartitioned rerun assigns rows differently, which silently leaks
+  * val/test rows into train across pipeline versions. Hash-based
+  * assignment depends only on the row's id: stable across runs,
+  * partitionings, and cluster sizes, and needs no shuffle at all (the
+  * split column is a narrow per-row projection).
+  */
+object Sampling {
+
+  /** Assign each row to a named split by `xxhash64(id, seed) mod 10000`
+    * against cumulative weight cutoffs. Weights must sum to 1; the last
+    * split absorbs rounding remainder. Adds `_split`. */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)],
+                seed: Int = 42, splitCol: String = "_split"): DataFrame = {
+    require(weights.nonEmpty, "at least one split required")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${weights.map(_._2).sum}")
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(10000L))
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(w => math.round(w * 10000))
+    val pairs = weights.map(_._1).zip(cuts)
+    val assignment = pairs.init.foldRight(lit(pairs.last._1): Column) {
+      case ((name, cut), acc) => when(bucket < lit(cut), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, assignment)
+  }
+
+  /** Per-stratum Bernoulli sampling (e.g. rebalance languages or
+    * sources): `fractions` maps stratum value → keep probability.
+    * Thin wrapper over `DataFrameStatFunctions.sampleBy` — seeded,
+    * one pass, no shuffle. Strata absent from `fractions` are dropped
+    * (fraction 0), matching sampleBy semantics. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+}

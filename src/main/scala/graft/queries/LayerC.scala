@@ -110,6 +110,33 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
+    // end-to-end curation pipeline: quality filter → exact dedup →
+    // token-count projection — the composed shape of a training-data
+    // prep job, each stage an already-verified operator
+    "c17_curation_pipeline" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val keep = TextAnalysis.qualityFeatures(d, "doc_id", "text")
+        .filter(col("n_words") >= 20 && col("stopword_ratio") >= 0.05 &&
+                col("mean_word_len").between(3.0, 12.0))
+        .select("doc_id")
+      val deduped = graft.operators.Dedup.exactDedup(
+        d.join(keep, "doc_id"), "doc_id", "text")
+      TextAnalysis.tokenCounts(deduped, "doc_id", "text")
+        .join(deduped.select("doc_id", "lang", "n_chars"), "doc_id")
+        .select("doc_id", "lang", "n_chars", "ws_tokens", "bpe_tokens")
+        .orderBy("doc_id")
+    },
+
+    // deterministic hash-based train/val/test split — stable per doc_id
+    // across runs and partitionings (xxhash64, no RNG state)
+    "c18_hash_split" -> { (s, dir) =>
+      graft.operators.Sampling.hashSplit(docs(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("_split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+        .orderBy("_split")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -219,6 +246,29 @@ object LayerC {
         |    AND list_cosine_similarity(CAST(o.embedding AS DOUBLE[]),
         |                               CAST(e.embedding AS DOUBLE[])) >= 0.4)
         |ORDER BY e.vec_id""".stripMargin,
+
+    "c17_curation_pipeline" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text, lang, CAST(length(text) AS INTEGER) AS n_chars,
+         |    len(string_split_regex(text, '\\s+')) AS n_words,
+         |    CAST(length(text) AS DOUBLE) /
+         |      greatest(len(string_split_regex(text, '\\s+')), 1) AS mwl,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      w -> list_contains($stoplistSql, lower(w)))) AS DOUBLE) /
+         |      greatest(len(string_split_regex(text, '\\s+')), 1) AS stop
+         |  FROM documents),
+         |flt AS (
+         |  SELECT * FROM f
+         |  WHERE n_words >= 20 AND stop >= 0.05 AND mwl BETWEEN 3 AND 12),
+         |ded AS (
+         |  SELECT flt.* FROM flt
+         |  JOIN (SELECT text AS ktext, min(doc_id) AS kid FROM flt GROUP BY text) k
+         |    ON flt.doc_id = k.kid)
+         |SELECT doc_id, lang, n_chars,
+         |  CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens
+         |FROM ded ORDER BY doc_id""".stripMargin,
 
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,

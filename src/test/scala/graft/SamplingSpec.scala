@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("hashSplit: disjoint, exhaustive, proportions near weights") {
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("_split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == docs.count())  // exhaustive: every row assigned
+    assert(counts.keySet == Set("train", "val", "test"))
+    // hash uniformity: within ±5 percentage points at n=500
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.05)
+    assert(math.abs(counts("val").toDouble / total - 0.1) < 0.05)
+    assert(math.abs(counts("test").toDouble / total - 0.1) < 0.05)
+  }
+
+  test("hashSplit is stable across repartitioning (randomSplit is not)") {
+    val w = Seq("train" -> 0.9, "test" -> 0.1)
+    val a = Sampling.hashSplit(docs, "doc_id", w)
+      .select("doc_id", "_split").as[(Long, String)].collect().toSet
+    val b = Sampling.hashSplit(docs.repartition(13), "doc_id", w)
+      .select("doc_id", "_split").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("hashSplit: different seeds give different assignments") {
+    val w = Seq("train" -> 0.5, "test" -> 0.5)
+    val a = Sampling.hashSplit(docs, "doc_id", w, seed = 1)
+      .filter($"_split" === "train").select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSplit(docs, "doc_id", w, seed = 2)
+      .filter($"_split" === "train").select("doc_id").as[Long].collect().toSet
+    assert(a != b)
+  }
+
+  test("hashSplit rejects weights that don't sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+
+  test("stratifiedSample keeps roughly the requested fraction per stratum") {
+    val langs = docs.select("lang").distinct().as[String].collect()
+    val fractions = langs.map(_ -> 0.5).toMap
+    val sampled = Sampling.stratifiedSample(docs, "lang", fractions, seed = 7L)
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val origByLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langs.foreach { l =>
+      val frac = byLang.getOrElse(l, 0L).toDouble / origByLang(l)
+      assert(frac > 0.25 && frac < 0.75, s"stratum $l sampled at $frac, wanted ~0.5")
+    }
+    // dropped stratum: fraction 0 for one language removes it entirely
+    val dropped = Sampling.stratifiedSample(docs, "lang",
+      fractions - langs.head, seed = 7L)
+    assert(dropped.filter($"lang" === langs.head).count() == 0)
+  }
+}
