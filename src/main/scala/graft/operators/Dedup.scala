@@ -116,12 +116,15 @@ object Dedup {
     * variant; MinHash is the constant-cost approximation of the same
     * result.
     *
-    * Collision-proof by construction: the 64-bit shingle hashes are used
-    * ONLY to generate candidates (a hash collision can at worst add a
-    * spurious candidate pair), and the Jaccard itself is then computed
-    * by `verifyJaccard` over the materialized shingle STRING sets — so
-    * the output is exact regardless of hash collisions, at the cost of
-    * re-joining texts for the (small) candidate set. */
+    * Collision-proof in two tiers: the quadratic stage counts matching
+    * 64-bit shingle hashes, and a collision can only INFLATE that count
+    * (set sizes `_n` are string-level; only `_common` is hash-level), so
+    * hash-Jaccard ≥ true Jaccard and filtering on it yields a SUPERSET
+    * of the true result with full recall. The few surviving pairs are
+    * then re-verified by `verifyJaccard` over materialized shingle
+    * STRING sets, which discards any collision-admitted false positive —
+    * exact output at (cheap hash pass over everything) + (string pass
+    * over only the output-sized survivor set). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol), col(textCol))
@@ -140,11 +143,16 @@ object Dedup {
     // epsilon guards float overshoot: n*t can land 1 ulp above the exact
     // product (e.g. 450*0.54), which would reject boundary pairs whose
     // true Jaccard equals the threshold exactly
-    val candidates = a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b") &&
+    val survivors = a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b") &&
         col("_na") >= col("_nb") * threshold - lit(1e-9) &&
         col("_nb") >= col("_na") * threshold - lit(1e-9))
-      .select("id_a", "id_b").distinct()
-    verifyJaccard(candidates, df, idCol, textCol, threshold, shingleN)
+      .drop(b("_s"))
+      .groupBy("id_a", "id_b", "_na", "_nb")
+      .agg(count(lit(1)).as("_common"))
+      .filter(col("_common").cast("double") /
+        (col("_na") + col("_nb") - col("_common")).cast("double") >= threshold)
+      .select("id_a", "id_b")
+    verifyJaccard(survivors, df, idCol, textCol, threshold, shingleN)
   }
 
   /** Exact n-gram Jaccard join with PREFIX FILTERING (AllPairs/PPJoin):
