@@ -270,6 +270,24 @@ object LayerC {
          |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens
          |FROM ded ORDER BY doc_id""".stripMargin,
 
+    // Karp–Rabin fold replicated byte-for-byte: DuckDB folds the hex of
+    // the UTF-8 encoding with HUGEINT arithmetic mod 2^64, then converts
+    // to the signed 64-bit value the codegen expression produces
+    "c11_fingerprint" ->
+      """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+        |            THEN f - 18446744073709551616::HUGEINT
+        |            ELSE f END AS BIGINT) AS fingerprint
+        |FROM (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(0::HUGEINT,
+        |      [CAST(('0x' || substring(h, 2*i+1, 2)) AS INTEGER)::HUGEINT
+        |       FOR i IN range(length(h)//2)]),
+        |    (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS f
+        |  FROM hx) t
+        |ORDER BY doc_id""".stripMargin,
+
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,
     "c1_dedup_exact" ->
