@@ -36,6 +36,9 @@ object EtlJob {
   private val DdlVerb = "(?is)^\\s*(create|drop|alter|truncate)\\b.*".r
   private val InsertStmt =
     "(?is)^\\s*insert\\s+into\\s+([\\w.]+)\\s*\\(([^)]*)\\)\\s*values\\b.*".r
+  private val InsertNoCols =
+    "(?is)^\\s*insert\\s+into\\s+([\\w.]+)\\s*values\\b.*".r
+  private val InsertOther = "(?is)^\\s*insert\\b.*".r
 
   /** True when `write` is a DDL statement rather than a target name. */
   def isDdl(write: String): Boolean = DdlVerb.matches(write)
@@ -76,6 +79,18 @@ object EtlJob {
             targetColumns =
               if (explicitCols.nonEmpty) explicitCols
               else cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case InsertNoCols(table) =>
+          // column-list-less INSERT: all extracted columns flow through
+          EtlJob(p("name"), p("extract"), table, mode = p("mode", "append"),
+            targetColumns = explicitCols)
+        case w if InsertOther.matches(w) =>
+          // an INSERT we can't parse must not silently become a
+          // table/path name (jdbc would fail cryptically; file formats
+          // would create a garbage directory named after the statement)
+          throw new IllegalArgumentException(
+            s"loader.jobs[$i].write looks like an INSERT statement but " +
+              s"could not be parsed (expected INSERT INTO <table> " +
+              s"[(cols)] VALUES ...): $w")
         case w =>
           EtlJob(p("name"), p("extract"), w, mode = p("mode", "append"),
             targetColumns = explicitCols)

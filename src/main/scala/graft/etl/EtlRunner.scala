@@ -54,7 +54,19 @@ class EtlRunner(spark: SparkSession) {
       val conn = java.sql.DriverManager.getConnection(options("url"), props)
       try { val st = conn.createStatement(); try st.execute(job.write) finally st.close() }
       finally conn.close()
-    } else spark.sql(job.write)
+    } else {
+      // file sinks have no table to create — but the DDL may still be
+      // meaningful engine-side (CREATE VIEW etc.). Try it; if Spark's
+      // parser/analyzer rejects it (target-database dialect, e.g. the
+      // reference's column-level PRIMARY KEY), skip with a note instead
+      // of aborting the whole job sequence: file formats are
+      // schema-on-write and need no setup.
+      try spark.sql(job.write)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        println(s"[etl] ddl job ${job.name} skipped for format=$format " +
+          s"(statement is target-database dialect: ${e.getSimpleMessage})")
+      }
+    }
 
   /** Run `extract` natively (Spark SQL over whatever views the caller
     * registered), normalize names, project to the target schema, write. */

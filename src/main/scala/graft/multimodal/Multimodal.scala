@@ -74,17 +74,18 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val mime = mimes((id % 4).toInt)
+          // floorMod: negative ids must map into the pools, not crash
+          val mime = mimes(java.lang.Math.floorMod(id, 4L).toInt)
           mime match {
             case "image/jpeg" | "image/png" =>
-              val w = 8 + (id * 37 % 24).toInt
-              val h = 8 + (id * 53 % 24).toInt
+              val w = 8 + java.lang.Math.floorMod(id * 37, 24L).toInt
+              val h = 8 + java.lang.Math.floorMod(id * 53, 24L).toInt
               val fmt = if (mime == "image/png") "png" else "jpg"
               Row(id, encodeImage(id, w, h, fmt), Row(mime, w, h, null))
             case _ =>
               val text = if (r.isNullAt(1)) null else r.getString(1)
               val bytes = if (text == null) null else text.getBytes("UTF-8")
-              Row(id, bytes, Row(mime, null, null, id * 97 % 600000))
+              Row(id, bytes, Row(mime, null, null, java.lang.Math.floorMod(id * 97, 600000L)))
           }
         }
       }(enc)

@@ -210,7 +210,8 @@ object Dedup {
     val a = v.select(col("_eid").as("_ida"), col("_v").as("_va"), col("_norm").as("_na"))
     val b = v.select(col("_eid").as("_idb"), col("_v").as("_vb"), col("_norm").as("_nb"))
     val dupIds = a.join(b, col("_ida") < col("_idb") &&
-        (Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))) >= threshold)
+        Similarity.cosineOrNull(Similarity.dot(col("_va"), col("_vb")),
+          col("_na"), col("_nb")) >= threshold)
       .select(col("_idb").as("_eid")).distinct()
     df.join(dupIds, df(idCol) === dupIds("_eid"), "left_anti")
   }
@@ -238,7 +239,8 @@ object Dedup {
       col("_norm").as("_nb"), col("_tbl"), col("_bkt"))
     val dupIds = a.join(b, Seq("_tbl", "_bkt"))
       .filter(col("_ida") < col("_idb") &&
-        (Similarity.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))) >= threshold)
+        Similarity.cosineOrNull(Similarity.dot(col("_va"), col("_vb")),
+          col("_na"), col("_nb")) >= threshold)
       .select(col("_idb").as("_eid")).distinct()
     df.join(dupIds, df(idCol) === dupIds("_eid"), "left_anti")
   }

@@ -31,6 +31,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Cosine from a precomputed dot product and norms, NULL when either
+    * norm is zero. The session runs ANSI mode (Spark 4 default), where a
+    * plain divide by a zero norm-product would abort the whole job with
+    * DIVIDE_BY_ZERO — one all-zero embedding (a failed upstream encoder
+    * is common at corpus scale) must degrade to "non-comparable row",
+    * not kill a 100 TB pass. NULL cosine fails every `>= threshold`
+    * predicate, so zero vectors are never reported as anyone's
+    * neighbor/duplicate; ranked outputs filter NULL explicitly. */
+  def cosineOrNull(dotv: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0.0, lit(null).cast("double"))
+      .otherwise(dotv / (na * nb))
+
   /** Exact top-k most-similar pairs (id_a < id_b) by cosine over the
     * whole corpus. O(n²) — the correctness baseline; use `annTopK` at
     * scale. Norms are precomputed once per row so the pair-stage does
@@ -43,7 +55,8 @@ object Similarity {
     val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+        cosineOrNull(dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine").isNotNull)
       .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
       .limit(k)
   }
@@ -60,7 +73,8 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))
     q.join(broadcast(c), col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        cosineOrNull(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -120,7 +134,8 @@ object Similarity {
     a.join(b, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+        cosineOrNull(dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine").isNotNull)
       .groupBy("id_a", "id_b").agg(first("cosine").as("cosine"))
       .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
       .limit(k)
@@ -183,7 +198,8 @@ object Similarity {
     probes.join(assigned, Seq("_cell"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        cosineOrNull(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
   }
@@ -219,7 +235,8 @@ object Similarity {
     q.join(c, Seq("table_idx", "bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        cosineOrNull(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull)
       .groupBy("query_id", "nn_id").agg(first("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

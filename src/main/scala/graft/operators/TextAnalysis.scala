@@ -40,13 +40,16 @@ object TextAnalysis {
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single non-space symbols) — the
     * standard pre-tokenizer shape, giving a cheap proxy for LLM token
-    * cost per document. */
-  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * cost per document. `keep` carries extra columns through the
+    * projection (it's a pure per-row op — callers should never need a
+    * self-join to get their columns back). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+                  keep: Seq[String] = Nil): DataFrame =
     df.select(
-      col(idCol),
-      size(split(col(textCol), "\\s+")).as("ws_tokens"),
-      size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-        .as("bpe_tokens"))
+      (col(idCol) +: keep.map(col)) ++ Seq(
+        size(split(col(textCol), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .as("bpe_tokens")): _*)
 
   /** Tiny built-in character-trigram profiles per language. Real systems
     * load learned profiles; the mechanism (score = profile hits per

@@ -121,8 +121,10 @@ object LayerC {
         .select("doc_id")
       val deduped = graft.operators.Dedup.exactDedup(
         d.join(keep, "doc_id"), "doc_id", "text")
-      TextAnalysis.tokenCounts(deduped, "doc_id", "text")
-        .join(deduped.select("doc_id", "lang", "n_chars"), "doc_id")
+      // tokenCounts is a per-row projection — extra columns ride along
+      // instead of re-joining (which would re-execute the dedup subplan)
+      TextAnalysis.tokenCounts(deduped, "doc_id", "text",
+          keep = Seq("lang", "n_chars"))
         .select("doc_id", "lang", "n_chars", "ws_tokens", "bpe_tokens")
         .orderBy("doc_id")
     },

@@ -92,19 +92,23 @@ object Streams {
               col("click_ts"), col("purchase_ts"))
   }
 
-  /** Run an append-mode streaming query (stream-stream joins support
-    * only append) to completion into a memory sink. */
-  def runToCompletionAppend(spark: SparkSession, streamingDf: DataFrame,
-                            name: String): DataFrame = {
+  private def runToMemorySink(spark: SparkSession, streamingDf: DataFrame,
+                              name: String, outputMode: String): DataFrame = {
     spark.catalog.dropTempView(name)
     val q = streamingDf.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("append")
+      .outputMode(outputMode)
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Run an append-mode streaming query (stream-stream joins support
+    * only append) to completion into a memory sink. */
+  def runToCompletionAppend(spark: SparkSession, streamingDf: DataFrame,
+                            name: String): DataFrame =
+    runToMemorySink(spark, streamingDf, name, "append")
 
   /** Run a streaming aggregation to completion into a memory sink and
     * return the final result as a batch DataFrame. `complete` output
@@ -112,14 +116,6 @@ object Streams {
     * the batch equivalent (append mode would hold back windows newer
     * than the final watermark). */
   def runToCompletion(spark: SparkSession, streamingDf: DataFrame,
-                      name: String): DataFrame = {
-    spark.catalog.dropTempView(name)
-    val q = streamingDf.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-  }
+                      name: String): DataFrame =
+    runToMemorySink(spark, streamingDf, name, "complete")
 }

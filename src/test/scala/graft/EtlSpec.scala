@@ -72,6 +72,44 @@ class EtlSpec extends AnyFunSuite {
     assert(jobs(1).targetColumns == Seq("id", "street_address", "city"))
   }
 
+  test("CLI default path: DDL job with database-dialect SQL is skipped for file sinks") {
+    val work = Files.createTempDirectory("graft_etl_ddl_file").toString
+    Generator.addresses(spark, 100).write.mode("overwrite")
+      .parquet(s"$work/addresses")
+    EtlRunner.registerSource(spark, "addresses", s"$work/addresses")
+    val props = new java.util.Properties()
+    props.setProperty("loader.jobs[0].name", "tableCreate")
+    props.setProperty("loader.jobs[0].extract", "select 1")
+    // column-level PRIMARY KEY is target-database dialect Spark rejects —
+    // the run must continue to the load job, not abort
+    props.setProperty("loader.jobs[0].write",
+      "CREATE TABLE IF NOT EXISTS addrx (id INTEGER PRIMARY KEY, city VARCHAR(50))")
+    props.setProperty("loader.jobs[1].name", "addrx")
+    props.setProperty("loader.jobs[1].extract", "select id, city from addresses")
+    props.setProperty("loader.jobs[1].write", "addrx")
+    props.setProperty("loader.jobs[1].mode", "overwrite")
+    val results = new EtlRunner(spark).runAll(EtlJob.fromProps(props), work)
+    assert(results.forall(_.balanced))
+    assert(results(1).rowsSent == 100)
+    assert(spark.read.parquet(s"$work/addrx").count() == 100)
+  }
+
+  test("INSERT without a column list parses; unparseable INSERT fails fast") {
+    val props = new java.util.Properties()
+    props.setProperty("loader.jobs[0].name", "nocols")
+    props.setProperty("loader.jobs[0].extract", "select 1")
+    props.setProperty("loader.jobs[0].write", "INSERT INTO addrx VALUES (:ID, :CITY)")
+    val jobs = EtlJob.fromProps(props)
+    assert(jobs(0).write == "addrx" && jobs(0).targetColumns.isEmpty)
+
+    val bad = new java.util.Properties()
+    bad.setProperty("loader.jobs[0].name", "weird")
+    bad.setProperty("loader.jobs[0].extract", "select 1")
+    bad.setProperty("loader.jobs[0].write", "INSERT OVERWRITE addrx SELECT 1")
+    val e = intercept[IllegalArgumentException](EtlJob.fromProps(bad))
+    assert(e.getMessage.contains("could not be parsed"))
+  }
+
   test("reference job sequence: DDL once, then batched JDBC load (Derby)") {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     val work = Files.createTempDirectory("graft_etl_jdbc").toString

@@ -74,6 +74,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(2L).getSeq[Float](byId(2L).fieldIndex("features"))(6) == 1.0f)
   }
 
+  test("attachBinary handles negative doc_ids (floorMod, no crash)") {
+    val neg = Seq((-1L, "neg one"), (-4L, "neg four")).toDF("doc_id", "text")
+    val out = Multimodal.attachBinary(neg).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(meta.getString(0).nonEmpty)
+      if (meta.getString(0).startsWith("image/")) {
+        assert(meta.getInt(1) >= 8 && meta.getInt(2) >= 8)
+        assert(Multimodal.decodeImage(r.getAs[Array[Byte]]("payload")).isDefined)
+      }
+    }
+  }
+
   test("byteHistogram handles empty payloads") {
     assert(Multimodal.byteHistogram(Array.emptyByteArray).forall(_ == 0f))
     assert(Multimodal.byteHistogram(null).length == 16)

@@ -89,6 +89,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("zero-norm vectors don't crash ANSI mode and are never neighbors") {
+    val withZero = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))   // failed-encoder row
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.bruteForcePairsTopK(withZero, "vec_id", "embedding", 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))  // the zero vector pairs with no one
+    val knn = Similarity.bruteForceKnn(withZero, withZero, "vec_id", "embedding", 2)
+      .select("query_id", "nn_id").as[(Long, Long)].collect()
+    assert(!knn.exists(_._2 == 3L))
+    val kept = graft.operators.Dedup.embeddingDedup(withZero, "vec_id", "embedding", 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))  // 2 dropped as dup of 1; zero row survives
+  }
+
   test("cosine of opposite vectors is -1") {
     import org.apache.spark.sql.functions._
     val df = vecs.filter($"vec_id".isin(1L, 4L))
