@@ -71,6 +71,42 @@ object Relational4 {
         .orderBy("n_regionkey")
     },
 
+    // window distribution functions + lag/lead navigation
+    "q64_window_dist" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"))
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    },
+
+    // lateral explode with ordinality (posexplode) + post-explode filter
+    "q65_lateral_explode" -> { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 3)
+        .orderBy("p_partkey", "pos")
+    },
+
+    // width_bucket equi-width histogram of order totals
+    "q66_width_bucket" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12))
+          .as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
     // upsert/merge: apply an "updates" changeset to a target keyed by
     // o_orderkey — updated rows win, unmatched target rows survive,
     // brand-new rows append (the ETL pattern the reference's INSERT-only
@@ -125,6 +161,36 @@ object Relational4 {
       """SELECT n_regionkey,
         |  CAST(to_json(list_sort(list({'name': n_name, 'key': n_nationkey}))) AS VARCHAR) AS members
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q64_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+
+    "q65_lateral_explode" ->
+      """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS ws
+        |           FROM part WHERE p_partkey <= 200),
+        |e AS (
+        |  SELECT p_partkey, CAST(i AS INTEGER) AS pos, ws[i + 1] AS word
+        |  FROM w, LATERAL (SELECT unnest(range(len(ws))) AS i) u)
+        |SELECT p_partkey, pos, word FROM e
+        |WHERE length(word) > 3
+        |ORDER BY p_partkey, pos""".stripMargin,
+
+    // DuckDB 1.0 has no width_bucket — replicate Spark's semantics:
+    // floor((v - lo)/width) + 1, clamped to 0 below lo and n+1 above hi
+    "q66_width_bucket" ->
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+        |                 WHEN o_totalprice >= 600000 THEN 13
+        |                 ELSE floor(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bucket,
+        |  count(1) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q63_upsert_merge" ->
       """WITH updates AS (
