@@ -81,6 +81,23 @@ object TextAnalysis {
       best.getField("s").as("score"))
   }
 
+  /** Text normalization for training corpora: lowercase, PII-pattern
+    * redaction (emails → `<EMAIL>`), control-character strip, whitespace
+    * collapse — one codegen'd projection, order matters and is part of
+    * the contract (redact BEFORE whitespace collapse so patterns aren't
+    * broken apart). The email pattern is deliberately conservative and
+    * identical under Java regex and RE2 (the DuckDB oracle re-runs it). */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    df.select(
+      col(idCol),
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(col(textCol)), emailPattern, "<EMAIL>"),
+          "[\\x00-\\x1f\\x7f]", " "),
+        "\\s+", " ")).as("norm_text"))
+  }
+
   /** 64-bit rolling polynomial fingerprint of the document content
     * (Karp–Rabin over UTF-8 bytes: h = h*31 + b, wrapping). Identical
     * content ⇒ identical fingerprint; order-sensitive unlike bag-of-words

@@ -139,6 +139,13 @@ object LayerC {
         .orderBy("_split")
     },
 
+    // text normalization: lowercase → email redaction → control strip →
+    // whitespace collapse, one projection
+    "c19_text_normalize" -> { (s, dir) =>
+      TextAnalysis.normalize(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -289,6 +296,14 @@ object LayerC {
         |    (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS f
         |  FROM hx) t
         |ORDER BY doc_id""".stripMargin,
+
+    "c19_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,

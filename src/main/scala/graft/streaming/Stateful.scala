@@ -40,6 +40,42 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(updateUser)
   }
 
+  case class TimedEventIn(user_id: Long, event_id: Long, value: Double,
+                          ts: java.sql.Timestamp)
+
+  /** Running totals with state TTL: a user's state is evicted once the
+    * event-time watermark passes (last event + ttlMs), so state size is
+    * bounded by ACTIVITY within the TTL window, not total user
+    * cardinality — the production requirement for unbounded key spaces.
+    * A user returning after eviction starts from zero (by design: the
+    * timed-out state is gone). Timeouts fire at micro-batch boundaries
+    * when the watermark advances. */
+  def runningTotalsWithTTL(spark: SparkSession, events: DataFrame,
+                           ttlMs: Long): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[TimedEventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, events: Iterator[TimedEventIn], state: GroupState[UserState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(UserState(0L, 0.0))
+            val batch = events.toSeq.sortBy(_.event_id)
+            val out = batch.map { e =>
+              st = UserState(st.nEvents + 1, st.totalValue + e.value)
+              UserUpdate(userId, e.event_id, st.nEvents, st.totalValue)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** Run the stateful query to completion into a memory sink. */
   def runToCompletion(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.catalog.dropTempView(name)

@@ -102,6 +102,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("stateful TTL: generous TTL equals no-timeout; short TTL resets inactive users") {
+    import java.nio.file.Files
+    import graft.streaming.Stateful
+    val work = Files.createTempDirectory("graft_ttl").toString
+    val ev = Tables.load(spark, dir, "events")
+      .select("ts", "user_id", "event_id", "value")
+    // time-ordered 6-way replay so the watermark advances between
+    // batches and timeouts actually fire
+    val cuts = ev.selectExpr(
+      "percentile(cast(ts as double), array(0.1667,0.3333,0.5,0.6667,0.8333)) as c")
+      .collect().head.getSeq[Double](0)
+    val edges = (Double.MinValue +: cuts) :+ Double.MaxValue
+    edges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), _) =>
+      ev.filter(col("ts").cast("double") > lo && col("ts").cast("double") <= hi)
+        .coalesce(1).write.mode("append").parquet(s"$work/split")
+      Thread.sleep(1100)
+    }
+    def run(ttlMs: Long, name: String) = {
+      spark.catalog.dropTempView(name)
+      val q = Stateful.runningTotalsWithTTL(spark,
+          graft.streaming.Streams.replayStream(spark, s"$work/split", ev.schema, 1), ttlMs)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    }
+    // generous TTL (100 days): nothing times out → equals NoTimeout run
+    val generous = run(100L * 24 * 3600 * 1000, "t_ttl_generous")
+      .orderBy("user_id", "event_id").collect()
+    val noTimeout = Stateful.runToCompletion(spark, dir, "t_ttl_none")
+      .orderBy("user_id", "event_id").collect()
+    assert(generous.sameElements(noTimeout))
+    // short TTL: controlled synthetic gaps (the fixture's users are
+    // active in every batch, so nothing there ever times out). A
+    // timeout fires only in a batch where the key has NO data and the
+    // watermark has passed its (last event + TTL) — so user 1 must sit
+    // out a whole batch after the watermark moves: it is evicted in
+    // batch 3 (absent; watermark t+60 > t0+5min) and restarts from 1
+    // when it returns in batch 4. User 2 stays active throughout.
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val synth = Seq(
+      (1L, 101L, 1.0, at(0)), (2L, 201L, 1.0, at(0)),     // batch 1
+      (2L, 202L, 1.0, at(60)),                            // batch 2: u1 absent
+      (2L, 203L, 1.0, at(70)),                            // batch 3: u1 evicted here
+      (1L, 104L, 1.0, at(120)), (2L, 204L, 1.0, at(121))  // batch 4: u1 returns
+    ).toDF("user_id", "event_id", "value", "ts")
+    val synthDir = s"$work/synth"
+    Seq(Seq(101L, 201L), Seq(202L), Seq(203L), Seq(104L, 204L)).foreach { ids =>
+      synth.filter(col("event_id").isin(ids: _*))
+        .coalesce(1).write.mode("append").parquet(synthDir)
+      Thread.sleep(1100)
+    }
+    spark.catalog.dropTempView("t_ttl_short")
+    val q = Stateful.runningTotalsWithTTL(spark,
+        graft.streaming.Streams.replayStream(spark, synthDir, synth.schema, 1),
+        5L * 60 * 1000)
+      .writeStream.format("memory").queryName("t_ttl_short").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val byEvent = spark.table("t_ttl_short").collect()
+      .map(r => r.getLong(r.fieldIndex("event_id")) -> r.getLong(r.fieldIndex("n_events"))).toMap
+    assert(byEvent(101L) == 1)
+    assert(byEvent(104L) == 1, s"user 1's state must restart after TTL, got ${byEvent(104L)}")
+    assert(byEvent(202L) == 2 && byEvent(203L) == 3)
+    assert(byEvent(204L) == 4, s"active user 2 must keep its state, got ${byEvent(204L)}")
+  }
+
   test("streaming session windows match batch gaps-and-islands") {
     val streamed = Streams.runToCompletion(spark,
       Streams.sessionCounts(Streams.eventStream(spark, dir)), "t_session")

@@ -37,6 +37,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(preds(2L) == "de")
   }
 
+  test("normalize: lowercase, email redaction, control strip, whitespace collapse") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Contact JOHN.doe+spam@Example.COM  now\t\nplease"),
+      (2L, "no piihere   at all"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> now please")
+    assert(out(2L) == "no pii here at all")
+    assert(out(3L) == "")
+  }
+
   test("fingerprint: equal content equal hash, different content different hash") {
     val df = Seq((1L, "abc def"), (2L, "abc def"), (3L, "abc def ")).toDF("id", "text")
     val fps = TextAnalysis.fingerprint(df, "id", "text")
