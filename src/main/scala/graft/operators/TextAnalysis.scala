@@ -98,6 +98,38 @@ object TextAnalysis {
         "\\s+", " ")).as("norm_text"))
   }
 
+  /** Top-k word vocabulary by corpus frequency — the tokenizer-training
+    * front door. One explode + one groupBy: map-side combine means the
+    * shuffle carries (token, partial-count), bounded by vocabulary size
+    * per task, not corpus size. Deterministic total order (freq desc,
+    * token asc). */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(k)
+
+  /** Adjacent character-pair frequencies within words — the counting
+    * step of one BPE merge iteration. Two explodes (words, then the
+    * length-1 sliding pairs of each word) into one aggregation; at
+    * corpus scale the pair-space is tiny (alphabet²-ish), so the shuffle
+    * after map-side combine is negligible. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val words = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("pair"))
+      .limit(k)
+  }
+
   /** 64-bit rolling polynomial fingerprint of the document content
     * (Karp–Rabin over UTF-8 bytes: h = h*31 + b, wrapping). Identical
     * content ⇒ identical fingerprint; order-sensitive unlike bag-of-words

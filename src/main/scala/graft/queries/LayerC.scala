@@ -146,6 +146,16 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // top-100 word vocabulary by corpus frequency
+    "c20_vocabulary" -> { (s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), "text", 100)
+    },
+
+    // BPE merge-step pair counts: top-100 adjacent char pairs in words
+    "c21_bpe_pairs" -> { (s, dir) =>
+      TextAnalysis.bpePairCounts(docs(s, dir), "text", 100)
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -304,6 +314,23 @@ object LayerC {
         |    '[\x00-\x1f\x7f]', ' ', 'g'),
         |    '\s+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "c20_vocabulary" ->
+      """SELECT token, count(1) AS freq FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin,
+
+    "c21_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest([substring(w, i, 2) FOR i IN range(1, length(w))]) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(1) AS freq FROM p
+        |GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 100""".stripMargin,
 
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,

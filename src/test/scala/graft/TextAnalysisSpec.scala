@@ -51,6 +51,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == "")
   }
 
+  test("vocabulary and bpePairCounts on a known corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "ab AB abc"), (2L, "x yz")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(df, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(vocab.head == ("ab" -> 2L))
+    assert(vocab.toMap == Map("ab" -> 2L, "abc" -> 1L, "x" -> 1L, "yz" -> 1L))
+    val pairs = TextAnalysis.bpePairCounts(df, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "ab"×2 and "abc" contribute "ab"; "abc" adds "bc"; "yz" adds "yz";
+    // single-char word "x" contributes nothing
+    assert(pairs == Map("ab" -> 3L, "bc" -> 1L, "yz" -> 1L))
+  }
+
   test("fingerprint: equal content equal hash, different content different hash") {
     val df = Seq((1L, "abc def"), (2L, "abc def"), (3L, "abc def ")).toDF("id", "text")
     val fps = TextAnalysis.fingerprint(df, "id", "text")
