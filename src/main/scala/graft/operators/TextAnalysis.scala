@@ -130,6 +130,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-document unigram language-model score: the corpus's own token
+    * frequencies become the model, and each document scores the average
+    * log-probability of its tokens — the classic cheap perplexity proxy
+    * for quality filtering (low score = rare-token soup). Two shuffles:
+    * the token-frequency aggregation and the per-doc average; the model
+    * (distinct-token counts) joins back by token key, and the 1-row
+    * total broadcast-crosses. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val freqs = tokens.groupBy("token").agg(count(lit(1)).as("_f"))
+    val total = tokens.agg(count(lit(1)).as("_n"))
+    tokens
+      .join(freqs, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log(col("_f").cast("double") / col("_n").cast("double"))), 6)
+          .as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** 64-bit rolling polynomial fingerprint of the document content
     * (Karp–Rabin over UTF-8 bytes: h = h*31 + b, wrapping). Identical
     * content ⇒ identical fingerprint; order-sensitive unlike bag-of-words

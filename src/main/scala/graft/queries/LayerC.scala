@@ -156,6 +156,13 @@ object LayerC {
       TextAnalysis.bpePairCounts(docs(s, dir), "text", 100)
     },
 
+    // unigram LM quality score (avg token log-prob under the corpus's
+    // own frequencies — the cheap perplexity proxy)
+    "c22_unigram_logprob" -> { (s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -331,6 +338,19 @@ object LayerC {
         |  FROM w WHERE length(w) >= 2)
         |SELECT pair, count(1) AS freq FROM p
         |GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 100""".stripMargin,
+
+    "c22_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE token <> ''),
+        |freq AS (SELECT token, count(1) AS f FROM t2 GROUP BY token),
+        |tot AS (SELECT count(1) AS n FROM t2)
+        |SELECT doc_id,
+        |  round(avg(ln(CAST(f AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS avg_logprob,
+        |  count(1) AS n_tokens
+        |FROM t2 JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,
