@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Scale probe: deterministic 10× blow-up of the embeddings fixture,
+  * timing the retrieval/dedup operators' scale tiers against the
+  * brute-force baseline. Results are recorded in PLANS.md per round.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [sfDir]"`. Each variant copy
+  * perturbs the base vector slightly (copy-and-dimension-dependent,
+  * seed-free arithmetic), so near-duplicate structure is planted by
+  * construction.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build("graft-scale-probe")
+    val base = Tables.load(spark, sfDir, "embeddings")
+    val blown = base.crossJoin(spark.range(10).toDF("copy"))
+      .select(
+        (col("vec_id") * 10 + col("copy")).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x + ((pmod(col("copy") * 31 + j, lit(7)) - 3).cast("float") * lit(0.01f)))
+          .as("embedding"))
+      .cache()
+    val n = blown.count()
+    println(s"[probe] corpus: $n vectors (10x ${sfDir})")
+    def time(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    // batch-retrieval workload: 2000 queries against the 20k corpus.
+    // (With a handful of queries, signature/quantizer construction
+    // dominates and brute force wins — the approximate tiers are for
+    // query volumes where per-query cost matters.)
+    val queries = blown.filter(col("vec_id") < 2000)
+    time("bruteForceKnn k=10, 2000 queries")(
+      Similarity.bruteForceKnn(blown, queries, "vec_id", "embedding", 10))
+    time("annKnn k=10, 2000 queries (16 tables, auto bits)")(
+      Similarity.annKnn(blown, queries, "vec_id", "embedding", 10,
+        nBits = 0, nTables = 16))
+    time("ivfKnn k=10, 2000 queries (64 cells, probe 8, fit on 25%)")(
+      Similarity.ivfKnn(blown, queries, "vec_id", "embedding", 10,
+        nCells = 64, nProbe = 8, trainFraction = 0.25))
+    time("embeddingDedupAnn t=0.9 (16 tables)")(
+      Dedup.embeddingDedupAnn(blown, "vec_id", "embedding", 0.9, nTables = 16))
+    time("annPairsTopK k=100 (8 tables, auto bits)")(
+      Similarity.annPairsTopK(blown, "vec_id", "embedding", 100))
+    spark.stop()
+  }
+}
