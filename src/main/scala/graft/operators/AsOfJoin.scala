@@ -20,13 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param payloadCols right-side columns to carry onto left rows
+  /** Backward as-of (the default direction): most recent right row with
+    * `rightTime <= leftTime`; among right rows at the same timestamp the
+    * LARGEST tie-break wins (the latest-issued record).
+    *
+    * @param payloadCols right-side columns to carry onto left rows
     *                    (null when no right row precedes the left row)
     * @param rightTieBreak extra right-side column ordering the winner
     *                      among right rows with equal timestamps */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
-           payloadCols: Seq[String], rightTieBreak: String): DataFrame = {
+           payloadCols: Seq[String], rightTieBreak: String): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, payloadCols,
+      rightTieBreak, forward = false)
+
+  /** Forward as-of: EARLIEST right row with `rightTime >= leftTime`
+    * ("the next event after") — same one-shuffle union-window shape,
+    * scanning time descending. Among right rows at the same timestamp
+    * the SMALLEST tie-break wins (the first-issued record). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  payloadCols: Seq[String], rightTieBreak: String): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, payloadCols,
+      rightTieBreak, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       payloadCols: Seq[String], rightTieBreak: String,
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // The payload travels as ONE struct column: a struct of right-side
     // values is non-null even when every field is null, so
@@ -47,9 +68,14 @@ object AsOfJoin {
 
     val unioned = l.unionByName(r)
     // right rows (side 0) sort before left rows at equal time → inclusive
-    // <= semantics; _tie orders concurrent right rows deterministically
+    // semantics in both directions; _tie orders concurrent right rows
+    // deterministically. Forward scans time DESCENDING, so the running
+    // last-non-null payload a left row sees is the smallest rightTime
+    // that is still >= leftTime; _tie flips so the smallest tie wins.
+    val timeOrd = if (forward) col("_t").desc else col("_t").asc
+    val tieOrd = if (forward) col("_tie").desc_nulls_last else col("_tie").asc_nulls_last
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .orderBy(timeOrd, col("_side").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))

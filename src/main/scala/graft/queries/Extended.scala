@@ -70,6 +70,19 @@ object Extended {
         .orderBy("user_id", "click_id", "purchase_id")
     },
 
+    // stream-static join: the event stream enriched against the static
+    // customer dimension mid-stream, then aggregated — the standard
+    // streaming-enrichment shape (static side re-read per micro-batch)
+    "s6_stream_static_join" -> { (s, dir) =>
+      val ev = Streams.eventStream(s, dir)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = ev.join(cust, ev("user_id") === cust("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      Streams.runToCompletion(s, joined, "s6_static").orderBy("c_mktsegment")
+    },
+
     // deterministic seeded generator (reference `import` entry point)
     "e1_generator" -> { (s, _) =>
       Generator.addresses(s, 10000L).orderBy("id")
@@ -121,6 +134,11 @@ object Extended {
       """SELECT event_type, count(1) AS n
         |FROM (SELECT DISTINCT event_id, event_type FROM events) d
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s6_stream_static_join" ->
+      """SELECT c_mktsegment, count(1) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "s5_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

@@ -29,6 +29,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r.getAs[Int]("asof_p") == 200)  // highest rid among equal times wins
   }
 
+  test("asofForward picks the next right row, inclusive, smallest tie wins") {
+    val right = Seq(
+      (1L, 3L, 30, 1L), (1L, 7L, 70, 2L), (1L, 7L, 71, 3L), (2L, 9L, 90, 4L)
+    ).toDF("k", "rt", "p", "rid")
+    val left = Seq(
+      (1L, 5L, "between"),   // next right is t=7 → smallest rid (2) wins → 70
+      (1L, 7L, "equal"),     // inclusive: t=7 itself → 70
+      (1L, 8L, "after_all"), // no right at or after t=8 for k=1 → null
+      (2L, 1L, "other_key")  // k=2: next right t=9 → 90
+    ).toDF("k", "lt", "tag")
+    val rows = AsOfJoin.asofForward(left, right, Seq("k"), "lt", "rt", Seq("p"), "rid")
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[Any]("asof_p")).toMap
+    assert(rows("between") == 70)
+    assert(rows("equal") == 70)
+    assert(rows("after_all") == null)
+    assert(rows("other_key") == 90)
+  }
+
   test("jaccard threshold boundary survives float overshoot (J exactly = t)") {
     // A: 452 words -> 450 shingles; B: prefix of 245 words -> 243 shingles
     // intersection 243, union 450 -> J = 0.54 exactly; 450*0.54 overshoots
