@@ -20,8 +20,11 @@ object ScaleProbe {
     val blown = base.crossJoin(spark.range(10).toDF("copy"))
       .select(
         (col("vec_id") * 10 + col("copy")).as("vec_id"),
+        // mod 11 with coefficient 5 (coprime): all 10 copies get distinct
+        // perturbation patterns — mod 7 with coefficient 31 ≡ 3 collapsed
+        // copies {0,7}, {1,8}, {2,9} into byte-identical vectors
         transform(col("embedding"), (x, j) =>
-          x + ((pmod(col("copy") * 31 + j, lit(7)) - 3).cast("float") * lit(0.01f)))
+          x + ((pmod(col("copy") * 5 + j, lit(11)) - 5).cast("float") * lit(0.01f)))
           .as("embedding"))
       .cache()
     val n = blown.count()

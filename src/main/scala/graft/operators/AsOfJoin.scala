@@ -72,7 +72,10 @@ object AsOfJoin {
     // deterministically. Forward scans time DESCENDING, so the running
     // last-non-null payload a left row sees is the smallest rightTime
     // that is still >= leftTime; _tie flips so the smallest tie wins.
-    val timeOrd = if (forward) col("_t").desc else col("_t").asc
+    // NULL times sort FIRST in both directions: a row with an undefined
+    // timestamp must see no prior payload (null result), not inherit
+    // whichever extreme the scan happens to start from.
+    val timeOrd = if (forward) col("_t").desc_nulls_first else col("_t").asc_nulls_first
     val tieOrd = if (forward) col("_tie").desc_nulls_last else col("_tie").asc_nulls_last
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(timeOrd, col("_side").asc, tieOrd)

@@ -142,7 +142,9 @@ object TextAnalysis {
       .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
     val freqs = tokens.groupBy("token").agg(count(lit(1)).as("_f"))
-    val total = tokens.agg(count(lit(1)).as("_n"))
+    // total from the tiny distinct-token aggregate — NOT a third
+    // scan+explode of the corpus (Catalyst does not dedup the subtree)
+    val total = freqs.agg(sum("_f").as("_n"))
     tokens
       .join(freqs, "token")
       .crossJoin(broadcast(total))

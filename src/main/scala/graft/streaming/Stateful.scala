@@ -19,17 +19,24 @@ object Stateful {
   case class UserState(nEvents: Long, totalValue: Double)
   case class UserUpdate(user_id: Long, event_id: Long, n_events: Long, total_value: Double)
 
-  def updateUser(userId: Long, events: Iterator[EventIn],
-                 state: GroupState[UserState]): Iterator[UserUpdate] = {
+  /** Shared accumulation contract: within a micro-batch, order by
+    * event_id for determinism, fold into the running state, emit one
+    * update per event. Both the plain and the TTL variants delegate
+    * here so the contract cannot drift between them. */
+  private def accumulate(userId: Long, events: Seq[(Long, Double)],
+                         state: GroupState[UserState]): Seq[UserUpdate] = {
     var st = state.getOption.getOrElse(UserState(0L, 0.0))
-    // within a micro-batch, order by event_id for determinism
-    val out = events.toSeq.sortBy(_.event_id).map { e =>
-      st = UserState(st.nEvents + 1, st.totalValue + e.value)
-      UserUpdate(userId, e.event_id, st.nEvents, st.totalValue)
+    val out = events.sortBy(_._1).map { case (eventId, value) =>
+      st = UserState(st.nEvents + 1, st.totalValue + value)
+      UserUpdate(userId, eventId, st.nEvents, st.totalValue)
     }
     state.update(st)
-    out.iterator
+    out
   }
+
+  def updateUser(userId: Long, events: Iterator[EventIn],
+                 state: GroupState[UserState]): Iterator[UserUpdate] =
+    accumulate(userId, events.toSeq.map(e => (e.event_id, e.value)), state).iterator
 
   /** Streaming per-user running totals over the event stream. */
   def runningTotals(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
@@ -63,13 +70,9 @@ object Stateful {
             state.remove()
             Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(UserState(0L, 0.0))
-            val batch = events.toSeq.sortBy(_.event_id)
-            val out = batch.map { e =>
-              st = UserState(st.nEvents + 1, st.totalValue + e.value)
-              UserUpdate(userId, e.event_id, st.nEvents, st.totalValue)
-            }
-            state.update(st)
+            val batch = events.toSeq
+            val out = accumulate(userId,
+              batch.map(e => (e.event_id, e.value)), state)
             state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMs)
             out.iterator
           }

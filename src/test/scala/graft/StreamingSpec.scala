@@ -119,16 +119,14 @@ class StreamingSpec extends AnyFunSuite {
         .coalesce(1).write.mode("append").parquet(s"$work/split")
       Thread.sleep(1100)
     }
-    def run(ttlMs: Long, name: String) = {
-      spark.catalog.dropTempView(name)
-      val q = Stateful.runningTotalsWithTTL(spark,
-          graft.streaming.Streams.replayStream(spark, s"$work/split", ev.schema, 1), ttlMs)
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      spark.table(name)
-    }
+    def run(path: String, schema: org.apache.spark.sql.types.StructType,
+            ttlMs: Long, name: String) =
+      Streams.runToCompletionAppend(spark,
+        Stateful.runningTotalsWithTTL(spark,
+          Streams.replayStream(spark, path, schema, 1), ttlMs).toDF(),
+        name)
     // generous TTL (100 days): nothing times out → equals NoTimeout run
-    val generous = run(100L * 24 * 3600 * 1000, "t_ttl_generous")
+    val generous = run(s"$work/split", ev.schema, 100L * 24 * 3600 * 1000, "t_ttl_generous")
       .orderBy("user_id", "event_id").collect()
     val noTimeout = Stateful.runToCompletion(spark, dir, "t_ttl_none")
       .orderBy("user_id", "event_id").collect()
@@ -155,13 +153,7 @@ class StreamingSpec extends AnyFunSuite {
         .coalesce(1).write.mode("append").parquet(synthDir)
       Thread.sleep(1100)
     }
-    spark.catalog.dropTempView("t_ttl_short")
-    val q = Stateful.runningTotalsWithTTL(spark,
-        graft.streaming.Streams.replayStream(spark, synthDir, synth.schema, 1),
-        5L * 60 * 1000)
-      .writeStream.format("memory").queryName("t_ttl_short").outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    val byEvent = spark.table("t_ttl_short").collect()
+    val byEvent = run(synthDir, synth.schema, 5L * 60 * 1000, "t_ttl_short").collect()
       .map(r => r.getLong(r.fieldIndex("event_id")) -> r.getLong(r.fieldIndex("n_events"))).toMap
     assert(byEvent(101L) == 1)
     assert(byEvent(104L) == 1, s"user 1's state must restart after TTL, got ${byEvent(104L)}")
