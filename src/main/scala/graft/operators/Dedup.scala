@@ -245,6 +245,45 @@ object Dedup {
     df.join(dupIds, df(idCol) === dupIds("_eid"), "left_anti")
   }
 
+  /** Transitive duplicate clustering: connected components over a
+    * near-dup pair set, labeling every node (including singletons from
+    * `allNodes`) with the smallest id in its component — the step that
+    * turns pairwise dup detection into one canonical representative per
+    * cluster (A≈B and B≈C must collapse to one survivor even when A≉C
+    * pairwise).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds — dup clusters are shallow, so this
+    * is a handful of shuffles on (node, label) pairs, never materializing
+    * anything super-linear. `localCheckpoint` cuts the growing plan
+    * lineage each round (the standard Spark iterative-graph pattern). */
+  def dupClusters(pairs: DataFrame, allNodes: DataFrame, idCol: String): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = allNodes.select(col(idCol).cast("long").as("node")).distinct()
+      .withColumn("rep", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val candidates = edges
+        .join(labels.select(col("node").as("src"), col("rep").as("srep")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("srep")).as("nrep"))
+      val updated = labels
+        .join(candidates, Seq("node"), "left")
+        .select(col("node"), col("rep").as("_old"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      changed = updated.filter(col("rep") =!= col("_old")).count()
+      labels = updated.select("node", "rep")
+      iter += 1
+    }
+    labels.select(col("node").as(idCol), col("rep").as("cluster_rep"))
+  }
+
   /** 64-bit SimHash of the word multiset: per bit, sum +1/-1 over each
     * word-hash's bit, then assemble set bits. Single shuffle (the 64
     * signed sums are one aggregation). */

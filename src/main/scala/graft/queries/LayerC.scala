@@ -163,6 +163,16 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // transitive dup clustering: connected components over the exact
+    // near-dup pairs → one canonical representative per cluster
+    "c23_dup_clusters" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        d, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      graft.operators.Dedup.dupClusters(pairs, d, "doc_id")
+        .orderBy("doc_id")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -354,6 +364,30 @@ object LayerC {
 
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,
+
+    // same pair derivation as c4, then connected components via a
+    // recursive CTE (UNION dedups, so reachability saturates)
+    "c23_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [array_to_string(words[i:i+2], ' ')
+        |     FOR i IN range(1, greatest(len(words) - 1, 2))]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
+        |        FROM documents) w),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+        |SELECT node AS doc_id, min(r) AS cluster_rep
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "c1_dedup_exact" ->
       """SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d

@@ -116,6 +116,16 @@ class DedupSpec extends AnyFunSuite {
     assert(agreement >= 0.9, s"ANN kept ${annKept.size} vs exact ${kept.size}")
   }
 
+  test("dupClusters: transitive chains collapse to the min id; singletons self-label") {
+    // chain 1-2, 2-3 (1 and 3 NOT paired directly), separate pair 5-6,
+    // singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val reps = Dedup.dupClusters(pairs, nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("prefix-filtered jaccard join equals the naive inverted index") {
     val exact = Dedup.ngramJaccardPairs(corpus, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
