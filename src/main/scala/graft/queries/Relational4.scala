@@ -107,6 +107,31 @@ object Relational4 {
         .orderBy("bucket")
     },
 
+    // try_* error-safe arithmetic/casts: ANSI mode makes 1/0 and bad
+    // casts THROW; the try_ variants degrade to NULL instead
+    "q68_try_funcs" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          try_divide(col("l_extendedprice"), col("l_quantity") - col("l_quantity"))
+            .as("div_by_zero"),
+          try_divide(col("l_extendedprice"), col("l_quantity")).as("unit_price"),
+          try_to_number(col("l_returnflag"), lit("999")).as("flag_as_number"),
+          // +1 so the addend is always >= 1 (l_orderkey starts at 0):
+          // the add always overflows and try_add always yields NULL
+          try_add(col("l_orderkey") + 1, lit(Long.MaxValue)).as("overflow_add"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // batch sessionization (gaps-and-islands) — the batch counterpart
+    // of the streaming session_window (s2), for backfills
+    "q69_sessionize" -> { (s, dir) =>
+      graft.operators.Sessionize.sessionStats(
+          t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)
+        .orderBy("user_id", "session_seq")
+    },
+
     // upsert/merge: apply an "updates" changeset to a target keyed by
     // o_orderkey — updated rows win, unmatched target rows survive,
     // brand-new rows append (the ETL pattern the reference's INSERT-only
@@ -161,6 +186,33 @@ object Relational4 {
       """SELECT n_regionkey,
         |  CAST(to_json(list_sort(list({'name': n_name, 'key': n_nationkey}))) AS VARCHAR) AS members
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q69_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM d)
+        |SELECT user_id, session_seq, min(ts) AS session_start,
+        |       max(ts) AS last_ts, count(1) AS n_events
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q68_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(NULL AS DOUBLE) AS div_by_zero,
+        |  l_extendedprice / l_quantity AS unit_price,
+        |  TRY_CAST(l_returnflag AS DECIMAL(3,0)) AS flag_as_number,
+        |  CAST(NULL AS BIGINT) AS overflow_add
+        |FROM lineitem WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q64_window_dist" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
