@@ -132,6 +132,17 @@ object Relational4 {
         .orderBy("user_id", "session_seq")
     },
 
+    // sliding (overlapping) time windows: 1 h windows every 30 min —
+    // each event lands in 2 windows (tumbling q35 / session s2 cover
+    // the other window kinds)
+    "q70_sliding_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
+
     // upsert/merge: apply an "updates" changeset to a target keyed by
     // o_orderkey — updated rows win, unmatched target rows survive,
     // brand-new rows append (the ETL pattern the reference's INSERT-only
@@ -186,6 +197,16 @@ object Relational4 {
       """SELECT n_regionkey,
         |  CAST(to_json(list_sort(list({'name': n_name, 'key': n_nationkey}))) AS VARCHAR) AS members
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q70_sliding_window" ->
+      """SELECT ws AS window_start, event_type, count(1) AS n
+        |FROM (
+        |  SELECT event_type, ts,
+        |    time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws
+        |  FROM events, LATERAL (SELECT unnest([0, 1]) AS k) u) t
+        |WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+        |GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q69_sessionize" ->
       """WITH d AS (
