@@ -258,16 +258,23 @@ object Dedup {
     * is a handful of shuffles on (node, label) pairs, never materializing
     * anything super-linear. `localCheckpoint` cuts the growing plan
     * lineage each round (the standard Spark iterative-graph pattern). */
+  /** `pairs` must carry `id_a`/`id_b` columns (the shape every pair
+    * generator in this file emits). The node set is `allNodes` ∪ the
+    * pair endpoints, so an id appearing only in `pairs` still gets
+    * labeled (and carries transitivity) rather than silently vanishing. */
   def dupClusters(pairs: DataFrame, allNodes: DataFrame, idCol: String): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = allNodes.select(col(idCol).cast("long").as("node")).distinct()
+    var labels = allNodes.select(col(idCol).cast("long").as("node"))
+      .union(edges.select(col("src").cast("long").as("node")))
+      .distinct()
       .withColumn("rep", col("node"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    val maxIter = 64
+    while (changed > 0 && iter < maxIter) {
       val candidates = edges
         .join(labels.select(col("node").as("src"), col("rep").as("srep")), Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -281,6 +288,11 @@ object Dedup {
       labels = updated.select("node", "rep")
       iter += 1
     }
+    // a silent non-converged exit would return intermediate (wrong)
+    // labels; diameters beyond the cap must fail loudly
+    require(changed == 0,
+      s"dupClusters did not converge within $maxIter rounds " +
+        s"(component diameter exceeds cap; $changed labels still moving)")
     labels.select(col("node").as(idCol), col("rep").as("cluster_rep"))
   }
 

@@ -22,8 +22,12 @@ object Sessionize {
     val w = Window.partitionBy(keyCol).orderBy(tsCol)
     df
       .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      // compare at MICROsecond precision: cast("long") floors to whole
+      // seconds, so a true gap of 1799.9 s could read as 1800 and split
+      // a session the streaming session_window (and any sub-second-aware
+      // oracle) would merge
       .withColumn("_new", when(col("_prev").isNull ||
-        col(tsCol).cast("long") - col("_prev").cast("long") >= gapSeconds, 1)
+        unix_micros(col(tsCol)) - unix_micros(col("_prev")) >= gapSeconds * 1000000L, 1)
         .otherwise(0))
       .withColumn("session_seq", sum(col("_new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

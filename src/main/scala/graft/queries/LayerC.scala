@@ -258,20 +258,27 @@ object LayerC {
   // c2 (MinHash+LSH, exact-verified) provably converges to c4's exact
   // result; with 32 bands recall is 1.0 on this corpus (checked), so it
   // shares c4's oracle.
-  private val ngramJaccardSql =
-    """WITH sh AS (
+  // shared SQL fragments: the 3-gram shingle derivation and the exact
+  // Jaccard expression — interpolated into every oracle that derives the
+  // same pair set, so the derivation cannot silently diverge per query
+  private val shingleCteSql =
+    """sh AS (
       |  SELECT doc_id, list_distinct(
       |    [array_to_string(words[i:i+2], ' ')
       |     FOR i IN range(1, greatest(len(words) - 1, 2))]) AS s
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
-      |        FROM documents) w)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-      |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
-      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-      |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
+      |        FROM documents) w)""".stripMargin
+  private val jaccardExprSql =
+    """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)""".stripMargin
+
+  private val ngramJaccardSql =
+    s"""WITH $shingleCteSql
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round($jaccardExprSql, 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE $jaccardExprSql >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "c15_embedding_dedup" ->
@@ -365,29 +372,23 @@ object LayerC {
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,
 
-    // same pair derivation as c4, then connected components via a
-    // recursive CTE (UNION dedups, so reachability saturates)
+    // same pair derivation as c4 (shared fragments), then connected
+    // components via a recursive CTE (UNION dedups → saturates)
     "c23_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(
-        |    [array_to_string(words[i:i+2], ' ')
-        |     FOR i IN range(1, greatest(len(words) - 1, 2))]) AS s
-        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
-        |        FROM documents) w),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach(node, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
-        |SELECT node AS doc_id, min(r) AS cluster_rep
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $shingleCteSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardExprSql >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+         |SELECT node AS doc_id, min(r) AS cluster_rep
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "c1_dedup_exact" ->
       """SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d

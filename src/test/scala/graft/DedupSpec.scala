@@ -124,6 +124,13 @@ class DedupSpec extends AnyFunSuite {
     val reps = Dedup.dupClusters(pairs, nodes, "id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+    // transitivity must survive a pair node missing from allNodes:
+    // node 2 appears only in pairs, yet still links 1 and 3
+    val partial = Seq(1L, 3L).toDF("id")
+    val reps2 = Dedup.dupClusters(
+        Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), partial, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
   test("prefix-filtered jaccard join equals the naive inverted index") {

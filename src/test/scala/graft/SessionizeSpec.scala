@@ -29,6 +29,40 @@ class SessionizeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
   }
 
+  test("sub-second gaps compare at microsecond precision (no floor-second split)") {
+    import spark.implicits._
+    // true gap 1799.5 s < 1800: floor-second arithmetic would read 1800
+    // and split; microsecond comparison must merge
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.7")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00.2"))
+    ).toDF("user_id", "ts")
+    val seqs = Sessionize.sessionize(ev, "user_id", "ts", gapSeconds = 1800)
+      .select("session_seq").collect().map(_.getLong(0)).toSeq
+    assert(seqs == Seq(1L, 1L), s"boundary gap must merge, got $seqs")
+    // and exactly 1800.0 s still splits (inclusive threshold)
+    val ev2 = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.5")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00.5"))
+    ).toDF("user_id", "ts")
+    val seqs2 = Sessionize.sessionize(ev2, "user_id", "ts", gapSeconds = 1800)
+      .select("session_seq").collect().map(_.getLong(0)).toSeq
+    assert(seqs2 == Seq(1L, 2L))
+  }
+
+  test("batch sessionize equals streaming session_window at sf0.01 (boundary-adjacent gaps)") {
+    val d = "/root/testdata/sf0.01"
+    val batch = Sessionize.sessionStats(
+        Tables.load(spark, d, "events"), "user_id", "ts", gapSeconds = 1800)
+      .select("user_id", "session_start", "n_events", "last_ts")
+      .orderBy("user_id", "session_start").collect()
+    val streamed = Streams.runToCompletion(spark,
+        Streams.sessionCounts(Streams.eventStream(spark, d)), "sz_stream_01")
+      .select("user_id", "session_start", "n_events", "last_ts")
+      .orderBy("user_id", "session_start").collect()
+    assert(batch.sameElements(streamed))
+  }
+
   test("session boundaries: gap >= threshold splits, gap < threshold merges") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
