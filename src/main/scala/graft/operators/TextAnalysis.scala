@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for corpus curation: quality scoring,
   * token counting, language ID, and document fingerprinting.
   *
-  * Everything is built-in expressions (codegen'd, UDF-free); each
-  * operator is a narrow projection so Catalyst prunes the scan to the
-  * text column only.
+  * Everything is built-in expressions (UDF-free); each operator is a
+  * narrow projection so Catalyst prunes the scan to the text column
+  * only. One caveat (PlanAuditSpec): the stopword-ratio lambda is a
+  * higher-order function and evaluates interpreted inside its Project —
+  * bounded by stoplist size per word — while the surrounding
+  * projections stay in whole-stage codegen.
   */
 object TextAnalysis {
 

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Mechanical assertions for the physical-plan claims in PLANS.md —
+  * the shapes that make queries survive a 100× scale-up must hold in
+  * the actual executed plans, not just in prose. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  // formatted mode prints full scan details (the default toString
+  // truncates ReadSchema); codegen mode reports WholeStageCodegen
+  // subtrees even under AQE's not-yet-final plan
+  private def planAs(name: String, mode: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+  test("filter pushdown and column pruning reach the parquet scan (a12)") {
+    val p = planAs("a12_filter_project", "formatted")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert("PushedFilters: \\[[^\\]]*LessThan".r.findFirstIn(p).isDefined,
+      "the < predicate must be pushed to the scan")
+    // projection pruning: the lineitem scan must not read all 16 columns
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+    assert(readSchema.isDefined)
+    val nCols = readSchema.get.group(1).split(",").length
+    assert(nCols <= 6, s"scan reads $nCols columns — pruning failed:\n$p")
+  }
+
+  test("star join broadcasts every dimension, fact side never sort-merges (q3)") {
+    val p = plan("q3_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to SMJ:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort (q22)") {
+    val p = plan("q22_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("text quality/token features stay on the columnar/codegen path (c8, c9)") {
+    for (q <- Seq("c8_text_quality", "c9_token_count")) {
+      // AQE reports codegen only on the FINAL plan — execute first;
+      // codegen stages print as "*(n)" prefixes in the adaptive plan.
+      // (c8's stopword lambda is a higher-order function and evaluates
+      // interpreted within its Project — bounded by stoplist size per
+      // word — while everything around it stays codegen'd.)
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q has no codegen stage markers:\n$p")
+      assert(!p.contains("DeserializeToObject"),
+        s"$q fell out of the columnar/codegen path into object ops:\n$p")
+    }
+  }
+
+  test("exact dedup pre-aggregates before the semi join (c1)") {
+    val p = plan("c1_dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"two-level aggregation missing:\n$p")
+    assert(p.toLowerCase.contains("leftsemi"), s"semi join missing:\n$p")
+  }
+}
