@@ -223,14 +223,20 @@ object Relational {
     // analytic frame: running sum + lag within supplier, ordered — the
     // sequential frame makes the double sum order-deterministic.
     "q12_window_running" -> { (s, dir) =>
+      // l_quantity joins the ordering: the fixture has duplicate
+      // (orderkey, linenumber) rows (e.g. two suppkey-707/45185/7 rows
+      // with quantities 13 and 16 at sf0.1), so without it the window
+      // order has genuine ties and the running sum is nondeterministic
+      // on BOTH engines; remaining ties are fully-identical rows whose
+      // order cannot change any output value
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       t(s, dir, "lineitem")
         .withColumn("running_qty",
           sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("prev_qty", lag("l_quantity", 1).over(w))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "running_qty", "prev_qty")
-        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
     },
 
     // ntile + dense_rank within partitions (a global window would
@@ -588,12 +594,12 @@ object Relational {
     "q12_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
         |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q13_window_ntile" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -35,8 +35,15 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
+            # explicit file order: DuckDB's parallel parquet scan may
+            # emit multi-row-group files out of order under load (seen
+            # once on a 600k-row result at sf0.1) — the comparison is
+            # row-ordered, so pin the order instead of relying on
+            # preserve_insertion_order
             got = con.execute(
-                f"SELECT * FROM read_parquet('{res_path}/*.parquet')")
+                f"SELECT * EXCLUDE (file_row_number) "
+                f"FROM read_parquet('{res_path}/*.parquet', file_row_number=true) "
+                f"ORDER BY file_row_number")
             got_cols = [d[0] for d in got.description]
             got_rows = got.fetchall()
             exp = con.execute(sql)
