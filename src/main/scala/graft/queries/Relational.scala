@@ -35,10 +35,15 @@ object Relational {
     // A12+A13: the demo `addrx` extract — projection + integer filter
     // (reference application.properties:18).
     "a12_filter_project" -> { (s, dir) =>
+      // ORDER BY spans every projected column: the fixture has duplicate
+      // (l_orderkey, l_linenumber) rows whose other columns differ, so a
+      // two-key sort leaves genuinely tied rows in nondeterministic
+      // order (driver compare is row-ordered)
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_returnflag")
         .filter(col("l_orderkey") < 13422)
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_returnflag")
     },
 
     // A14: constant select (reference application.properties:13).
@@ -476,7 +481,8 @@ object Relational {
     "a12_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey < 13422
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, l_returnflag""".stripMargin,
 
     "a14_const_select" -> "SELECT CAST(1 AS INTEGER) AS one",
 

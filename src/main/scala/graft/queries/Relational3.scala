@@ -106,7 +106,9 @@ object Relational3 {
           least(col("l_tax"), col("l_discount")).as("l"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
             .as("charged"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // duplicate (orderkey, linenumber) rows exist — total order via
+        // the computed columns so the row-ordered compare is stable
+        .orderBy("l_orderkey", "l_linenumber", "charged", "g", "l")
     }
   )
 
@@ -152,6 +154,6 @@ object Relational3 {
         |  least(l_tax, l_discount) AS l,
         |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
         |FROM lineitem WHERE l_orderkey <= 100
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, charged, g, l""".stripMargin
   )
 }

@@ -121,7 +121,9 @@ object Relational4 {
           // +1 so the addend is always >= 1 (l_orderkey starts at 0):
           // the add always overflows and try_add always yields NULL
           try_add(col("l_orderkey") + 1, lit(Long.MaxValue)).as("overflow_add"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // unit_price breaks ties between duplicate (orderkey, linenumber)
+        // fixture rows — see a12/q55
+        .orderBy("l_orderkey", "l_linenumber", "unit_price")
     },
 
     // batch sessionization (gaps-and-islands) — the batch counterpart
@@ -233,7 +235,7 @@ object Relational4 {
         |  TRY_CAST(l_returnflag AS DECIMAL(3,0)) AS flag_as_number,
         |  CAST(NULL AS BIGINT) AS overflow_add
         |FROM lineitem WHERE l_orderkey <= 200
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, unit_price""".stripMargin,
 
     "q64_window_dist" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
