@@ -220,8 +220,8 @@ object Relational4 {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (
         |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM d)
         |SELECT user_id, session_seq, min(ts) AS session_start,
         |       max(ts) AS last_ts, count(1) AS n_events

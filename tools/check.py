@@ -3,6 +3,14 @@
 output against DuckDB oracles over the same parquet tables, compare
 exactly (schema by column name, values after sorting columns by name).
 
+Driver-faithful since round 3: both sides are fetched as pandas frames
+(`fetchdf()`), and numeric *kind* (int/float/object/datetime/bool) must
+match per column in addition to values. This is exactly the class of
+miss that shipped q69 red in round 2: DuckDB's windowed sum of an
+INTEGER returns HUGEINT, pandas converts that to float64, and the
+driver hash then compares 1.0 vs Spark's int64 1 — value-equal, hash-
+different. A fetchall()-repr compare (rounds 1-2) cannot see that.
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, math
@@ -18,6 +26,18 @@ def canon(v):
             return "NaN"
         return repr(v)  # full precision — strict
     return repr(v)
+
+
+def frame(rel):
+    """Relation -> (sorted-column pandas frame, [(col, dtype-kind)])."""
+    df = rel.fetchdf()
+    df = df[sorted(df.columns)]
+    kinds = [(c, df[c].dtype.kind, str(df[c].dtype)) for c in df.columns]
+    return df, kinds
+
+
+def rows_of(df):
+    return [tuple(canon(v) for v in row) for row in df.to_numpy().tolist()]
 
 
 def main(sf_dir, out_dir):
@@ -36,32 +56,37 @@ def main(sf_dir, out_dir):
             continue
         try:
             # explicit file order: DuckDB's parallel parquet scan may
-            # emit multi-row-group files out of order under load (seen
-            # once on a 600k-row result at sf0.1) — the comparison is
-            # row-ordered, so pin the order instead of relying on
-            # preserve_insertion_order
+            # emit multi-row-group files out of order under load, and
+            # file_row_number restarts per file — pin (filename, row#)
+            # so the order holds for any file count, not just Verify's
+            # coalesce(1)
             got = con.execute(
-                f"SELECT * EXCLUDE (file_row_number) "
-                f"FROM read_parquet('{res_path}/*.parquet', file_row_number=true) "
-                f"ORDER BY file_row_number")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+                f"SELECT * EXCLUDE (filename, file_row_number) "
+                f"FROM read_parquet('{res_path}/*.parquet', "
+                f"                  filename=true, file_row_number=true) "
+                f"ORDER BY filename, file_row_number")
+            gdf, gkinds = frame(got)
+            edf, ekinds = frame(con.execute(sql))
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+        if [c for c, _, _ in gkinds] != [c for c, _, _ in ekinds]:
+            print(f"FAIL {name}: columns {list(gdf.columns)} != {list(edf.columns)}")
             n_fail += 1
             continue
-        # sort columns by name (driver behavior), keep row order
-        gperm = [got_cols.index(c) for c in sorted(got_cols)]
-        eperm = [exp_cols.index(c) for c in sorted(exp_cols)]
-        g = [tuple(canon(r[i]) for i in gperm) for r in got_rows]
-        e = [tuple(canon(r[i]) for i in eperm) for r in exp_rows]
+        # typing audit: the driver hashes pandas values, so an int64 vs
+        # float64 (or object) divergence fails its hash even when values
+        # print the same. Compare dtype *kind* (i/u/f/O/M/b), not the
+        # exact dtype — datetime64[us] vs [ns] both hash as timestamps.
+        bad_kinds = [(c, gd, ed) for (c, gk, gd), (_, ek, ed)
+                     in zip(gkinds, ekinds)
+                     if (gk if gk != "u" else "i") != (ek if ek != "u" else "i")]
+        if bad_kinds:
+            print(f"FAIL {name}: dtype mismatch (spark vs oracle): {bad_kinds}")
+            n_fail += 1
+            continue
+        g, e = rows_of(gdf), rows_of(edf)
         if len(g) != len(e):
             print(f"FAIL {name}: rowcount {len(g)} != {len(e)}")
             n_fail += 1
