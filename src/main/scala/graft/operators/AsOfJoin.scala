@@ -60,7 +60,11 @@ object AsOfJoin {
       .withColumn("_tie", lit(null).cast("long"))
       .withColumn("_p", lit(null).cast(
         org.apache.spark.sql.types.StructType(payloadCols.map(c => right.schema(c).copy(name = c)))))
-    val r = right.select(
+    // A right row with an undefined timestamp can never satisfy <= / >=,
+    // but if unioned it would sort FIRST (nulls_first) carrying a
+    // non-null payload struct — and every matchless left row (and every
+    // null-time left row) would inherit it. Drop such rows up front.
+    val r = right.filter(col(rightTime).isNotNull).select(
       (keys.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side") :+
         col(rightTieBreak).cast("long").as("_tie") :+
         struct(payloadCols.map(col): _*).as("_p")) ++

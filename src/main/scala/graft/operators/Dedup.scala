@@ -35,7 +35,7 @@ object Dedup {
       .groupBy(col("_h"), col("_keep_text"))
       .agg(min(col("_keep_id")).as("_keep_id"))
     df.join(keep,
-      df(idCol) === keep("_keep_id") && df(textCol) <=> keep("_keep_text"),
+      df(idCol) <=> keep("_keep_id") && df(textCol) <=> keep("_keep_text"),
       "left_semi")
   }
 
@@ -256,21 +256,32 @@ object Dedup {
     * min of its own label and its neighbors' labels; converges in
     * O(component diameter) rounds — dup clusters are shallow, so this
     * is a handful of shuffles on (node, label) pairs, never materializing
-    * anything super-linear. `localCheckpoint` cuts the growing plan
-    * lineage each round (the standard Spark iterative-graph pattern). */
+    * anything super-linear. Each round the growing plan lineage is cut
+    * with a checkpoint (the standard Spark iterative-graph pattern):
+    * `localCheckpoint` by default (fast, executor-memory-pinned — an
+    * executor loss mid-iteration kills the job), or a RELIABLE
+    * `checkpoint()` when `checkpointDir` is given (survives executor
+    * loss; the right choice for a long-running 100 TB job, at the cost
+    * of a write to reliable storage per round). */
   /** `pairs` must carry `id_a`/`id_b` columns (the shape every pair
     * generator in this file emits). The node set is `allNodes` ∪ the
     * pair endpoints, so an id appearing only in `pairs` still gets
     * labeled (and carries transitivity) rather than silently vanishing. */
-  def dupClusters(pairs: DataFrame, allNodes: DataFrame, idCol: String): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = allNodes.select(col(idCol).cast("long").as("node"))
+  def dupClusters(pairs: DataFrame, allNodes: DataFrame, idCol: String,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val edges = cut(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = cut(allNodes.select(col(idCol).cast("long").as("node"))
       .union(edges.select(col("src").cast("long").as("node")))
       .distinct()
-      .withColumn("rep", col("node"))
-      .localCheckpoint()
+      .withColumn("rep", col("node")))
     var changed = 1L
     var iter = 0
     val maxIter = 64
@@ -279,11 +290,10 @@ object Dedup {
         .join(labels.select(col("node").as("src"), col("rep").as("srep")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("srep")).as("nrep"))
-      val updated = labels
+      val updated = cut(labels
         .join(candidates, Seq("node"), "left")
         .select(col("node"), col("rep").as("_old"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .localCheckpoint()
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep")))
       changed = updated.filter(col("rep") =!= col("_old")).count()
       labels = updated.select("node", "rep")
       iter += 1

@@ -87,17 +87,25 @@ object Similarity {
 
   /** Bucket-bit count for a corpus of `n` rows: 2^bits ≈ n/32 keeps the
     * expected bucket size ~32 as the corpus grows, so candidate counts
-    * stay ~linear in n instead of quadratic. */
+    * stay ~linear in n instead of quadratic. Capped at 63 (the long
+    * signature width) — auto-sizing reaches 32 bits only at
+    * n ≈ 1.4×10¹¹ rows and the cap is unreachable in practice, but a
+    * silent wrap would merge buckets and quietly destroy recall. */
   def sizeBits(n: Long): Int =
-    math.max(2, (math.log(math.max(n, 64L).toDouble / 32.0) /
-      math.log(2.0)).round.toInt)
+    math.min(63, math.max(2, (math.log(math.max(n, 64L).toDouble / 32.0) /
+      math.log(2.0)).round.toInt))
 
-  /** Signed-random-projection signature (int bucket id) for a vector
-    * column: bit i = (v · plane_i) > 0. */
-  def srpSignature(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+  /** Signed-random-projection signature (LONG bucket id) for a vector
+    * column: bit i = (v · plane_i) > 0. Bits pack into a long
+    * (`1L << i`) so up to 63 hyperplanes are safe; an Int shift here
+    * would wrap negative at bit 31 and silently merge buckets. */
+  def srpSignature(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.size <= 63,
+      s"SRP signature supports at most 63 hyperplane bits, got ${planes.size}")
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vecCol, typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+      when(dot(vecCol, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Approximate top-k similar pairs via multi-table SRP-LSH: `nTables`
     * independent signatures of `nBits` hyperplane bits each; a pair is a
@@ -154,10 +162,20 @@ object Similarity {
     * 100 TB the quantizer needs thousands of vectors, not all of them.
     * Fitting is a separate training pass (standard IVF build phase);
     * the index (centroids + cell assignment) would be persisted in a
-    * real deployment rather than rebuilt per query. */
+    * real deployment rather than rebuilt per query.
+    *
+    * Above `centroidJoinFrom` cells the literal-expression assignment
+    * is replaced by a broadcast join against a centroid DataFrame:
+    * nCells separate `dot(v, literal)` expressions grow the generated
+    * method linearly, and at the 10⁴-10⁵ cells a 100 TB corpus wants,
+    * Janino either trips the 64 KB method limit or bails to interpreted
+    * evaluation exactly where throughput matters. The join path costs
+    * one map-side-combined shuffle of the corpus (argmin per row) but
+    * keeps every expression small and codegen'd. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-             seed: Long = 7L, trainFraction: Double = 1.0): DataFrame = {
+             seed: Long = 7L, trainFraction: Double = 1.0,
+             centroidJoinFrom: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -170,28 +188,55 @@ object Similarity {
       .setFeaturesCol("_fv").setPredictionCol("_cell")
       .fit(trainSet.select(array_to_vector(col("cv")).as("_fv")))
     val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    // squared distance to each centroid, up to the ||v||² constant:
-    // ||c||² − 2 v·c (same argmin) — codegen dot against literal planes
-    def cellDists(vc: Column): Column = array(centroids.map { cen =>
-      lit(cen.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(cen))
-    }: _*)
-    def nearestCell(vc: Column): Column = {
-      val d = cellDists(vc)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
-    val assigned = c.withColumn("_cell", nearestCell(col("cv")))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
-    // per query: nProbe nearest cells (queries are the small side — the
-    // nCells-way explode + window ranks a bounded set)
     val wp = Window.partitionBy("query_id").orderBy(asc("_cd"), asc("_cell"))
-    val probes = q
-      .select(col("query_id"), col("qv"), col("qn"),
-        posexplode(cellDists(col("qv"))).as(Seq("_cell", "_cd")))
-      .withColumn("_pr", row_number().over(wp))
-      .filter(col("_pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("_cell"))
+    val (assigned, probes) = if (nCells < centroidJoinFrom) {
+      // squared distance to each centroid, up to the ||v||² constant:
+      // ||c||² − 2 v·c (same argmin) — codegen dot against literal planes
+      def cellDists(vc: Column): Column = array(centroids.map { cen =>
+        lit(cen.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(cen))
+      }: _*)
+      def nearestCell(vc: Column): Column = {
+        val d = cellDists(vc)
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }
+      val asg = c.withColumn("_cell", nearestCell(col("cv")))
+      // per query: nProbe nearest cells (queries are the small side —
+      // the nCells-way explode + window ranks a bounded set)
+      val prb = q
+        .select(col("query_id"), col("qv"), col("qn"),
+          posexplode(cellDists(col("qv"))).as(Seq("_cell", "_cd")))
+        .withColumn("_pr", row_number().over(wp))
+        .filter(col("_pr") <= nProbe)
+        .select(col("query_id"), col("qv"), col("qn"), col("_cell"))
+      (asg, prb)
+    } else {
+      // broadcast the (tiny) centroid table; distance is ONE small
+      // expression per joined row. Corpus argmin = map-side-combined
+      // min_by keyed on the unique row id; tie-break on cell id matches
+      // the literal path's array_position (first minimum wins).
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val centDf = broadcast(centroids.zipWithIndex
+        .map { case (cen, i) => (i, cen, cen.map(x => x * x).sum) }
+        .toDF("_cell", "_cen", "_cen2"))
+      val dist = col("_cen2") - lit(2.0) * dot(col("cv"), col("_cen"))
+      val asg = c.crossJoin(centDf)
+        .withColumn("_cd", dist)
+        .groupBy(col("nn_id"))
+        .agg(min_by(struct(col("_cell"), col("cv"), col("cn")),
+          struct(col("_cd"), col("_cell"))).as("_m"))
+        .select(col("nn_id"), col("_m._cell").as("_cell"),
+          col("_m.cv").as("cv"), col("_m.cn").as("cn"))
+      val prb = q.crossJoin(centDf)
+        .withColumn("_cd", col("_cen2") - lit(2.0) * dot(col("qv"), col("_cen")))
+        .withColumn("_pr", row_number().over(wp))
+        .filter(col("_pr") <= nProbe)
+        .select(col("query_id"), col("qv"), col("qn"), col("_cell"))
+      (asg, prb)
+    }
     // each corpus row lives in exactly one cell and probed cells are
     // distinct per query → no duplicate (query, nn) pairs to dedup
     val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))

@@ -73,7 +73,12 @@ object Stateful {
             val batch = events.toSeq
             val out = accumulate(userId,
               batch.map(e => (e.event_id, e.value)), state)
-            state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + ttlMs)
+            // clamp: setTimeoutTimestamp throws (failing the whole query)
+            // when the value is <= the current watermark — possible with
+            // a short TTL and events admitted right at the boundary
+            state.setTimeoutTimestamp(
+              math.max(batch.map(_.ts.getTime).max + ttlMs,
+                state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
         })

@@ -47,6 +47,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(rows("other_key") == 90)
   }
 
+  test("null right timestamps carry no payload in either direction") {
+    // right has ONE null-time row per key plus a real row; a left row
+    // with no real match (and a null-time left row) must get null, not
+    // the null-time row's payload
+    val right = Seq(
+      (1L, Option.empty[Long], 666, 9L), // undefined time — must never match
+      (1L, Some(5L), 50, 1L),
+      (2L, Option.empty[Long], 777, 8L)  // k=2 has ONLY a null-time right row
+    ).toDF("k", "rt", "p", "rid")
+    val left = Seq(
+      (1L, Some(3L), "before_real"), // backward: nothing at/before t=3 → null
+      (1L, Some(6L), "after_real"),  // forward: nothing at/after t=6 → null
+      (1L, Option.empty[Long], "null_left"),
+      (2L, Some(4L), "only_null_right")
+    ).toDF("k", "lt", "tag")
+    val back = AsOfJoin.asof(left, right, Seq("k"), "lt", "rt", Seq("p"), "rid")
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[Any]("asof_p")).toMap
+    assert(back("before_real") == null)
+    assert(back("null_left") == null)
+    assert(back("only_null_right") == null)
+    assert(back("after_real") == 50)
+    val fwd = AsOfJoin.asofForward(left, right, Seq("k"), "lt", "rt", Seq("p"), "rid")
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[Any]("asof_p")).toMap
+    assert(fwd("after_real") == null)
+    assert(fwd("null_left") == null)
+    assert(fwd("only_null_right") == null)
+    assert(fwd("before_real") == 50)
+  }
+
   test("jaccard threshold boundary survives float overshoot (J exactly = t)") {
     // A: 452 words -> 450 shingles; B: prefix of 245 words -> 243 shingles
     // intersection 243, union 450 -> J = 0.54 exactly; 450*0.54 overshoots

@@ -133,6 +133,33 @@ class DedupSpec extends AnyFunSuite {
     assert(reps2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("dupClusters: reliable-checkpoint mode returns the same labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val local = Dedup.dupClusters(pairs, nodes, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Dedup.dupClusters(pairs, nodes, "id", Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("exactDedup survives a NULL id on the kept row") {
+    // the min-id aggregate treats NULL as smaller-than-nothing only if
+    // the join back is null-safe on the id too; a kept row whose id is
+    // NULL must still appear in the output
+    val df = Seq((Option.empty[Long], "solo"), (Some(2L), "same"), (Some(3L), "same"))
+      .toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", "text")
+      .select("text").as[String].collect().sorted
+    assert(out.sameElements(Array("same", "solo")))
+  }
+
   test("prefix-filtered jaccard join equals the naive inverted index") {
     val exact = Dedup.ngramJaccardPairs(corpus, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -89,6 +89,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("ivfKnn: broadcast-join centroid path equals the literal path") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" < 20)
+    // same params, assignment via literal expressions vs broadcast join:
+    // identical distance formula → identical cells → identical output
+    val lit = Similarity.ivfKnn(e, queries, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 8, seed = 7L)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val joined = Similarity.ivfKnn(e, queries, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 8, seed = 7L, centroidJoinFrom = 1)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(joined == lit)
+  }
+
+  test("srp signatures pack into a long: >31 bits stay distinct, 64 rejected") {
+    // with 33 hyperplanes an Int shift would wrap at bit 31; a vector on
+    // the positive side of every plane must get bucket 2^33-1, not -1
+    val planes = Seq.fill(33)(Seq(1.0, 0.0))  // all planes = +x axis
+    val df = Seq((1L, Seq(5.0, 1.0)), (2L, Seq(-5.0, 1.0))).toDF("id", "v")
+    val sigs = df.select($"id", Similarity.srpSignature($"v", planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == (1L << 33) - 1)
+    assert(sigs(2L) == 0L)
+    assertThrows[IllegalArgumentException] {
+      Similarity.srpSignature($"v", Seq.fill(64)(Seq(1.0, 0.0)))
+    }
+  }
+
   test("zero-norm vectors don't crash ANSI mode and are never neighbors") {
     val withZero = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
