@@ -10,13 +10,13 @@ import javax.imageio.ImageIO
 /** Multimodal column handling: media as opaque `binary` payloads with a
   * typed metadata struct, plus per-partition feature extraction.
   *
-  * Images are REAL: payloads are JPEG/PNG bytes encoded with
-  * `javax.imageio` (JDK built-in — no external codecs needed), and
-  * feature extraction / resizing decode actual pixels. Audio/video
-  * payloads remain deterministic stand-ins (the JDK ships no PCM/H.264
-  * codec): their features come from `byteHistogram`, documented as the
-  * stub it is. Swapping in a real audio decoder changes only that one
-  * function.
+  * Images and audio are REAL: image payloads are JPEG/PNG bytes encoded
+  * with `javax.imageio`, audio payloads are WAV/PCM encoded with
+  * `javax.sound.sampled.AudioSystem` (both JDK built-ins — no external
+  * codecs), and feature extraction decodes actual pixels / samples.
+  * Only video remains a deterministic stand-in (the JDK genuinely ships
+  * no H.264/MP4 codec): its features come from `byteHistogram`,
+  * documented as the stub it is.
   *
   * At 100 TB: payloads stay columnar in parquet (binary column), feature
   * extraction is embarrassingly parallel per partition (iterator-to-
@@ -64,10 +64,102 @@ object Multimodal {
     bos.toByteArray
   }
 
+  val wavSampleRate = 8000f
+
+  /** Deterministic synthetic WAV for `seed`: mono 16-bit PCM sine at a
+    * seed-dependent frequency and amplitude, containerized through
+    * `javax.sound.sampled.AudioSystem` (JDK built-in WAV writer). Small
+    * durations keep decode cheap at any SF. */
+  def encodeWav(seed: Long, durationMs: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val nFrames = (wavSampleRate * durationMs / 1000.0).toInt
+    val freq = 110.0 + java.lang.Math.floorMod(seed * 31, 880L)   // 110-990 Hz
+    val amp = 0.25 + java.lang.Math.floorMod(seed * 13, 50L) / 100.0 // 0.25-0.74
+    val bytes = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(2.0 * math.Pi * freq * i / wavSampleRate) * amp * 32767.0).toInt
+      bytes(2 * i) = (s & 0xff).toByte          // little-endian 16-bit
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(wavSampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload to normalized mono samples in [-1, 1) plus the
+    * duration implied by the frame count. None when the bytes are
+    * null/empty/not a RIFF/WAVE stream the JDK can read. Multi-channel
+    * input is averaged down to mono; only 16-bit PCM is accepted (the
+    * JDK reader exposes a/mu-law too — out of scope here). */
+  def decodeWav(payload: Array[Byte]): Option[(Array[Float], Long)] = {
+    import javax.sound.sampled._
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) return None
+      val raw = ais.readAllBytes()
+      val ch = fmt.getChannels
+      val nFrames = raw.length / (2 * ch)
+      val out = new Array[Float](nFrames)
+      val big = fmt.isBigEndian
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0f
+        var c = 0
+        while (c < ch) {
+          val o = (f * ch + c) * 2
+          val s = if (big) (raw(o) << 8) | (raw(o + 1) & 0xff)
+                  else (raw(o + 1) << 8) | (raw(o) & 0xff)
+          acc += s / 32768.0f
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      val durMs = (nFrames * 1000.0 / fmt.getSampleRate).round
+      Some((out, durMs))
+    } catch { case _: Exception => None }
+  }
+
+  /** 16-bin L1-normalized amplitude histogram over decoded PCM samples
+    * (signed range [-1, 1) → bins 0..15; real audio features, the
+    * counterpart of `lumaHistogram` for images). */
+  def amplitudeHistogram(samples: Array[Float]): Array[Float] = {
+    val bins = new Array[Float](16)
+    if (samples.nonEmpty) {
+      samples.foreach { s =>
+        val b = math.min(math.max((((s + 1.0f) / 2.0f) * 16).toInt, 0), 15)
+        bins(b) += 1f
+      }
+      var i = 0
+      while (i < 16) { bins(i) /= samples.length; i += 1 }
+    }
+    bins
+  }
+
+  /** RMS and peak amplitude of decoded samples — scalar audio quality
+    * signals (clipping/silence detection in a curation pipeline). */
+  def audioStats(samples: Array[Float]): (Double, Double) = {
+    var sq = 0.0
+    var peak = 0.0
+    samples.foreach { s =>
+      sq += s.toDouble * s
+      peak = math.max(peak, math.abs(s.toDouble))
+    }
+    (math.sqrt(if (samples.isEmpty) 0.0 else sq / samples.length), peak)
+  }
+
   /** Attach a binary payload + metadata struct to the documents fixture.
     * Image mimes get REAL encoded JPEG/PNG bytes (deterministic gradient,
-    * small dims so decode stays cheap at any SF); audio/video get the
-    * UTF-8 text bytes as a stand-in payload with a duration. */
+    * small dims so decode stays cheap at any SF); audio gets a REAL
+    * PCM/WAV payload whose metadata duration matches its frame count;
+    * video gets the UTF-8 text bytes as a stand-in payload. */
   def attachBinary(docs: DataFrame): DataFrame = {
     val enc = Encoders.row(payloadSchema)
     docs.select(col("doc_id").cast("long"), col("text"))
@@ -82,6 +174,9 @@ object Multimodal {
               val h = 8 + java.lang.Math.floorMod(id * 53, 24L).toInt
               val fmt = if (mime == "image/png") "png" else "jpg"
               Row(id, encodeImage(id, w, h, fmt), Row(mime, w, h, null))
+            case "audio/wav" =>
+              val durMs = 50L + java.lang.Math.floorMod(id * 97, 450L)
+              Row(id, encodeWav(id, durMs), Row(mime, null, null, durMs))
             case _ =>
               val text = if (r.isNullAt(1)) null else r.getString(1)
               val bytes = if (text == null) null else text.getBytes("UTF-8")
@@ -126,9 +221,10 @@ object Multimodal {
     bins
   }
 
-  /** Fallback features for mimes the JDK cannot decode (audio/video):
-    * deterministic 16-bin byte histogram, L1-normalized. This is the one
-    * remaining stub — a real PCM/frame decoder would slot in here. */
+  /** Fallback features for mimes the JDK cannot decode (video, or
+    * malformed image/audio payloads): deterministic 16-bin byte
+    * histogram, L1-normalized. This is the one remaining stub — a real
+    * video frame decoder would slot in here. */
   def byteHistogram(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     if (payload != null && payload.nonEmpty) {
@@ -141,10 +237,12 @@ object Multimodal {
   }
 
   /** Per-partition feature extraction over the binary column, one decode
-    * per row, iterator-to-iterator. Image payloads decode for real:
-    * width/height come from the decoded image and features are the luma
-    * histogram; other mimes fall back to the byte histogram with null
-    * dims. Output: (doc_id, mime, width, height, features[16]). */
+    * per row, iterator-to-iterator. Image payloads decode for real
+    * (width/height from the decoded image, luma-histogram features);
+    * audio payloads decode for real (PCM samples → amplitude-histogram
+    * features); video and undecodable payloads fall back to the byte
+    * histogram with null dims.
+    * Output: (doc_id, mime, width, height, features[16]). */
   def extractFeatures(spark: SparkSession, withBinary: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -159,13 +257,18 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val mime = r.getString(1)
-          val decoded = if (mime != null && mime.startsWith("image/"))
+          val asImage = if (mime != null && mime.startsWith("image/"))
             decodeImage(payload) else None
-          decoded match {
-            case Some(img) =>
+          val asAudio = if (mime != null && mime.startsWith("audio/"))
+            decodeWav(payload) else None
+          (asImage, asAudio) match {
+            case (Some(img), _) =>
               Row(r.getLong(0), mime, img.getWidth, img.getHeight,
                 lumaHistogram(img).toSeq)
-            case None =>
+            case (_, Some((samples, _))) =>
+              Row(r.getLong(0), mime, null, null,
+                amplitudeHistogram(samples).toSeq)
+            case _ =>
               Row(r.getLong(0), mime, null, null, byteHistogram(payload).toSeq)
           }
         }
@@ -217,9 +320,12 @@ object Multimodal {
       }(enc)
   }
 
-  /** Frame sampling stub: slice `n` evenly-spaced fixed-size chunks from
-    * the payload — the plumbing shape of video frame extraction
-    * (explode to one row per frame). */
+  /** Frame sampling STUB: slices `n` evenly-spaced fixed-size byte
+    * chunks from the payload — the plumbing shape of video frame
+    * extraction (explode to one row per frame), with the decode step
+    * absent because the JDK ships no H.264/MP4 codec. Output columns
+    * are named chunk_idx/chunk_payload (NOT frame_*) so downstream
+    * code cannot mistake raw byte slices for decoded frames. */
   def sampleFrames(withBinary: DataFrame, n: Int, frameBytes: Int = 32): DataFrame = {
     val idxs = sequence(lit(0), lit(n - 1))
     withBinary
@@ -228,6 +334,6 @@ object Multimodal {
         posexplode(transform(idxs, i =>
           substr(col("payload"),
             (i * greatest((length(col("payload")) - frameBytes) / n, lit(1)) + 1).cast("int"),
-            lit(frameBytes)))).as(Seq("frame_idx", "frame_payload")))
+            lit(frameBytes)))).as(Seq("chunk_idx", "chunk_payload")))
   }
 }

@@ -37,9 +37,30 @@ class MultimodalSpec extends AnyFunSuite {
       assert(img.get.getWidth == meta.getInt(1))
       assert(img.get.getHeight == meta.getInt(2))
     }
-    // audio/video payloads are the UTF-8 text stand-in
+    // audio payloads are REAL WAV: decodable, duration matches metadata
     val audio = out.filter($"meta.mime" === "audio/wav").collect().head
-    assert(new String(audio.getAs[Array[Byte]]("payload"), "UTF-8") == "cccc")
+    val (samples, durMs) = Multimodal.decodeWav(audio.getAs[Array[Byte]]("payload")).get
+    assert(durMs == audio.getStruct(audio.fieldIndex("meta")).getLong(3))
+    assert(samples.nonEmpty)
+    // video payloads remain the UTF-8 text stand-in
+    val video = out.filter($"meta.mime" === "video/mp4").collect().head
+    assert(new String(video.getAs[Array[Byte]]("payload"), "UTF-8") == "dddd")
+  }
+
+  test("encodeWav/decodeWav round-trip: exact duration, RMS and peak from samples") {
+    // 1 s at 8 kHz: duration must be exact; doc 2's amplitude is
+    // 0.25 + (2*13 % 50)/100 = 0.51 → peak ≈ 0.51, RMS ≈ 0.51/√2
+    val wav = Multimodal.encodeWav(2L, 1000L)
+    val (samples, durMs) = Multimodal.decodeWav(wav).get
+    assert(durMs == 1000L)
+    assert(samples.length == 8000)
+    val (rms, peak) = Multimodal.audioStats(samples)
+    assert(math.abs(peak - 0.51) < 0.01, s"peak $peak")
+    assert(math.abs(rms - 0.51 / math.sqrt(2)) < 0.01, s"rms $rms")
+    // malformed payloads degrade to None, never throw
+    assert(Multimodal.decodeWav("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
   }
 
   test("decodeImage: known fixture image yields exact dims and luma histogram") {
@@ -69,9 +90,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(0L).getInt(2) == 8 && byId(0L).getInt(3) == 8)
     // doc 1 (png): w = 8 + 37 % 24 = 21, h = 8 + 53 % 24 = 13
     assert(byId(1L).getInt(2) == 21 && byId(1L).getInt(3) == 13)
-    // doc 2 (audio): null dims, byte histogram of "cccc" ('c' = 0x63 → bin 6)
+    // doc 2 (audio): null dims, features = amplitude histogram of the
+    // REAL decoded samples — must equal decoding the payload directly
     assert(byId(2L).isNullAt(2) && byId(2L).isNullAt(3))
-    assert(byId(2L).getSeq[Float](byId(2L).fieldIndex("features"))(6) == 1.0f)
+    val wav = Multimodal.encodeWav(2L, 50L + 2L * 97 % 450L)
+    val expected = Multimodal.amplitudeHistogram(Multimodal.decodeWav(wav).get._1)
+    val got = byId(2L).getSeq[Float](byId(2L).fieldIndex("features"))
+    assert(got == expected.toSeq)
+    // doc 3 (video): byte histogram of "dddd" ('d' = 0x64 → bin 6)
+    assert(byId(3L).isNullAt(2) && byId(3L).isNullAt(3))
+    assert(byId(3L).getSeq[Float](byId(3L).fieldIndex("features"))(6) == 1.0f)
   }
 
   test("attachBinary handles negative doc_ids (floorMod, no crash)") {
