@@ -41,4 +41,21 @@ object Sampling {
   def stratifiedSample(df: DataFrame, strataCol: String,
                        fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Keep rows whose `scoreCol` is at or above the exact interpolated
+    * `p`-quantile of the whole column — quantile-based quality gating
+    * (drop the bottom X% by perplexity/length/score).
+    *
+    * Scale shape: the threshold is ONE scalar aggregate (Spark's exact
+    * `percentile` — a single-pass partial aggregate, no sort of the full
+    * data), broadcast-crossed into a plain filter; the data itself never
+    * shuffles. For quantiles of 100 TB where exactness doesn't matter,
+    * swap `percentile` for `percentile_approx` at the call site. */
+  def quantileFilter(df: DataFrame, scoreCol: String, p: Double): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"quantile must be in (0,1), got $p")
+    val thr = df.agg(percentile(col(scoreCol), lit(p)).as("_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
 }

@@ -165,4 +165,62 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       graft.functions.TextFunctions.fingerprint64(col(textCol)).as("fingerprint"))
+
+  /** Repetition signals per document (the Gopher-rule family): duplicate
+    * word fraction and the fraction of word bigrams taken by the single
+    * most frequent bigram — boilerplate and keyword-stuffed documents
+    * score high on both and get filtered before training.
+    *
+    * Scale shape: the per-row fraction is a projection; the top-bigram
+    * pass is explode → two map-side-combined aggregations whose shuffle
+    * keys are (doc, bigram) then (doc) — never wider than the document's
+    * own bigram multiset. The final join back is on the id. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(lower(col(textCol)), "\\s+")
+    val base = df.select(col(idCol), words.as("_ws"))
+      .select(col(idCol), size(col("_ws")).as("n_words"),
+        round(lit(1.0) - size(array_distinct(col("_ws"))).cast("double") /
+          size(col("_ws")).cast("double"), 6).as("dup_word_frac"),
+        col("_ws"))
+    // sequence(0, -1) would generate a DESCENDING range — guard n<2
+    val bigrams = when(size(col("_ws")) >= 2,
+      transform(sequence(lit(1), size(col("_ws")) - 1),
+        i => concat_ws(" ", element_at(col("_ws"), i), element_at(col("_ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val top = base
+      .select(col(idCol), explode(bigrams).as("_bg"))
+      .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c")).as("_top"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("dup_word_frac"),
+        // greatest(…,1): a one-word doc has no bigrams (_top is null →
+        // 0.0) and ANSI mode would abort on the 0-denominator otherwise
+        round(coalesce(col("_top").cast("double") /
+          greatest(col("n_words") - 1, lit(1)).cast("double"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-`shingleN`-gram with a benchmark/eval set — the standard
+    * guard against test-set leakage into training data. Returns
+    * (id, n_shared_shingles) for contaminated docs only.
+    *
+    * Scale shape: the benchmark side is distinct shingles of a SMALL
+    * eval set → broadcast; the corpus side streams through explode +
+    * broadcast-hash semi-ish join + per-doc count, so the corpus never
+    * shuffles on anything wider than (id, matched shingle). */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(graft.operators.Dedup.shingles(col(textCol), shingleN)).as("_s"))
+      .distinct()
+    train
+      .select(col(idCol),
+        explode(graft.operators.Dedup.shingles(col(textCol), shingleN)).as("_s"))
+      .join(broadcast(benchShingles), "_s")
+      // shingles are distinct per doc already (WordShingles dedups), so
+      // the count of joined rows IS the distinct shared-shingle count
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
 }

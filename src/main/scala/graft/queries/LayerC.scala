@@ -183,6 +183,32 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition signals: duplicate-word fraction + top
+    // bigram share — the boilerplate/keyword-stuffing pre-filter
+    "c24_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // benchmark decontamination: training docs sharing any word trigram
+    // with the held-out "benchmark" subset (doc_id % 29 == 0)
+    "c25_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.decontaminate(
+          d.filter(col("doc_id") % 29 =!= 0),
+          d.filter(col("doc_id") % 29 === 0),
+          "doc_id", "text", shingleN = 3)
+        .orderBy("doc_id")
+    },
+
+    // quantile quality gate: keep docs at or above the exact P25 of
+    // n_chars (drop the shortest quarter)
+    "c26_quantile_filter" -> { (s, dir) =>
+      graft.operators.Sampling.quantileFilter(
+          docs(s, dir).select("doc_id", "n_chars"), "n_chars", 0.25)
+        .orderBy("doc_id")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -456,6 +482,52 @@ object LayerC {
         |ORDER BY cosine DESC, id_a, id_b""".stripMargin,
 
     "c6_knn" -> knnOracleSql,
+
+    "c24_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+        |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+        |      AS dup_word_frac
+        |  FROM w),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> list_extract(ws, i) || ' ' || list_extract(ws, i + 1))) AS b
+        |  FROM w WHERE len(ws) >= 2),
+        |cnt AS (SELECT doc_id, b, count(1) AS c FROM bg GROUP BY doc_id, b),
+        |top AS (SELECT doc_id, max(c) AS t FROM cnt GROUP BY doc_id)
+        |SELECT base.doc_id, n_words, dup_word_frac,
+        |  round(coalesce(CAST(t AS DOUBLE) / greatest(n_words - 1, 1), 0.0), 6)
+        |    AS top_bigram_frac
+        |FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    // shingle emulation matches graft.functions.ShingleUtil: lowercase,
+    // split on \s+ keeping empties, starts = max(len-2, 1), shingle i =
+    // words[i .. min(i+2, len)] joined by space, per-doc distinct
+    "c25_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(ws) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(ws, i, least(i + 2, len(ws))), ' ')))
+        |    AS sl
+        |  FROM w),
+        |b AS (SELECT DISTINCT unnest(sl) AS s FROM sh WHERE doc_id % 29 = 0),
+        |t AS (SELECT doc_id, unnest(sl) AS s FROM sh WHERE doc_id % 29 <> 0)
+        |SELECT t.doc_id, count(1) AS n_shared_shingles
+        |FROM t JOIN b USING (s)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "c26_quantile_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // c14 runs enough LSH tables for total recall on the fixture and
     // c16 probes every IVF cell — both therefore equal exact kNN and

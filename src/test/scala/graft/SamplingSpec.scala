@@ -65,4 +65,20 @@ class SamplingSpec extends AnyFunSuite {
       fractions - langs.head, seed = 7L)
     assert(dropped.filter($"lang" === langs.head).count() == 0)
   }
+
+  test("quantileFilter keeps rows at or above the exact interpolated quantile") {
+    val df = (1 to 8).map(i => (i.toLong, i)).toDF("id", "score")
+    // P25 of 1..8 interpolates to 1 + 7*0.25 = 2.75 → keep 3..8
+    val kept = Sampling.quantileFilter(df, "score", 0.25)
+      .select("id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(3L, 4L, 5L, 6L, 7L, 8L)))
+    // boundary inclusivity: P50 of 1..3 is exactly 2 → 2 stays
+    val half = Sampling.quantileFilter(
+        Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "score"), "score", 0.5)
+      .select("id").as[Long].collect().sorted
+    assert(half.sameElements(Array(2L, 3L)))
+    assertThrows[IllegalArgumentException] {
+      Sampling.quantileFilter(df, "score", 1.0)
+    }
+  }
 }

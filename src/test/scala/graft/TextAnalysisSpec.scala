@@ -72,4 +72,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("repetitionSignals: duplicate fraction and top-bigram share by hand") {
+    val df = Seq(
+      (1L, "a a a a"),      // 1 distinct of 4 → dup .75; "a a"×3 of 3 → 1.0
+      (2L, "x y z"),        // all distinct → dup 0; top bigram 1 of 2 → 0.5
+      (3L, "solo")          // one word: no bigrams → 0.0
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((4, 0.75, 1.0)))
+    assert(rows(2L) == ((3, 0.0, 0.5)))
+    assert(rows(3L) == ((1, 0.0, 0.0)))
+  }
+
+  test("decontaminate flags only trigram overlap with the benchmark set") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a tale of the quick brown fox going home"), // shares 2 trigrams
+      (2L, "completely different words entirely here")   // shares none
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shared trigrams: "the quick brown", "quick brown fox"
+    assert(out == Map(1L -> 2L))
+  }
 }
