@@ -14,6 +14,23 @@ object Relational4 {
 
   val queries: Map[String, Q] = Map(
 
+    // UNPIVOT (wide → long reshape): four metric columns melt into
+    // (metric, value) rows — a narrow per-row generator, no shuffle
+    "q71_unpivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        // value in the key: lineitem holds duplicate (orderkey,
+        // linenumber) pairs, so (…, metric) alone is not a total order
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+    },
+
     // GROUP BY ... HAVING over an aggregate predicate
     "q57_having" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -209,6 +226,16 @@ object Relational4 {
         |WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
         |GROUP BY ws, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q71_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m.metric, m.value
+        |FROM lineitem,
+        |  LATERAL (VALUES ('l_quantity', l_quantity),
+        |                  ('l_extendedprice', l_extendedprice),
+        |                  ('l_discount', l_discount),
+        |                  ('l_tax', l_tax)) AS m(metric, value)
+        |WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
 
     "q69_sessionize" ->
       """WITH d AS (

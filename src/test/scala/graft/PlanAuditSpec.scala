@@ -66,4 +66,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"two-level aggregation missing:\n$p")
     assert(p.toLowerCase.contains("leftsemi"), s"semi join missing:\n$p")
   }
+
+  test("decontamination broadcasts the benchmark shingles, never sort-merges (c25)") {
+    val p = plan("c25_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled against the benchmark set:\n$p")
+  }
+
+  test("quantile gate broadcasts one scalar threshold; data side never shuffles (c26)") {
+    val df = SparkEntry.queries("c26_quantile_filter")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"threshold not broadcast-crossed:\n$p")
+    // the only exchanges allowed are the 1-row threshold aggregate's
+    // (SinglePartition) and the final presentation sort (range) — the
+    // data rows must never hash-repartition on their way to the filter
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected data shuffle:\n$p")
+  }
 }
