@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Scale probe: deterministic 10× blow-up of the embeddings fixture,
   * timing the retrieval/dedup operators' scale tiers against the
@@ -51,6 +51,27 @@ object ScaleProbe {
       Dedup.embeddingDedupAnn(blown, "vec_id", "embedding", 0.9, nTables = 16))
     time("annPairsTopK k=100 (8 tables, auto bits)")(
       Similarity.annPairsTopK(blown, "vec_id", "embedding", 100))
+
+    // text-curation tier (round 3): 10× blow-up of the documents fixture
+    // with a copy marker appended so near-dup (not identical) structure
+    // is planted by construction
+    val docsBase = Tables.load(spark, sfDir, "documents")
+    val docsBlown = docsBase.crossJoin(spark.range(10).toDF("copy"))
+      .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" tail"), col("copy")).as("text"))
+      .cache()
+    println(s"[probe] docs corpus: ${docsBlown.count()} documents")
+    time("repetitionSignals")(
+      TextAnalysis.repetitionSignals(docsBlown, "doc_id", "text"))
+    time("decontaminate vs 1/29th benchmark (trigrams)")(
+      TextAnalysis.decontaminate(
+        docsBlown.filter(col("doc_id") % 29 =!= 0),
+        docsBlown.filter(col("doc_id") % 29 === 0),
+        "doc_id", "text", shingleN = 3))
+    time("quantileFilter P25 on length")(
+      Sampling.quantileFilter(
+        docsBlown.select(col("doc_id"), length(col("text")).as("len")),
+        "len", 0.25))
     spark.stop()
   }
 }
