@@ -215,20 +215,24 @@ object Similarity {
     } else {
       // broadcast the (tiny) centroid table; distance is ONE small
       // expression per joined row. Corpus argmin = map-side-combined
-      // min_by keyed on the unique row id; tie-break on cell id matches
-      // the literal path's array_position (first minimum wins).
+      // min_by keyed on a SURROGATE row id — grouping on idCol would
+      // silently collapse duplicate-id rows that the literal path keeps
+      // (duplicate business keys are a documented fixture reality).
+      // Tie-break on cell id matches the literal path's array_position
+      // (first minimum wins).
       val spark = corpus.sparkSession
       import spark.implicits._
       val centDf = broadcast(centroids.zipWithIndex
         .map { case (cen, i) => (i, cen, cen.map(x => x * x).sum) }
         .toDF("_cell", "_cen", "_cen2"))
       val dist = col("_cen2") - lit(2.0) * dot(col("cv"), col("_cen"))
-      val asg = c.crossJoin(centDf)
+      val asg = c.withColumn("_rid", monotonically_increasing_id())
+        .crossJoin(centDf)
         .withColumn("_cd", dist)
-        .groupBy(col("nn_id"))
-        .agg(min_by(struct(col("_cell"), col("cv"), col("cn")),
+        .groupBy(col("_rid"))
+        .agg(min_by(struct(col("nn_id"), col("_cell"), col("cv"), col("cn")),
           struct(col("_cd"), col("_cell"))).as("_m"))
-        .select(col("nn_id"), col("_m._cell").as("_cell"),
+        .select(col("_m.nn_id").as("nn_id"), col("_m._cell").as("_cell"),
           col("_m.cv").as("cv"), col("_m.cn").as("cn"))
       val prb = q.crossJoin(centDf)
         .withColumn("_cd", col("_cen2") - lit(2.0) * dot(col("qv"), col("_cen")))

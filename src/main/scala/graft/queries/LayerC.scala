@@ -84,15 +84,17 @@ object LayerC {
 
     // bucketed ANN kNN: queries probe the corpus's LSH buckets — the
     // scale path of c6 (no corpus broadcast; shuffle key = table+bucket).
-    // 48 tables reach TOTAL recall on the near-orthogonal fixture
-    // (deterministic: seed-fixed hyperplanes), so the result equals
-    // brute-force kNN exactly and the c6-style DuckDB oracle pins every
-    // emitted cosine and rank; the pruned-recall regime (fewer tables,
-    // recall >= 0.9, shuffle-only plan) is quantified in SimilaritySpec.
+    // 48 tables × 4 bits reach TOTAL recall on the near-orthogonal
+    // fixture (deterministic: seed-fixed hyperplanes), so the result
+    // equals brute-force kNN exactly and the c6-style DuckDB oracle pins
+    // every emitted cosine and rank. nBits is PINNED (auto-sizing grows
+    // bits with corpus rows and would quietly lower recall at sf0.1,
+    // breaking the oracle equality); the pruned-recall regime (fewer
+    // tables, recall >= 0.9, shuffle-only plan) is in SimilaritySpec.
     "c14_ann_knn" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.annKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-          5, nBits = 0, nTables = 48, dim = 64, seed = 7L)
+          5, nBits = 4, nTables = 48, dim = 64, seed = 7L)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     },

@@ -37,7 +37,11 @@ def frame(rel):
 
 
 def rows_of(df):
-    return [tuple(canon(v) for v in row) for row in df.to_numpy().tolist()]
+    # per-column tolist: df.to_numpy() would upcast int64 columns to
+    # float64 in mixed int/float frames, losing exactness above 2^53
+    cols = [df[c].tolist() for c in df.columns]
+    return [tuple(canon(v) for v in row) for row in zip(*cols)] \
+        if cols else [() for _ in range(len(df))]
 
 
 def main(sf_dir, out_dir):
