@@ -346,4 +346,81 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Span-level (sub-document) dedup — the RefinedWeb/CCNet line-dedup
+    * shape for corpora whose documents carry no line structure: split
+    * each document into consecutive `spanWords`-word chunks, keep only
+    * each distinct span's FIRST occurrence corpus-wide (smallest
+    * (id, position)), and reassemble documents from their surviving
+    * spans in original order. Boilerplate repeated across documents
+    * disappears from every copy but the first.
+    *
+    * Output: (id, n_spans, n_kept, new_text) — `new_text` is "" when
+    * every span of the document occurs earlier elsewhere.
+    *
+    * Scale shape: one explode → one aggregation keyed by the span text
+    * (min-of-struct winner per span — map-side combined, so the shuffle
+    * carries one row per distinct span per task) → one per-document
+    * reassembly aggregation keyed by id. The corpus text crosses the
+    * wire once per stage; nothing is broadcast or collected. At 100 TB
+    * the span key can be salted by xxhash64 prefix exactly like
+    * `exactDedup` — grouping directly on the span string keeps the
+    * DuckDB oracle byte-identical here. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanWords: Int = 10): DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive, got $spanWords")
+    val words = split(col(textCol), "\\s+")
+    // split never yields an empty array (empty text → [""]), so
+    // nSpans >= 1 and sequence(0, nSpans-1) is always ascending
+    val nSpans = floor((size(words) + lit(spanWords - 1)) / lit(spanWords)).cast("int")
+    val base = df.select(col(idCol), nSpans.as("n_spans"),
+      transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " ")).as("_spans"))
+    val exploded = base.select(col(idCol),
+      posexplode(col("_spans")).as(Seq("_idx", "_span")))
+    // first occurrence per distinct span: min of (id, position) struct
+    // (lexicographic struct ordering — one map-side-combined aggregation)
+    val kept = exploded
+      .groupBy(col("_span"))
+      .agg(min(struct(col(idCol), col("_idx"))).as("_k"))
+      .select(col("_k").getField(idCol).as(idCol),
+        col("_k").getField("_idx").as("_idx"), col("_span"))
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        // collect_list order is nondeterministic; the struct sort keys on
+        // the (unique per doc) position before joining spans back
+        array_join(transform(
+          array_sort(collect_list(struct(col("_idx"), col("_span")))),
+          x => x.getField("_span")), " ").as("new_text"))
+    base.select(col(idCol), col("n_spans"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
+  /** Incremental ingestion dedup: drop documents from `batch` whose text
+    * already exists in `corpus`, after first deduplicating the batch
+    * against itself (keep smallest id). The standard shape for appending
+    * a new crawl to an existing training corpus without re-deduplicating
+    * the corpus.
+    *
+    * Scale shape: within-batch dedup is `exactDedup` (8-byte-hash
+    * shuffle); the batch-vs-corpus check is an anti-join whose equi-key
+    * is the 64-bit content hash — the corpus text column rides along
+    * only for collision verification inside the join condition. In
+    * production the corpus side is the persisted (hash, text)
+    * fingerprint table maintained across ingests, not a rescan. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val withinDeduped = exactDedup(batch, idCol, textCol)
+    val seen = corpus
+      .select(xxhash64(col(textCol)).as("_h"), col(textCol).as("_seen_text"))
+      .distinct()
+    withinDeduped.join(seen,
+      xxhash64(withinDeduped(textCol)) === seen("_h") &&
+        withinDeduped(textCol) <=> seen("_seen_text"),
+      "left_anti")
+  }
 }

@@ -200,6 +200,39 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Top-`k` keywords per document by TF-IDF: tf = in-document token
+    * count, idf = ln(N / document-frequency), deterministic rank
+    * (raw score desc, token asc). The classic keyword-extraction /
+    * topical-signature operator for corpus exploration and clustering
+    * features.
+    *
+    * Scale shape: tf is one map-side-combined aggregation on (doc,
+    * token); document frequency re-aggregates the (already tiny) tf
+    * relation on token; N is a 1-row broadcast. The per-doc rank window
+    * partitions on the id — no global sort, no collect. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tokens.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, token) pairs already, so counting them
+    // per token IS the document frequency — no second corpus pass
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val nDocs = df.agg(count(lit(1)).as("_n"))
+    val score = col("tf").cast("double") *
+      log(col("_n").cast("double") / col("_df").cast("double"))
+    val w = Window.partitionBy(col(idCol)).orderBy(score.desc, col("token").asc)
+    tf.join(docFreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"),
+        round(score, 6).as("score"), col("rk"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word-`shingleN`-gram with a benchmark/eval set — the standard
     * guard against test-set leakage into training data. Returns

@@ -83,6 +83,14 @@ object Extended {
       Streams.runToCompletion(s, joined, "s6_static").orderBy("c_mktsegment")
     },
 
+    // sliding (overlapping) windows via Structured Streaming — the
+    // streaming counterpart of the batch q70, sharing its oracle
+    "s7_stream_sliding" -> { (s, dir) =>
+      Streams.runToCompletion(s,
+          Streams.slidingCounts(Streams.eventStream(s, dir)), "s7_sliding")
+        .orderBy("window_start", "event_type")
+    },
+
     // deterministic seeded generator (reference `import` entry point)
     "e1_generator" -> { (s, _) =>
       Generator.addresses(s, 10000L).orderBy("id")
@@ -131,6 +139,18 @@ object Extended {
     "s1_stream_tumble" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, count(1) AS n
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // each event expands into its two overlapping 1 h windows (every
+    // 30 min) — identical to the batch q70 oracle
+    "s7_stream_sliding" ->
+      """SELECT ws AS window_start, event_type, count(1) AS n
+        |FROM (
+        |  SELECT event_type, ts,
+        |    time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws
+        |  FROM events, LATERAL (SELECT unnest([0, 1]) AS k) u) t
+        |WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+        |GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "s4_stream_dedup" ->
       """SELECT event_type, count(1) AS n

@@ -211,6 +211,47 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // span-level dedup (the line-dedup shape for unstructured text):
+    // 10-word chunks deduped corpus-wide, documents reassembled from
+    // their surviving spans
+    "c27_span_dedup" -> { (s, dir) =>
+      Dedup.spanDedup(docs(s, dir), "doc_id", "text", spanWords = 10)
+        .orderBy("doc_id")
+    },
+
+    // temperature-scaled domain mixture weights (alpha = 0.5) per source
+    "c28_mixture_weights" -> { (s, dir) =>
+      graft.operators.Curation.mixtureWeights(docs(s, dir), "source", "text",
+          alpha = 0.5)
+        .orderBy("source")
+    },
+
+    // sequence packing: fill 512-token bins per source in doc_id order —
+    // the context-window packing step of training prep
+    "c29_sequence_pack" -> { (s, dir) =>
+      graft.operators.Curation.sequencePack(docs(s, dir), "doc_id", "text",
+          "source", budgetTokens = 512)
+        .orderBy("source", "doc_id")
+    },
+
+    // top-3 TF-IDF keywords per document (deterministic rank)
+    "c30_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfidfKeywords(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")
+    },
+
+    // incremental ingestion dedup: the "new crawl" (doc_id % 7 == 0)
+    // deduped within itself, then against the existing corpus (the rest)
+    "c31_incremental_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(
+          d.filter(col("doc_id") % 7 === 0),
+          d.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -529,6 +570,93 @@ object LayerC {
     "c26_quantile_filter" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // span derivation mirrors Dedup.spanDedup: 10-word slices (1-based,
+    // clamped), first corpus-wide occurrence by (doc_id, idx) wins,
+    // documents rebuilt from surviving spans in position order
+    "c27_span_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |sp AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(list_slice(ws, i*10 + 1, (i+1)*10), ' ') AS span
+        |  FROM w, LATERAL (SELECT unnest(range((len(ws) + 9) // 10)) AS i) u),
+        |k AS (
+        |  SELECT doc_id, idx, span,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+        |  FROM sp),
+        |reb AS (
+        |  SELECT doc_id, count(1) AS n_kept,
+        |    string_agg(span, ' ' ORDER BY idx) AS new_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST((len(ws) + 9) // 10 AS INTEGER) AS n_spans,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(new_text, '') AS new_text
+        |FROM w LEFT JOIN reb ON w.doc_id = reb.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
+    "c28_mixture_weights" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+        |    sum(power(CAST(tokens AS DOUBLE), 0.5)) AS ptot
+        |  FROM tok)
+        |SELECT source, tokens,
+        |  round(CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) AS token_share,
+        |  round(power(CAST(tokens AS DOUBLE), 0.5) / ptot, 6) AS sample_weight,
+        |  round((power(CAST(tokens AS DOUBLE), 0.5) / ptot) /
+        |        (CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS epochs
+        |FROM tok CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "c29_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS ce
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  ce // 512 AS bin_id, ce % 512 AS offset_in_bin
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // ranking uses the RAW tf*ln(N/df) (ln and multiply are bit-equal
+    // across engines); the emitted score is rounded — the c5 pattern
+    "c30_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(1) AS tf FROM t2 GROUP BY doc_id, token),
+        |df AS (SELECT token, count(1) AS dfreq FROM tf GROUP BY token),
+        |n AS (SELECT count(1) AS n FROM documents),
+        |r AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.dfreq AS DOUBLE)) AS raw,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) *
+        |        ln(CAST(n.n AS DOUBLE) / CAST(df.dfreq AS DOUBLE)) DESC,
+        |        tf.token ASC) AS INTEGER) AS rk
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, round(raw, 6) AS score, rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "c31_incremental_dedup" ->
+      """WITH b AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+        |seen AS (SELECT DISTINCT text FROM documents WHERE doc_id % 7 <> 0),
+        |w AS (
+        |  SELECT b.* FROM b
+        |  JOIN (SELECT text, min(doc_id) AS kid FROM b GROUP BY text) k
+        |    ON b.doc_id = k.kid)
+        |SELECT doc_id, source, n_chars FROM w
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.text = w.text)
         |ORDER BY doc_id""".stripMargin,
 
     // c14 runs enough LSH tables for total recall on the fixture and

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-4 SQL-surface additions: bitwise/boolean aggregates and the
+  * linear-regression aggregate family (SURVEY.md §2.2 "Aggregations" —
+  * dialect built-ins every delegated RDBMS exposes).
+  */
+object Relational5 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+
+    // bitwise AND/OR/XOR aggregates + boolean every/any + count_if
+    "q72_bit_bool_aggs" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bit_and(l_linenumber)").as("ba"),
+          expr("bit_or(l_linenumber)").as("bo"),
+          expr("bit_xor(l_linenumber)").as("bx"),
+          expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.07)").as("any_hi_disc"),
+          expr("count_if(l_tax > 0.04)").as("n_hi_tax"))
+        .orderBy("l_returnflag")
+    },
+
+    // regression aggregates: corr / covariance / least-squares fit of
+    // extendedprice on quantity per return flag. One map-side-combined
+    // aggregation — co-moments merge associatively, so the shuffle
+    // carries one state row per (task × group) at any scale.
+    "q73_regr_stats" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covs_qd"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+        .orderBy("l_returnflag")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    // DuckDB count_if availability varies by version — sum(CASE) is the
+    // portable spelling of the same BIGINT result
+    "q72_bit_bool_aggs" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_linenumber) AS ba,
+        |  bit_or(l_linenumber) AS bo,
+        |  bit_xor(l_linenumber) AS bx,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.07) AS any_hi_disc,
+        |  CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q73_regr_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_pop(l_quantity, l_discount), 6) AS covp_qd,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covs_qd,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

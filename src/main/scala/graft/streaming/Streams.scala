@@ -56,6 +56,19 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Sliding (overlapping) window counts per event type: 1 h windows
+    * every 30 min, so each event lands in two windows. Same state-
+    * eviction story as tumbling — the watermark retires a window once it
+    * passes window end; overlap multiplies state by windows-per-event
+    * (here 2), not by stream length. Streaming counterpart of the batch
+    * `q70_sliding_window`. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Session windows per user: events within a 30-minute gap merge into
     * one session. */
   def sessionCounts(events: DataFrame): DataFrame =

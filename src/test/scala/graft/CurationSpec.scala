@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, TextAnalysis}
+
+/** Round-4 training-mix and sub-document operators: span-level dedup,
+  * incremental ingestion dedup, mixture weights, sequence packing,
+  * TF-IDF keywords.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- spanDedup -----------------------------------------------------
+
+  test("spanDedup drops a span repeated across documents, keeps first occurrence") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // spans: "a b c", "d e f"
+      (2L, "a b c x y z"),          // "a b c" is a dup of doc 1's span 0
+      (3L, "q r s")
+    ).toDF("id", "text")
+    val out = Dedup.spanDedup(docs, "id", "text", spanWords = 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 2, 2L, "a b c d e f")))
+    assert(out(1) == ((2L, 2, 1L, "x y z")))
+    assert(out(2) == ((3L, 1, 1L, "q r s")))
+  }
+
+  test("spanDedup: doc whose every span occurs earlier reassembles to empty") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c"),
+      (3L, "d e f")
+    ).toDF("id", "text")
+    val out = Dedup.spanDedup(docs, "id", "text", spanWords = 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out(1) == ((2L, 0L, "")))
+    assert(out(2) == ((3L, 0L, "")))
+  }
+
+  test("spanDedup: a span repeated within one document keeps only the first position") {
+    val docs = Seq((1L, "p q r p q r")).toDF("id", "text")
+    val out = Dedup.spanDedup(docs, "id", "text", spanWords = 3).collect().head
+    assert(out.getInt(1) == 2 && out.getLong(2) == 1L && out.getString(3) == "p q r")
+  }
+
+  test("spanDedup: trailing partial span is its own unit and survives clamped") {
+    val docs = Seq((1L, "a b c d")).toDF("id", "text") // spans "a b c", "d"
+    val out = Dedup.spanDedup(docs, "id", "text", spanWords = 3).collect().head
+    assert(out.getInt(1) == 2 && out.getString(3) == "a b c d")
+  }
+
+  // ---- incrementalDedup ----------------------------------------------
+
+  test("incrementalDedup dedups within batch then drops corpus-known texts") {
+    val corpus = Seq((10L, "known text"), (11L, "other old")).toDF("id", "text")
+    val batch = Seq(
+      (20L, "known text"),    // already in corpus → dropped
+      (21L, "fresh content"), // new → kept
+      (22L, "fresh content"), // within-batch dup of 21 → dropped
+      (23L, "also new")
+    ).toDF("id", "text")
+    val kept = Dedup.incrementalDedup(batch, corpus, "id", "text")
+      .select("id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(21L, 23L)))
+  }
+
+  // ---- mixtureWeights ------------------------------------------------
+
+  test("mixtureWeights: alpha=0.5 flattens a 9:1 token mix to 3:1") {
+    val docs = Seq(
+      ("big", "w w w w w w w w w"),   // 9 tokens
+      ("small", "w")                  // 1 token
+    ).toDF("source", "text")
+    val out = Curation.mixtureWeights(docs, "source", "text", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (bt, bShare, bW, bEp) = out("big")
+    assert(bt == 9L && bShare == 0.9 && bW == 0.75)
+    assert(math.abs(bEp - 0.833333) < 1e-6)
+    val (st, sShare, sW, sEp) = out("small")
+    assert(st == 1L && sShare == 0.1 && sW == 0.25 && sEp == 2.5)
+  }
+
+  // ---- sequencePack --------------------------------------------------
+
+  test("sequencePack assigns running-sum bins and offsets per group") {
+    val docs = Seq(
+      ("s", 1L, "a b c"),     // 3 tokens, ce=0 → bin 0 off 0
+      ("s", 2L, "a b c"),     // ce=3 → bin 0 off 3
+      ("s", 3L, "a b c"),     // ce=6 → bin 1 off 1
+      ("t", 4L, "a b c d e f g"), // 7 tokens (> budget), ce=0 → bin 0 off 0
+      ("t", 5L, "a")          // ce=7 → bin 1 off 2
+    ).toDF("source", "id", "text")
+    val out = Curation.sequencePack(docs, "id", "text", "source", budgetTokens = 5)
+      .orderBy("source", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == (("s", 1L, 3L, 0L, 0L)))
+    assert(out(1) == (("s", 2L, 3L, 0L, 3L)))
+    assert(out(2) == (("s", 3L, 3L, 1L, 1L)))
+    assert(out(3) == (("t", 4L, 7L, 0L, 0L)))
+    assert(out(4) == (("t", 5L, 1L, 1L, 2L)))
+  }
+
+  test("sequencePack plans exactly one exchange (window partitions on the group key)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Curation.sequencePack(docs, "doc_id", "text", "source", 512)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  // ---- tfidfKeywords -------------------------------------------------
+
+  test("tfidfKeywords hand-computed scores and deterministic rank") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry")
+    ).toDF("id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "id", "text", k = 3)
+      .orderBy("id", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    // doc1: apple tf=2 df=1 → 2·ln2 ≈ 1.386294; banana tf=1 df=2 → 0
+    assert(out(0) == ((1L, "apple", 2L, 1.386294, 1)))
+    assert(out(1) == ((1L, "banana", 1L, 0.0, 2)))
+    // doc2: cherry ln2 ≈ 0.693147 beats banana 0
+    assert(out(2) == ((2L, "cherry", 1L, 0.693147, 1)))
+    assert(out(3) == ((2L, "banana", 1L, 0.0, 2)))
+  }
+
+  test("tfidfKeywords ties broken by ascending token") {
+    val docs = Seq((1L, "zeta alpha"), (2L, "unrelated words")).toDF("id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "id", "text", k = 2)
+      .filter(col("id") === 1L).orderBy("rk")
+      .collect().map(r => (r.getString(1), r.getInt(4)))
+    // both tokens score 1·ln2 — alpha must rank first
+    assert(out.toSeq == Seq(("alpha", 1), ("zeta", 2)))
+  }
+}
