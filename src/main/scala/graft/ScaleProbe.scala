@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Scale probe: deterministic 10× blow-up of the embeddings fixture,
   * timing the retrieval/dedup operators' scale tiers against the
@@ -15,8 +15,11 @@ import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 2nd arg selects a tier: "vec" | "text" | "all" (default)
+    val tier = args.lift(1).getOrElse("all")
     val spark = GraftSession.build("graft-scale-probe")
     val base = Tables.load(spark, sfDir, "embeddings")
+    if (tier != "text") {
     val blown = base.crossJoin(spark.range(10).toDF("copy"))
       .select(
         (col("vec_id") * 10 + col("copy")).as("vec_id"),
@@ -29,11 +32,6 @@ object ScaleProbe {
       .cache()
     val n = blown.count()
     println(s"[probe] corpus: $n vectors (10x ${sfDir})")
-    def time(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
     // batch-retrieval workload: 2000 queries against the 20k corpus.
     // (With a handful of queries, signature/quantizer construction
     // dominates and brute force wins — the approximate tiers are for
@@ -51,14 +49,17 @@ object ScaleProbe {
       Dedup.embeddingDedupAnn(blown, "vec_id", "embedding", 0.9, nTables = 16))
     time("annPairsTopK k=100 (8 tables, auto bits)")(
       Similarity.annPairsTopK(blown, "vec_id", "embedding", 100))
+    }
 
+    if (tier != "vec") {
     // text-curation tier (round 3): 10× blow-up of the documents fixture
     // with a copy marker appended so near-dup (not identical) structure
     // is planted by construction
     val docsBase = Tables.load(spark, sfDir, "documents")
     val docsBlown = docsBase.crossJoin(spark.range(10).toDF("copy"))
       .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
-        concat(col("text"), lit(" tail"), col("copy")).as("text"))
+        concat(col("text"), lit(" tail"), col("copy")).as("text"),
+        col("source"))
       .cache()
     println(s"[probe] docs corpus: ${docsBlown.count()} documents")
     time("repetitionSignals")(
@@ -72,6 +73,22 @@ object ScaleProbe {
       Sampling.quantileFilter(
         docsBlown.select(col("doc_id"), length(col("text")).as("len")),
         "len", 0.25))
+    // round-4 additions
+    time("spanDedup 10-word spans")(
+      Dedup.spanDedup(docsBlown, "doc_id", "text", spanWords = 10))
+    time("bigramLogProb k=0.5")(
+      TextAnalysis.bigramLogProb(docsBlown, "doc_id", "text"))
+    time("tfidfKeywords k=3")(
+      TextAnalysis.tfidfKeywords(docsBlown, "doc_id", "text", 3))
+    time("sequencePack 512/source")(
+      Curation.sequencePack(docsBlown, "doc_id", "text", "source", 512))
+    }
     spark.stop()
+  }
+
+  private def time(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 }

@@ -78,3 +78,81 @@ object ShingleFunctions {
   def word_shingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c), n))
 }
+
+/** Word n-gram chunks with a configurable stride — the generalized,
+  * non-distinct sibling of `WordShingles`, one codegen'd pass replacing
+  * the interpreted `transform(sequence(...), i => ...)` chains:
+  *
+  *  - `n = step`: consecutive non-overlapping spans (span-level dedup),
+  *    final chunk truncated at the end of the word array;
+  *  - `step = 1, fullOnly = true`: sliding full-width n-grams in
+  *    document order with multiplicity (bigram models, repetition
+  *    stats) — a document shorter than `n` words yields an empty array.
+  *
+  * Splits on `\s+` with trailing empties kept (Spark `split` default);
+  * `lowercase` folds case before splitting, matching
+  * `split(lower(text), "\\s+")`.
+  */
+case class WordChunks(child: Expression, n: Int, step: Int,
+                      lowercase: Boolean, fullOnly: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_chunks requires string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    ChunkUtil.chunks(v.asInstanceOf[UTF8String], n, step, lowercase, fullOnly)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ChunkUtil.chunks($c, $n, $step, $lowercase, $fullOnly);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+}
+
+object ChunkUtil {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def chunks(s: UTF8String, n: Int, step: Int,
+             lowercase: Boolean, fullOnly: Boolean): GenericArrayData = {
+    val str = if (lowercase) s.toLowerCase.toString else s.toString
+    val words = ws.split(str, -1)
+    val len = words.length
+    // start positions 0, step, 2·step … — fullOnly admits only windows
+    // of exactly n words; otherwise the count matches the interpreted
+    // forms: ceil(len/step) spans when n == step, max(len-n+1, 1)
+    // truncated shingle starts when step == 1
+    val count =
+      if (fullOnly) { if (len < n) 0 else (len - n) / step + 1 }
+      else (math.max(len - (n - step), step) + step - 1) / step
+    val out = new Array[Any](count)
+    var k = 0
+    while (k < count) {
+      val i = k * step
+      val end = math.min(i + n, len)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      out(k) = UTF8String.fromString(sb.toString)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object ChunkFunctions {
+  def word_chunks(c: Column, n: Int, step: Int,
+                  lowercase: Boolean, fullOnly: Boolean): Column =
+    GraftColumnBridge.column(
+      WordChunks(GraftColumnBridge.expression(c), n, step, lowercase, fullOnly))
+}

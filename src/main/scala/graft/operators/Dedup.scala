@@ -369,13 +369,14 @@ object Dedup {
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 spanWords: Int = 10): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
-    val words = split(col(textCol), "\\s+")
-    // split never yields an empty array (empty text → [""]), so
-    // nSpans >= 1 and sequence(0, nSpans-1) is always ascending
-    val nSpans = floor((size(words) + lit(spanWords - 1)) / lit(spanWords)).cast("int")
-    val base = df.select(col(idCol), nSpans.as("n_spans"),
-      transform(sequence(lit(0), nSpans - 1),
-        i => array_join(slice(words, i * spanWords + 1, lit(spanWords)), " ")).as("_spans"))
+    // one codegen'd pass (WordChunks n = step): the composed
+    // transform/sequence/slice form evaluates interpreted per span and
+    // re-slices the word array per index
+    val base = df
+      .select(col(idCol), graft.functions.ChunkFunctions.word_chunks(
+        col(textCol), spanWords, spanWords,
+        lowercase = false, fullOnly = false).as("_spans"))
+      .withColumn("n_spans", size(col("_spans")))
     val exploded = base.select(col(idCol),
       posexplode(col("_spans")).as(Seq("_idx", "_span")))
     // first occurrence per distinct span: min of (id, position) struct
@@ -398,6 +399,30 @@ object Dedup {
       .select(col(idCol), col("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
+  /** Canonical-selection dedup: given the (id, cluster_rep) output of
+    * `dupClusters`, keep the highest-quality member of each cluster
+    * instead of the smallest-id one — quality-aware dedup (e.g. keep
+    * the longest/cleanest copy of a near-dup group, drop the rest).
+    * Ties break on ascending id, so selection is total.
+    *
+    * Scale shape: one window partitioned by cluster_rep (clusters are
+    * small — bounded by dup-group size, not corpus size), after an
+    * id-keyed join of quality onto membership. Singleton clusters pass
+    * through untouched. */
+  def keepBestPerCluster(clusters: DataFrame, df: DataFrame,
+                         idCol: String, qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = clusters.join(df.select(col(idCol), col(qualityCol)), Seq(idCol))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    joined
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("cluster_rep"))))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_rep"), col(idCol), col(qualityCol), col("cluster_size"))
   }
 
   /** Incremental ingestion dedup: drop documents from `batch` whose text

@@ -158,6 +158,47 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Per-document bigram language-model score with add-k smoothing:
+    * ln((c(prev,cur) + k) / (c(prev) + k·V)) averaged over the
+    * document's bigrams, where counts come from the corpus itself and V
+    * is the vocabulary size — the next step up from `unigramLogProb` as
+    * a perplexity-proxy quality filter (catches scrambled word soup that
+    * unigram frequencies alone score well). Documents with fewer than
+    * two words have no bigrams and are omitted.
+    *
+    * Scale shape: bigram and unigram models are map-side-combined
+    * aggregations bounded by (vocab²-observed, vocab); V is a 1-row
+    * broadcast; the per-doc average shuffles on the id. The corpus
+    * explodes twice (tokens, bigrams) but never joins itself row-wise. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    k: Double = 0.5): DataFrame = {
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    val words = split(lower(col(textCol)), "\\s+")
+    // raw split output on BOTH the unigram and bigram sides — filtering
+    // empties from one but not the other would desync model and data
+    val tokens = df.select(explode(words).as("_t"))
+    val uni = tokens.groupBy(col("_t")).agg(count(lit(1)).as("_uc"))
+    val vocab = uni.agg(count(lit(1)).as("_v"))
+    // codegen'd sliding bigrams as "prev cur" strings (words cannot
+    // contain whitespace, so the space join is injective and the pair
+    // count equals the string count); one-word docs explode to nothing
+    val bg = df.select(col(idCol),
+      explode(graft.functions.ChunkFunctions.word_chunks(
+        col(textCol), 2, 1, lowercase = true, fullOnly = true)).as("_b"))
+    val bic = bg.groupBy(col("_b")).agg(count(lit(1)).as("_bc"))
+    bg.join(bic, Seq("_b"))
+      // conditioning context = text before the separating space
+      .withColumn("_pw", substring_index(col("_b"), " ", 1))
+      .join(uni.withColumnRenamed("_t", "_pw"), Seq("_pw"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log((col("_bc").cast("double") + k) /
+          (col("_uc").cast("double") + col("_v").cast("double") * k))), 6)
+          .as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** 64-bit rolling polynomial fingerprint of the document content
     * (Karp–Rabin over UTF-8 bytes: h = h*31 + b, wrapping). Identical
     * content ⇒ identical fingerprint; order-sensitive unlike bag-of-words
@@ -180,14 +221,12 @@ object TextAnalysis {
     val base = df.select(col(idCol), words.as("_ws"))
       .select(col(idCol), size(col("_ws")).as("n_words"),
         round(lit(1.0) - size(array_distinct(col("_ws"))).cast("double") /
-          size(col("_ws")).cast("double"), 6).as("dup_word_frac"),
-        col("_ws"))
-    // sequence(0, -1) would generate a DESCENDING range — guard n<2
-    val bigrams = when(size(col("_ws")) >= 2,
-      transform(sequence(lit(1), size(col("_ws")) - 1),
-        i => concat_ws(" ", element_at(col("_ws"), i), element_at(col("_ws"), i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val top = base
+          size(col("_ws")).cast("double"), 6).as("dup_word_frac"))
+    // codegen'd sliding bigrams (one-word docs yield an empty array,
+    // which explode drops — same as the old size>=2 guard)
+    val bigrams = graft.functions.ChunkFunctions.word_chunks(
+      col(textCol), 2, 1, lowercase = true, fullOnly = true)
+    val top = df
       .select(col(idCol), explode(bigrams).as("_bg"))
       .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_c"))
       .groupBy(col(idCol)).agg(max(col("_c")).as("_top"))

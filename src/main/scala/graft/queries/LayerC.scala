@@ -252,6 +252,25 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // bigram LM quality score with add-0.5 smoothing — the next rung
+    // above c22's unigram perplexity proxy
+    "c32_bigram_logprob" -> { (s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text", k = 0.5)
+        .orderBy("doc_id")
+    },
+
+    // quality-aware canonical selection: within each near-dup cluster
+    // (c23's connected components) keep the longest copy, not the
+    // smallest-id one
+    "c33_cluster_keep_best" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+      val clusters = Dedup.dupClusters(pairs, d, "doc_id")
+      Dedup.keepBestPerCluster(clusters, d, "doc_id", "n_chars")
+        .orderBy("cluster_rep")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -658,6 +677,56 @@ object LayerC {
         |SELECT doc_id, source, n_chars FROM w
         |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.text = w.text)
         |ORDER BY doc_id""".stripMargin,
+
+    // parallel unnests zip row-wise in DuckDB, reproducing the Spark
+    // struct-pair explode; the smoothing arithmetic mirrors
+    // TextAnalysis.bigramLogProb exactly (k = 0.5 over corpus counts)
+    "c32_bigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT unnest(ws) AS t FROM w),
+        |uni AS (SELECT t, count(1) AS uc FROM tok GROUP BY t),
+        |v AS (SELECT count(1) AS v FROM uni),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS pw,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS cw
+        |  FROM w WHERE len(ws) >= 2),
+        |bic AS (SELECT pw, cw, count(1) AS bc FROM bg GROUP BY pw, cw)
+        |SELECT doc_id,
+        |  round(avg(ln((CAST(bc AS DOUBLE) + 0.5) /
+        |    (CAST(uc AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))), 6) AS avg_logprob,
+        |  count(1) AS n_bigrams
+        |FROM bg JOIN bic USING (pw, cw) JOIN uni ON uni.t = bg.pw CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // c23's reachability clustering + argmax-by-(n_chars, -doc_id) per
+    // cluster
+    "c33_cluster_keep_best" ->
+      s"""WITH RECURSIVE $shingleCteSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardExprSql >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster_rep
+         |       FROM reach GROUP BY node),
+         |j AS (
+         |  SELECT cl.cluster_rep, cl.doc_id, d.n_chars,
+         |    count(1) OVER (PARTITION BY cl.cluster_rep) AS cluster_size,
+         |    row_number() OVER (PARTITION BY cl.cluster_rep
+         |      ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+         |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+         |SELECT cluster_rep, doc_id, n_chars,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM j WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
 
     // c14 runs enough LSH tables for total recall on the fixture and
     // c16 probes every IVF cell — both therefore equal exact kNN and

@@ -131,6 +131,43 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3) == ((2L, "banana", 1L, 0.0, 2)))
   }
 
+  // ---- bigramLogProb -------------------------------------------------
+
+  test("bigramLogProb hand-computed add-k scores") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("id", "text")
+    // uni: a→3, b→3; V=2; bigrams: (a,b)→3, (b,a)→1
+    val pAB = math.log((3 + 0.5) / (3 + 0.5 * 2))
+    val pBA = math.log((1 + 0.5) / (3 + 0.5 * 2))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextAnalysis.bigramLogProb(docs, "id", "text", k = 0.5)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out(0) == ((1L, r6((2 * pAB + pBA) / 3), 3L)))
+    assert(out(1) == ((2L, r6(pAB), 1L)))
+  }
+
+  test("bigramLogProb omits single-word documents") {
+    val docs = Seq((1L, "solo"), (2L, "two words")).toDF("id", "text")
+    val ids = TextAnalysis.bigramLogProb(docs, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+
+  // ---- keepBestPerCluster --------------------------------------------
+
+  test("keepBestPerCluster keeps highest quality, ties break on ascending id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("id", "cluster_rep")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 7L), (4L, 7L), (5L, 2L))
+      .toDF("id", "q")
+    val out = Dedup.keepBestPerCluster(clusters, quality, "id", "q")
+      .orderBy("cluster_rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, 2L, 9L, 2L)))  // quality 9 beats 5
+    assert(out(1) == ((3L, 3L, 7L, 2L)))  // tie at 7 → smaller id
+    assert(out(2) == ((5L, 5L, 2L, 1L)))  // singleton passes through
+  }
+
   test("tfidfKeywords ties broken by ascending token") {
     val docs = Seq((1L, "zeta alpha"), (2L, "unrelated words")).toDF("id", "text")
     val out = TextAnalysis.tfidfKeywords(docs, "id", "text", k = 2)
