@@ -148,6 +148,33 @@ object ChunkUtil {
     }
     new GenericArrayData(out)
   }
+
+  def charNgrams(s: UTF8String, n: Int, lowercase: Boolean): GenericArrayData = {
+    val u = if (lowercase) s.toLowerCase else s
+    val bytes = u.getBytes
+    // one forward walk collects every code point's byte offset; n-gram i
+    // is then a byte slice [starts(i), starts(min(i+n, chars)))
+    val chars = u.numChars()
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    var off = 0
+    while (c < chars) {
+      starts(c) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      c += 1
+    }
+    starts(chars) = bytes.length
+    val count = math.max(chars - (n - 1), 1)
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val from = starts(i)
+      val until = starts(math.min(i + n, chars))
+      out(i) = UTF8String.fromBytes(bytes, from, until - from)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object ChunkFunctions {
@@ -155,4 +182,39 @@ object ChunkFunctions {
                   lowercase: Boolean, fullOnly: Boolean): Column =
     GraftColumnBridge.column(
       WordChunks(GraftColumnBridge.expression(c), n, step, lowercase, fullOnly))
+
+  def char_ngrams(c: Column, n: Int, lowercase: Boolean): Column =
+    GraftColumnBridge.column(
+      CharNgrams(GraftColumnBridge.expression(c), n, lowercase))
+}
+
+/** Character n-grams in one codegen'd pass, replacing the interpreted
+  * `transform(sequence(1, greatest(length(t)-(n-1), 1)), i =>
+  * substring(t, i, n))` form. Semantics are identical: start positions
+  * 1..max(len-(n-1), 1) counted in CODE POINTS (Spark `substring`
+  * semantics — the zh fixture text is multi-byte), final n-gram
+  * truncated at end of string. The pass walks UTF-8 byte offsets once
+  * (the composed form rescans from the string head per substring —
+  * O(len²) on multi-byte text).
+  */
+case class CharNgrams(child: Expression, n: Int, lowercase: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    ChunkUtil.charNgrams(v.asInstanceOf[UTF8String], n, lowercase)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ChunkUtil.charNgrams($c, $n, $lowercase);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
 }

@@ -155,6 +155,54 @@ object Dedup {
     verifyJaccard(survivors, df, idCol, textCol, threshold, shingleN)
   }
 
+  /** Cross-relation n-gram Jaccard near-dup join: pairs (id_a from
+    * `left`, id_b from `right`) with shingle-set Jaccard ≥ `threshold` —
+    * the near-dup counterpart of `incrementalDedup` (flag new-crawl
+    * documents that nearly duplicate the existing corpus, not just
+    * exactly). Same two-tier collision-proof design as
+    * `ngramJaccardPairs`: hashed inverted index + size-ratio prune in
+    * the join (full recall — hash collisions only inflate the count),
+    * then string-set re-verification on survivors only.
+    *
+    * Scale shape: the index join shuffles 8-byte shingle hashes; the
+    * quadratic term ranges over cross-relation shingle co-occurrence
+    * only (never within either side). In production the corpus side's
+    * (id, size, shingle-hash) index is persisted across ingests. */
+  def ngramJaccardPairsAcross(left: DataFrame, right: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def inv(d: DataFrame, idAs: String, nAs: String) = d
+      .withColumn("_sh", shingles(col(textCol), shingleN))
+      .select(col(idCol).as(idAs), size(col("_sh")).as(nAs),
+        explode(col("_sh")).as("_s0"))
+      .select(col(idAs), col(nAs), xxhash64(col("_s0")).as("_s"))
+    val a = inv(left, "id_a", "_na")
+    val b = inv(right, "id_b", "_nb")
+    // same epsilon-guarded size-ratio prune as ngramJaccardPairs; no
+    // id_a < id_b constraint — the relations are disjoint by contract
+    val survivors = a.join(b, a("_s") === b("_s") &&
+        col("_na") >= col("_nb") * threshold - lit(1e-9) &&
+        col("_nb") >= col("_na") * threshold - lit(1e-9))
+      .drop(b("_s"))
+      .groupBy("id_a", "id_b", "_na", "_nb")
+      .agg(count(lit(1)).as("_common"))
+      .filter(col("_common").cast("double") /
+        (col("_na") + col("_nb") - col("_common")).cast("double") >= threshold)
+      .select("id_a", "id_b")
+    val la = left.select(col(idCol).as("id_a"),
+      shingles(col(textCol), shingleN).as("_wa"))
+    val rb = right.select(col(idCol).as("id_b"),
+      shingles(col(textCol), shingleN).as("_wb"))
+    survivors
+      .join(la, Seq("id_a"))
+      .join(rb, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("_wa"), col("_wb"))).cast("double") /
+        size(array_union(col("_wa"), col("_wb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard join with PREFIX FILTERING (AllPairs/PPJoin):
     * order each document's shingles by ascending global document
     * frequency (rarest first, ties broken by hash); any pair with

@@ -271,6 +271,19 @@ object LayerC {
         .orderBy("cluster_rep")
     },
 
+    // incremental NEAR-dup detection: new-crawl docs (doc_id % 7 == 0)
+    // whose shingle sets nearly duplicate the existing corpus — the
+    // near-dup counterpart of c31's exact check
+    "c34_incremental_neardup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.ngramJaccardPairsAcross(
+          d.filter(col("doc_id") % 7 === 0),
+          d.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -304,10 +317,12 @@ object LayerC {
     "c12_char_ngrams" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
-      val tri = d.select(col("lang"), lower(col("text")).as("t"))
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))"))
-          .as("tri"))
+      // codegen CharNgrams: the composed transform/substring form
+      // evaluates interpreted and rescans from the string head per
+      // n-gram (quadratic on multi-byte text)
+      val tri = d.select(col("lang"),
+          explode(graft.functions.ChunkFunctions.char_ngrams(
+            col("text"), 3, lowercase = true)).as("tri"))
         .groupBy("lang", "tri").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("lang").orderBy(desc("n"), asc("tri"))
       tri.withColumn("rk", row_number().over(w))
@@ -486,6 +501,16 @@ object LayerC {
 
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,
+
+    // same shared shingle derivation, batch side vs corpus side
+    "c34_incremental_neardup" ->
+      s"""WITH $shingleCteSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round($jaccardExprSql, 6) AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+         |WHERE $jaccardExprSql >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // same pair derivation as c4 (shared fragments), then connected
     // components via a recursive CTE (UNION dedups → saturates)

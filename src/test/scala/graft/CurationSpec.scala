@@ -168,6 +168,56 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) == ((5L, 5L, 2L, 1L)))  // singleton passes through
   }
 
+  // ---- CharNgrams ----------------------------------------------------
+
+  test("char_ngrams equals the composed transform/substring form, incl. multi-byte") {
+    val texts = Seq("Hello World", "的是了在我有", "ab", "a", "", "mixé 中文 ok")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val composed = texts
+      .select(col("id"), lower(col("text")).as("t"))
+      .select(col("id"), expr(
+        "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))").as("g"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    val fast = texts
+      .select(col("id"), graft.functions.ChunkFunctions.char_ngrams(
+        col("text"), 3, lowercase = true).as("g"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    composed.zip(fast).foreach { case (c, f) => assert(c == f) }
+  }
+
+  // ---- ngramJaccardPairsAcross ---------------------------------------
+
+  test("ngramJaccardPairsAcross finds cross-relation near-dups only") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely different corpus content here today")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy cat"), // near-dup of 10
+      (21L, "the quick brown fox jumps over the lazy rat"), // near-dup of 10 AND 20
+      (22L, "brand new unrelated words entirely fresh")
+    ).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardPairsAcross(batch, corpus, "id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((20L, 10L), (21L, 10L)),
+      s"within-batch pair (20,21) must NOT appear; got $pairs")
+  }
+
+  test("ngramJaccardPairsAcross matches the one-relation join restricted across sides") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val batch = d.filter(col("doc_id") % 7 === 0)
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val across = Dedup.ngramJaccardPairsAcross(batch, corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the one-relation join emits id_a < id_b — normalize to (batch, corpus)
+    val full = Dedup.ngramJaccardPairs(d, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      .filter { case (x, y) => x % 7 == 0 && y % 7 != 0 }.toSet
+    assert(across == full)
+  }
+
   test("tfidfKeywords ties broken by ascending token") {
     val docs = Seq((1L, "zeta alpha"), (2L, "unrelated words")).toDF("id", "text")
     val out = TextAnalysis.tfidfKeywords(docs, "id", "text", k = 2)
