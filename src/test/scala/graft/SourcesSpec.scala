@@ -26,6 +26,24 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("text source round-trips raw lines; binaryFile reads payload + metadata") {
+    val work = Files.createTempDirectory("graft_txt").toString
+    // text: one string column named `value`, newline-delimited — the raw
+    // ingest shape for unstructured corpora before any parsing
+    val lines = Seq("first line", "second line", "third line").toDF("value")
+    Sources.write(lines, "text", s"$work/text")
+    val back = Sources.read(spark, SourceSpec("text", s"$work/text"))
+    assert(back.as[String].collect().sorted.toSeq ==
+      Seq("first line", "second line", "third line"))
+    // binaryFile: whole-file payloads with (path, length) metadata — the
+    // ingest path for the multimodal binary columns (read-only source)
+    val payload = Array[Byte](1, 2, 3, 4, 5)
+    Files.write(java.nio.file.Paths.get(s"$work/blob.bin"), payload)
+    val bin = Sources.read(spark, SourceSpec("binaryFile", s"$work/blob.bin"))
+      .select("length", "content").collect().head
+    assert(bin.getLong(0) == 5L && bin.getAs[Array[Byte]](1).sameElements(payload))
+  }
+
   test("jdbc round-trip: batched write then partitioned read (embedded Derby)") {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     val url = "jdbc:derby:memory:srcRt;create=true"
