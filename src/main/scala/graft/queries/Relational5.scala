@@ -30,6 +30,22 @@ object Relational5 {
         .orderBy("l_returnflag")
     },
 
+    // fuzzy string matching: near-identical value pairs by edit
+    // distance — the cheap cousin of the shingle-Jaccard near-dup ops,
+    // right for short strings (brands/titles/names). Distinct-value
+    // pairs only, so the quadratic term is over the (small) domain, not
+    // the table.
+    "q74_fuzzy_match" -> { (s, dir) =>
+      val brands = t(s, dir, "part").select(col("p_brand")).distinct()
+      val a = brands.select(col("p_brand").as("brand_a"))
+      val b = brands.select(col("p_brand").as("brand_b"))
+      a.join(b, col("brand_a") < col("brand_b"))
+        .select(col("brand_a"), col("brand_b"),
+          levenshtein(col("brand_a"), col("brand_b")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("brand_a", "brand_b")
+    },
+
     // regression aggregates: corr / covariance / least-squares fit of
     // extendedprice on quantity per return flag. One map-side-combined
     // aggregation — co-moments merge associatively, so the shuffle
@@ -61,6 +77,14 @@ object Relational5 {
         |  bool_or(l_discount > 0.07) AS any_hi_disc,
         |  CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q74_fuzzy_match" ->
+      """WITH br AS (SELECT DISTINCT p_brand FROM part)
+        |SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+        |  CAST(levenshtein(x.p_brand, y.p_brand) AS INTEGER) AS dist
+        |FROM br x JOIN br y ON x.p_brand < y.p_brand
+        |WHERE levenshtein(x.p_brand, y.p_brand) <= 2
+        |ORDER BY brand_a, brand_b""".stripMargin,
 
     "q73_regr_stats" ->
       """SELECT l_returnflag,

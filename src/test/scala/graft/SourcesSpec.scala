@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions.col
 import java.nio.file.Files
 import graft.sources.Sources
 import graft.sources.Sources.SourceSpec
@@ -42,6 +43,33 @@ class SourcesSpec extends AnyFunSuite {
     val bin = Sources.read(spark, SourceSpec("binaryFile", s"$work/blob.bin"))
       .select("length", "content").collect().head
     assert(bin.getLong(0) == 5L && bin.getAs[Array[Byte]](1).sameElements(payload))
+  }
+
+  test("csv malformed-record policies: PERMISSIVE captures, DROPMALFORMED skips") {
+    import org.apache.spark.sql.types._
+    val work = Files.createTempDirectory("graft_bad").toString
+    Files.write(java.nio.file.Paths.get(s"$work/bad.csv"),
+      "1,ok,1.5\nnot_an_int,broken,x\n3,fine,3.5\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("_corrupt", StringType)))
+    // PERMISSIVE (the default): bad rows survive with nulls and the raw
+    // line lands in the corrupt-record column for quarantine pipelines
+    val permissive = Sources.read(spark, SourceSpec("csv", s"$work/bad.csv",
+      schema = Some(schema),
+      options = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+      .cache() // corrupt-record column requires materialization before filtering
+    assert(permissive.count() == 3)
+    val bad = permissive.filter(col("_corrupt").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt").startsWith("not_an_int"))
+    permissive.unpersist()
+    // DROPMALFORMED: bad rows silently dropped — lossy, opt-in only
+    val dropped = Sources.read(spark, SourceSpec("csv", s"$work/bad.csv",
+      schema = Some(StructType(schema.fields.dropRight(1))),
+      options = Map("mode" -> "DROPMALFORMED")))
+    // collect, not count: a count() prunes every column, so the parser
+    // never sees the malformed field and drops nothing
+    assert(dropped.collect().length == 2)
   }
 
   test("jdbc round-trip: batched write then partitioned read (embedded Derby)") {
