@@ -199,6 +199,45 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Top-`k` word collocations by pointwise mutual information:
+    * PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over corpus bigram/unigram
+    * frequencies, with a minimum pair count to suppress rare-pair noise
+    * — the classic statistic for finding multiword units ("new york")
+    * worth atomic treatment in a tokenizer or phrase index.
+    *
+    * Scale shape: everything downstream of the two model aggregations
+    * (bigram counts, unigram counts — map-side combined, vocabulary-
+    * bounded) operates on model-sized relations; the two scalar totals
+    * broadcast. Deterministic output order (raw PMI desc, pair asc). */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int = 50,
+                      minCount: Long = 5L): DataFrame = {
+    val words = split(lower(col(textCol)), "\\s+")
+    val tokens = df.select(explode(words).as("_t"))
+    val uni = tokens.groupBy(col("_t")).agg(count(lit(1)).as("_uc"))
+    val totTok = tokens.agg(count(lit(1)).as("_tt"))
+    val bg = df.select(explode(graft.functions.ChunkFunctions.word_chunks(
+      col(textCol), 2, 1, lowercase = true, fullOnly = true)).as("pair"))
+    val bic = bg.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val totBg = bg.agg(count(lit(1)).as("_tb"))
+    // exactly one space per pair (words cannot contain whitespace), so
+    // substring_index recovers both members losslessly
+    val raw = log((col("n").cast("double") / col("_tb").cast("double")) /
+      ((col("_ua").cast("double") / col("_tt").cast("double")) *
+       (col("_ub").cast("double") / col("_tt").cast("double"))))
+    bic
+      .withColumn("_pw", substring_index(col("pair"), " ", 1))
+      .withColumn("_cw", substring_index(col("pair"), " ", -1))
+      .join(uni.select(col("_t").as("_pw"), col("_uc").as("_ua")), Seq("_pw"))
+      .join(uni.select(col("_t").as("_cw"), col("_uc").as("_ub")), Seq("_cw"))
+      .crossJoin(broadcast(totTok))
+      .crossJoin(broadcast(totBg))
+      .withColumn("_raw", raw)
+      .orderBy(col("_raw").desc, col("pair").asc)
+      .limit(k)
+      .select(col("pair"), col("n"), round(col("_raw"), 6).as("pmi"))
+  }
+
   /** 64-bit rolling polynomial fingerprint of the document content
     * (Karp–Rabin over UTF-8 bytes: h = h*31 + b, wrapping). Identical
     * content ⇒ identical fingerprint; order-sensitive unlike bag-of-words

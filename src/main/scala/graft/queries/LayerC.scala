@@ -284,6 +284,11 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
+    // top-50 PMI collocations (min pair count 5) — multiword-unit mining
+    "c35_pmi_collocations" -> { (s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), "text", k = 50, minCount = 5L)
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -498,6 +503,33 @@ object LayerC {
         |  count(1) AS n_tokens
         |FROM t2 JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the ln argument mirrors pmiCollocations' arithmetic order exactly
+    // ((n/tb) / ((ua/tt)*(ub/tt))) so the doubles match bit-for-bit;
+    // selection by RAW pmi, output rounded (c5 pattern)
+    "c35_pmi_collocations" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |tok AS (SELECT unnest(ws) AS t FROM w),
+        |uni AS (SELECT t, count(1) AS uc FROM tok GROUP BY t),
+        |tt AS (SELECT count(1) AS tt FROM tok),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS pair
+        |  FROM w WHERE len(ws) >= 2),
+        |tb AS (SELECT count(1) AS tb FROM bg),
+        |bic AS (SELECT pair, count(1) AS n FROM bg GROUP BY pair HAVING count(1) >= 5),
+        |sc AS (
+        |  SELECT pair, n,
+        |    ln((CAST(n AS DOUBLE) / CAST(tb AS DOUBLE)) /
+        |       ((CAST(ua.uc AS DOUBLE) / CAST(tt AS DOUBLE)) *
+        |        (CAST(ub.uc AS DOUBLE) / CAST(tt AS DOUBLE)))) AS raw
+        |  FROM bic
+        |  JOIN uni ua ON ua.t = split_part(pair, ' ', 1)
+        |  JOIN uni ub ON ub.t = split_part(pair, ' ', 2)
+        |  CROSS JOIN tt CROSS JOIN tb)
+        |SELECT pair, n, round(raw, 6) AS pmi FROM sc
+        |ORDER BY raw DESC, pair ASC LIMIT 50""".stripMargin,
 
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,

@@ -218,6 +218,23 @@ class CurationSpec extends AnyFunSuite {
     assert(across == full)
   }
 
+  // ---- pmiCollocations -----------------------------------------------
+
+  test("pmiCollocations hand-computed PMI with min-count filter") {
+    val docs = Seq((1L, "new york new york"), (2L, "in new york")).toDF("id", "text")
+    // uni: new 3, york 3, in 1; T=7; bigrams: "new york"×3, "york new", "in new"; Tb=5
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val all = TextAnalysis.pmiCollocations(docs, "text", k = 10, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val ny = all.find(_._1 == "new york").get
+    assert(ny._2 == 3L)
+    assert(ny._3 == r6(math.log((3.0 / 5.0) / ((3.0 / 7.0) * (3.0 / 7.0)))))
+    // min-count 2 keeps only the repeated pair
+    val filtered = TextAnalysis.pmiCollocations(docs, "text", k = 10, minCount = 2L)
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered == Seq("new york"))
+  }
+
   test("tfidfKeywords ties broken by ascending token") {
     val docs = Seq((1L, "zeta alpha"), (2L, "unrelated words")).toDF("id", "text")
     val out = TextAnalysis.tfidfKeywords(docs, "id", "text", k = 2)
