@@ -17,6 +17,8 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional 2nd arg selects a tier: "vec" | "text" | "all" (default)
     val tier = args.lift(1).getOrElse("all")
+    require(Set("vec", "text", "all")(tier),
+      s"unknown tier '$tier' — expected vec | text | all")
     val spark = GraftSession.build("graft-scale-probe")
     val base = Tables.load(spark, sfDir, "embeddings")
     if (tier != "text") {

@@ -99,16 +99,60 @@ object Dedup {
     * sets the MinHash signatures estimate, so LSH+verify converges to
     * the exact `ngramJaccardPairs` result as recall → 1). */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
-                    textCol: String, threshold: Double, shingleN: Int): DataFrame = {
-    val sets = df.select(col(idCol), shingles(col(textCol), shingleN).as("_ws"))
+                    textCol: String, threshold: Double, shingleN: Int): DataFrame =
+    verifyJaccardAcross(pairs, df, df, idCol, textCol, threshold, shingleN)
+
+  /** Two-relation form of `verifyJaccard`: id_a resolves against `left`,
+    * id_b against `right` (identical relations ⇒ identical semantics). */
+  def verifyJaccardAcross(pairs: DataFrame, left: DataFrame, right: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double, shingleN: Int): DataFrame = {
+    def sets(d: DataFrame, idAs: String, wsAs: String) =
+      d.select(col(idCol).as(idAs), shingles(col(textCol), shingleN).as(wsAs))
     pairs
-      .join(sets.select(col(idCol).as("id_a"), col("_ws").as("_wa")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("_ws").as("_wb")), Seq("id_b"))
+      .join(sets(left, "id_a", "_wa"), Seq("id_a"))
+      .join(sets(right, "id_b", "_wb"), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("_wa"), col("_wb"))).cast("double") /
         size(array_union(col("_wa"), col("_wb"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Shared candidate stage of the exact Jaccard joins: hashed inverted
+    * index over both relations, epsilon-guarded size-ratio prune inside
+    * the join (J ≥ t bounds |A|/|B| within 1/t; the 1e-9 guards float
+    * overshoot — n*t can land 1 ulp above the exact product, which
+    * would reject boundary pairs whose true Jaccard equals the
+    * threshold exactly), then the hash-count Jaccard filter. Collision-
+    * safe superset: set sizes are string-level while only the common
+    * count is hash-level, so hash-Jaccard ≥ true Jaccard (full recall);
+    * callers re-verify survivors against string sets. `sameRelation`
+    * adds the id_a < id_b constraint of the self-join form. */
+  private def jaccardSurvivors(left: DataFrame, right: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleN: Int, threshold: Double,
+                               sameRelation: Boolean): DataFrame = {
+    // join key is the 64-bit shingle hash, not the shingle text: the
+    // join output (quadratic in shingle document frequency) shuffles
+    // 8-byte keys instead of multi-word strings
+    def inv(d: DataFrame, idAs: String, nAs: String) = d
+      .withColumn("_sh", shingles(col(textCol), shingleN))
+      .select(col(idCol).as(idAs), size(col("_sh")).as(nAs),
+        explode(col("_sh")).as("_s0"))
+      .select(col(idAs), col(nAs), xxhash64(col("_s0")).as("_s"))
+    val a = inv(left, "id_a", "_na")
+    val b = inv(right, "id_b", "_nb")
+    val pairCond = if (sameRelation) col("id_a") < col("id_b") else lit(true)
+    a.join(b, a("_s") === b("_s") && pairCond &&
+        col("_na") >= col("_nb") * threshold - lit(1e-9) &&
+        col("_nb") >= col("_na") * threshold - lit(1e-9))
+      .drop(b("_s"))
+      .groupBy("id_a", "id_b", "_na", "_nb")
+      .agg(count(lit(1)).as("_common"))
+      .filter(col("_common").cast("double") /
+        (col("_na") + col("_nb") - col("_common")).cast("double") >= threshold)
+      .select("id_a", "id_b")
   }
 
   /** Exact all-candidates n-gram Jaccard near-dup join via an inverted
@@ -126,34 +170,11 @@ object Dedup {
     * exact output at (cheap hash pass over everything) + (string pass
     * over only the output-sized survivor set). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol), col(textCol))
-      .withColumn("_sh", shingles(col(textCol), shingleN))
-    // join key is the 64-bit shingle hash, not the shingle text: the
-    // self-join output (quadratic in shingle document frequency) then
-    // shuffles 8-byte keys instead of multi-word strings
-    val inv = sh.select(col(idCol), size(col("_sh")).as("_n"),
-      explode(col("_sh")).as("_s0"))
-      .select(col(idCol), col("_n"), xxhash64(col("_s0")).as("_s"))
-    val a = inv.select(col(idCol).as("id_a"), col("_n").as("_na"), col("_s"))
-    val b = inv.select(col(idCol).as("id_b"), col("_n").as("_nb"), col("_s"))
-    // size-ratio prune (exact-safe): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-    // so J ≥ t requires the set sizes to be within a factor of 1/t —
-    // evaluated inside the join so pruned pairs never reach the shuffle
-    // epsilon guards float overshoot: n*t can land 1 ulp above the exact
-    // product (e.g. 450*0.54), which would reject boundary pairs whose
-    // true Jaccard equals the threshold exactly
-    val survivors = a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b") &&
-        col("_na") >= col("_nb") * threshold - lit(1e-9) &&
-        col("_nb") >= col("_na") * threshold - lit(1e-9))
-      .drop(b("_s"))
-      .groupBy("id_a", "id_b", "_na", "_nb")
-      .agg(count(lit(1)).as("_common"))
-      .filter(col("_common").cast("double") /
-        (col("_na") + col("_nb") - col("_common")).cast("double") >= threshold)
-      .select("id_a", "id_b")
-    verifyJaccard(survivors, df, idCol, textCol, threshold, shingleN)
-  }
+                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    verifyJaccard(
+      jaccardSurvivors(df, df, idCol, textCol, shingleN, threshold,
+        sameRelation = true),
+      df, idCol, textCol, threshold, shingleN)
 
   /** Cross-relation n-gram Jaccard near-dup join: pairs (id_a from
     * `left`, id_b from `right`) with shingle-set Jaccard ≥ `threshold` —
@@ -170,38 +191,11 @@ object Dedup {
     * (id, size, shingle-hash) index is persisted across ingests. */
   def ngramJaccardPairsAcross(left: DataFrame, right: DataFrame,
                               idCol: String, textCol: String,
-                              shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    def inv(d: DataFrame, idAs: String, nAs: String) = d
-      .withColumn("_sh", shingles(col(textCol), shingleN))
-      .select(col(idCol).as(idAs), size(col("_sh")).as(nAs),
-        explode(col("_sh")).as("_s0"))
-      .select(col(idAs), col(nAs), xxhash64(col("_s0")).as("_s"))
-    val a = inv(left, "id_a", "_na")
-    val b = inv(right, "id_b", "_nb")
-    // same epsilon-guarded size-ratio prune as ngramJaccardPairs; no
-    // id_a < id_b constraint — the relations are disjoint by contract
-    val survivors = a.join(b, a("_s") === b("_s") &&
-        col("_na") >= col("_nb") * threshold - lit(1e-9) &&
-        col("_nb") >= col("_na") * threshold - lit(1e-9))
-      .drop(b("_s"))
-      .groupBy("id_a", "id_b", "_na", "_nb")
-      .agg(count(lit(1)).as("_common"))
-      .filter(col("_common").cast("double") /
-        (col("_na") + col("_nb") - col("_common")).cast("double") >= threshold)
-      .select("id_a", "id_b")
-    val la = left.select(col(idCol).as("id_a"),
-      shingles(col(textCol), shingleN).as("_wa"))
-    val rb = right.select(col(idCol).as("id_b"),
-      shingles(col(textCol), shingleN).as("_wb"))
-    survivors
-      .join(la, Seq("id_a"))
-      .join(rb, Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("_wa"), col("_wb"))).cast("double") /
-        size(array_union(col("_wa"), col("_wb"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
+                              shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    verifyJaccardAcross(
+      jaccardSurvivors(left, right, idCol, textCol, shingleN, threshold,
+        sameRelation = false),
+      left, right, idCol, textCol, threshold, shingleN)
 
   /** Exact n-gram Jaccard join with PREFIX FILTERING (AllPairs/PPJoin):
     * order each document's shingles by ascending global document
@@ -488,9 +482,11 @@ object Dedup {
   def incrementalDedup(batch: DataFrame, corpus: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
     val withinDeduped = exactDedup(batch, idCol, textCol)
+    // no distinct() on the corpus side: anti-join semantics ignore right
+    // multiplicity, and deduplicating first would shuffle the full text
+    // column once more for nothing
     val seen = corpus
       .select(xxhash64(col(textCol)).as("_h"), col(textCol).as("_seen_text"))
-      .distinct()
     withinDeduped.join(seen,
       xxhash64(withinDeduped(textCol)) === seen("_h") &&
         withinDeduped(textCol) <=> seen("_seen_text"),

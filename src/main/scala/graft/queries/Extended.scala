@@ -140,17 +140,9 @@ object Extended {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, count(1) AS n
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
-    // each event expands into its two overlapping 1 h windows (every
-    // 30 min) — identical to the batch q70 oracle
-    "s7_stream_sliding" ->
-      """SELECT ws AS window_start, event_type, count(1) AS n
-        |FROM (
-        |  SELECT event_type, ts,
-        |    time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS ws
-        |  FROM events, LATERAL (SELECT unnest([0, 1]) AS k) u) t
-        |WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
-        |GROUP BY ws, event_type
-        |ORDER BY window_start, event_type""".stripMargin,
+    // streaming/batch identity is structural: s7 runs the SAME oracle
+    // string as the batch q70 — an edit to one cannot strand the other
+    "s7_stream_sliding" -> Relational4.oracle("q70_sliding_window"),
 
     "s4_stream_dedup" ->
       """SELECT event_type, count(1) AS n

@@ -47,14 +47,18 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  private def windowCounts(events: DataFrame, slide: Option[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(slide.fold(window(col("ts"), "1 hour"))(s =>
+        window(col("ts"), "1 hour", s)), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Tumbling-window counts per event type, 1 h windows, with a
     * watermark bounding state at 2 h of event time. */
   def tumblingCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    windowCounts(events, None)
 
   /** Sliding (overlapping) window counts per event type: 1 h windows
     * every 30 min, so each event lands in two windows. Same state-
@@ -63,11 +67,7 @@ object Streams {
     * (here 2), not by stream length. Streaming counterpart of the batch
     * `q70_sliding_window`. */
   def slidingCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    windowCounts(events, Some("30 minutes"))
 
   /** Session windows per user: events within a 30-minute gap merge into
     * one session. */

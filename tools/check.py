@@ -11,13 +11,22 @@ INTEGER returns HUGEINT, pandas converts that to float64, and the
 driver hash then compares 1.0 vs Spark's int64 1 — value-equal, hash-
 different. A fetchall()-repr compare (rounds 1-2) cannot see that.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [skipOracles]
+  skipOracles: comma-separated query names whose oracle is skipped
+  (checked rows-only instead), or the literal "quadratic" for the
+  known set of shingle-self-join oracles that are impractically slow
+  at sf0.1 (fine at the driver's sf0.01).
 """
 import sys, os, json, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# oracles quadratic in corpus size (shingle self-joins / recursive
+# reachability) — run them at sf0.01, skip at sf0.1 sweeps
+QUADRATIC = ["c2_dedup_minhash", "c4_ngram_jaccard", "c23_dup_clusters",
+             "c33_cluster_keep_best", "c34_incremental_neardup"]
 
 
 def canon(v):
@@ -44,12 +53,17 @@ def rows_of(df):
         if cols else [() for _ in range(len(df))]
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=""):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    skipped = QUADRATIC if skip == "quadratic" else \
+        [s for s in skip.split(",") if s]
+    for name in skipped:
+        if oracle.pop(name, None) is not None:
+            print(f"SKIP-ORACLE {name} (rows-only below)")
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -120,4 +134,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else ""))
