@@ -91,6 +91,16 @@ object Extended {
         .orderBy("window_start", "event_type")
     },
 
+    // stream-stream LEFT OUTER join: matched rows emit like s5; clicks
+    // with no purchase emit null-augmented rows once the watermark
+    // passes their 1 h match horizon (clicks still inside the horizon at
+    // end-of-stream stay in state — the oracle carries the same cutoff)
+    "s8_stream_outer_join" -> { (s, dir) =>
+      Streams.runToCompletionAppend(s,
+          Streams.clickPurchaseLeftJoin(Streams.eventStream(s, dir)), "s8_outer")
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+
     // deterministic seeded generator (reference `import` entry point)
     "e1_generator" -> { (s, _) =>
       Generator.addresses(s, 10000L).orderBy("id")
@@ -162,6 +172,37 @@ object Extended {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    // the final watermark is min(max click_ts, max purchase_ts) - 2 h
+    // (Spark's multi-input watermark policy is min); an unmatched click
+    // emits its null row only if click_ts + 1 h < that watermark.
+    // Spark sorts NULL first — DuckDB defaults NULLS LAST, so pin it.
+    "s8_stream_outer_join" ->
+      """WITH wm AS (
+        |  SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 2 HOUR AS w),
+        |matched AS (
+        |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |         c.ts AS click_ts, p.ts AS purchase_ts
+        |  FROM events c JOIN events p
+        |    ON c.user_id = p.user_id
+        |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+        |unmatched AS (
+        |  SELECT c.user_id, c.event_id AS click_id, NULL::BIGINT AS purchase_id,
+        |         c.ts AS click_ts, NULL::TIMESTAMP AS purchase_ts
+        |  FROM events c CROSS JOIN wm
+        |  WHERE c.event_type = 'click'
+        |    AND c.ts + INTERVAL 1 HOUR < wm.w
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM events p
+        |      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR))
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM unmatched
+        |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin,
 
     "s3_stream_stateful" ->
       """SELECT user_id, event_id,

@@ -105,6 +105,33 @@ object Streams {
               col("click_ts"), col("purchase_ts"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — same state bounds as
+    * the inner `clickPurchaseJoin`, plus null-augmented rows for clicks
+    * that found no purchase. Outer rows can only emit once the
+    * watermark proves no future match is possible (click state expires
+    * at click_ts + 1 h); clicks still inside that horizon when the
+    * stream ends stay in state and never emit their null row — the
+    * batch-equivalence oracle must carry the same cutoff. */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"))
+  }
+
   private def runToMemorySink(spark: SparkSession, streamingDf: DataFrame,
                               name: String, outputMode: String): DataFrame = {
     spark.catalog.dropTempView(name)

@@ -102,6 +102,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("left-outer stream join: null rows emit only past the watermark horizon") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_louter").toString
+    def at(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // final watermark = min(max click, max purchase) - 2h = 09:00 - 2h = 07:00
+    // (purchase max is 10:00). An unmatched click emits its null row iff
+    // click_ts + 1h (its match horizon) < 07:00.
+    val ev = Seq(
+      (1L, 1L, "click", at(0)),      // horizon 01:00 < 07:00 → null row emits
+      (2L, 2L, "click", at(9)),      // horizon 10:00 ≥ 07:00 → held in state
+      (4L, 3L, "click", at(5)),      // matched below → plain row
+      (4L, 4L, "purchase", at(5, 30)),
+      (3L, 5L, "purchase", at(10))   // advances the purchase-side watermark
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$work/ev")
+    val out = Streams.runToCompletionAppend(spark,
+      Streams.clickPurchaseLeftJoin(
+        Streams.replayStream(spark, s"$work/ev", ev.schema, maxFilesPerTrigger = 1)),
+      "t_louter")
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (1L, 1L, None),          // expired horizon → null-augmented
+      (4L, 3L, Some(4L))))     // matched
+    // click 2 (inside the horizon at end-of-stream) must NOT appear
+  }
+
   test("stateful TTL: generous TTL equals no-timeout; short TTL resets inactive users") {
     import java.nio.file.Files
     import graft.streaming.Stateful
