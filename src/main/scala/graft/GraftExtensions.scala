@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, Fingerprint64, WordShingles}
+import graft.functions.{CharNgrams, DotProduct, Fingerprint64, WordChunks, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the graft custom
   * expressions as SQL functions, so `spark.sql("SELECT dot_product(a,b)")`
@@ -25,18 +25,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _: org.apache.spark.sql.types.IntegerType) => n
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be an INT literal, got ${other.sql}")
+  }
+  private def boolLit(e: Expression, fn: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _: org.apache.spark.sql.types.BooleanType) => b
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be a BOOLEAN literal, got ${other.sql}")
+  }
+
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("dot_product", "dot_product(a, b) - dense dot product of two array<double>",
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     ("fingerprint64", "fingerprint64(s) - 64-bit rolling content hash",
       (children: Seq[Expression]) => Fingerprint64(children.head)),
     ("word_shingles", "word_shingles(s, n) - distinct lowercased word n-grams",
-      (children: Seq[Expression]) => children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _: org.apache.spark.sql.types.IntegerType) =>
-          WordShingles(children.head, n)
-        case other => throw new IllegalArgumentException(
-          s"word_shingles: second argument must be an INT literal, got ${other.sql}")
-      }))
+      (children: Seq[Expression]) =>
+        WordShingles(children.head, intLit(children(1), "word_shingles"))),
+    ("word_chunks",
+      "word_chunks(s, n, step, lowercase, fullOnly) - word n-grams with stride",
+      (children: Seq[Expression]) =>
+        WordChunks(children.head,
+          intLit(children(1), "word_chunks"), intLit(children(2), "word_chunks"),
+          boolLit(children(3), "word_chunks"), boolLit(children(4), "word_chunks"))),
+    ("char_ngrams",
+      "char_ngrams(s, n, lowercase) - code-point character n-grams",
+      (children: Seq[Expression]) =>
+        CharNgrams(children.head,
+          intLit(children(1), "char_ngrams"), boolLit(children(2), "char_ngrams"))))
 
   /** Register the same functions on an already-running session (temp
     * functions in the session registry). `spark.sql.extensions=

@@ -46,6 +46,11 @@ class StatefulExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) == ("abc".getBytes.foldLeft(0L)((h, b) => h * 31 + (b & 0xff))))
     assert(r.getInt(2) == 2) // "a b c", "b c d"
+    val r2 = spark.sql(
+      "SELECT word_chunks('A b c d', 2, 2, true, false) AS w, " +
+      "char_ngrams('Höi', 2, true) AS c").collect().head
+    assert(r2.getSeq[String](0) == Seq("a b", "c d"))
+    assert(r2.getSeq[String](1) == Seq("hö", "öi")) // code points, not bytes
   }
 
   test("saltedJoin equals the plain join") {
