@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharNgrams, DotProduct, Fingerprint64, WordChunks, WordShingles}
+import graft.functions.{CharNgrams, DotProduct, Fingerprint64, Mix64, WordChunks, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the graft custom
   * expressions as SQL functions, so `spark.sql("SELECT dot_product(a,b)")`
@@ -41,6 +41,8 @@ object GraftExtensions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     ("fingerprint64", "fingerprint64(s) - 64-bit rolling content hash",
       (children: Seq[Expression]) => Fingerprint64(children.head)),
+    ("mix64", "mix64(h) - murmur3 fmix64 avalanche finalizer over a bigint",
+      (children: Seq[Expression]) => Mix64(children.head)),
     ("word_shingles", "word_shingles(s, n) - distinct lowercased word n-grams",
       (children: Seq[Expression]) =>
         WordShingles(children.head, intLit(children(1), "word_shingles"))),

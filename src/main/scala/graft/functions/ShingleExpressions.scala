@@ -29,9 +29,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"word_shingles requires string input, got ${child.dataType.simpleString}")
+    else if (n <= 0) TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires n > 0, got n=$n")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =
     ShingleUtil.shingles(v.asInstanceOf[UTF8String], n)
@@ -100,10 +102,20 @@ case class WordChunks(child: Expression, n: Int, step: Int,
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_chunks"
 
+  // parameter validation lives here (not in eval): the function is
+  // SQL-exposed with free parameters, and a bad (n, step) must fail
+  // ANALYSIS with a clear message, not surface mid-query as a division
+  // by zero inside ChunkUtil.chunks
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"word_chunks requires string input, got ${child.dataType.simpleString}")
+    else if (n <= 0 || step <= 0) TypeCheckResult.TypeCheckFailure(
+      s"word_chunks requires n > 0 and step > 0, got n=$n step=$step")
+    else if (!fullOnly && n != step && step != 1) TypeCheckResult.TypeCheckFailure(
+      "word_chunks without fullOnly supports only n == step (consecutive " +
+        s"spans) or step == 1 (truncated shingles), got n=$n step=$step; " +
+        "general strides are defined for fullOnly = true only")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =
     ChunkUtil.chunks(v.asInstanceOf[UTF8String], n, step, lowercase, fullOnly)
@@ -127,7 +139,9 @@ object ChunkUtil {
     // start positions 0, step, 2·step … — fullOnly admits only windows
     // of exactly n words; otherwise the count matches the interpreted
     // forms: ceil(len/step) spans when n == step, max(len-n+1, 1)
-    // truncated shingle starts when step == 1
+    // truncated shingle starts when step == 1. Other non-fullOnly
+    // (n, step) combos are rejected by WordChunks.checkInputDataTypes —
+    // this formula is only ever evaluated for the two documented modes.
     val count =
       if (fullOnly) { if (len < n) 0 else (len - n) / step + 1 }
       else (math.max(len - (n - step), step) + step - 1) / step
@@ -203,10 +217,14 @@ case class CharNgrams(child: Expression, n: Int, lowercase: Boolean)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_ngrams"
 
+  // n <= 0 would compute a negative-length byte slice inside
+  // UTF8String.fromBytes — reject at analysis (SQL-exposed function)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"char_ngrams requires string input, got ${child.dataType.simpleString}")
+    else if (n <= 0) TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires n > 0, got n=$n")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =
     ChunkUtil.charNgrams(v.asInstanceOf[UTF8String], n, lowercase)

@@ -50,7 +50,52 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Murmur3 64-bit finalizer (fmix64) over a long: three xorshift-multiply
+  * rounds giving full avalanche — every output bit depends on every input
+  * bit. Composed as `mix64(fingerprint64(s))` it upgrades the Karp–Rabin
+  * fold (whose high bits are zero for short strings) into a usable
+  * 64-bit string hash whose arithmetic is STILL exactly replicable in
+  * DuckDB HUGEINT mod-2⁶⁴ SQL (xor + floor-division shifts + wrapping
+  * multiply) — the property the c3 SimHash oracle needs and xxhash64's
+  * stripe fold lacks. Wrapping multiplies live in generated Java, so
+  * ANSI-mode overflow checking never sees them.
+  */
+case class Mix64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mix64 requires bigint input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any = Mix64.mix(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Mix64.mix($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
+object Mix64 {
+  def mix(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+}
+
 object TextFunctions {
   def fingerprint64(c: Column): Column =
     GraftColumnBridge.column(Fingerprint64(GraftColumnBridge.expression(c)))
+
+  def mix64(c: Column): Column =
+    GraftColumnBridge.column(Mix64(GraftColumnBridge.expression(c)))
 }

@@ -350,11 +350,19 @@ object Dedup {
 
   /** 64-bit SimHash of the word multiset: per bit, sum +1/-1 over each
     * word-hash's bit, then assemble set bits. Single shuffle (the 64
-    * signed sums are one aggregation). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * signed sums are one aggregation).
+    *
+    * `wordHash` picks the 64-bit word hash: xxhash64 (default — the
+    * production choice) or any other well-mixed long hash. The c3 oracle
+    * uses `mix64(fingerprint64(w))`, whose arithmetic DuckDB replicates
+    * exactly (HUGEINT mod-2⁶⁴ — the c11 pattern), making the whole
+    * SimHash pipeline (bit sums, signature assembly, banding, hamming)
+    * value-checkable; xxhash64's stripe fold has no SQL replication. */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+              wordHash: Column => Column = xxhash64(_)): DataFrame = {
     val words = df.select(col(idCol),
       explode(split(lower(col(textCol)), "\\s+")).as("_w"))
-      .withColumn("_h", xxhash64(col("_w")))
+      .withColumn("_h", wordHash(col("_w")))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"_b$i"))
     val agg = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
@@ -368,9 +376,10 @@ object Dedup {
     * blocked on 16-bit bands (any doc pair within hamming 3 of a 64-bit
     * signature must agree exactly on at least one of 4 bands). */
   def simHashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      wordHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only for hamming <= 3")
-    val sig = simHash(df, idCol, textCol)
+    val sig = simHash(df, idCol, textCol, wordHash)
     val bandVals = array((0 until 4).map(bi =>
       shiftright(col("simhash"), bi * 16).bitwiseAND(lit(65535L))): _*)
     val banded = sig.select(col(idCol), col("simhash"),
@@ -400,14 +409,17 @@ object Dedup {
     * Output: (id, n_spans, n_kept, new_text) — `new_text` is "" when
     * every span of the document occurs earlier elsewhere.
     *
-    * Scale shape: one explode → one aggregation keyed by the span text
-    * (min-of-struct winner per span — map-side combined, so the shuffle
-    * carries one row per distinct span per task) → one per-document
-    * reassembly aggregation keyed by id. The corpus text crosses the
-    * wire once per stage; nothing is broadcast or collected. At 100 TB
-    * the span key can be salted by xxhash64 prefix exactly like
-    * `exactDedup` — grouping directly on the span string keeps the
-    * DuckDB oracle byte-identical here. */
+    * Scale shape: one explode → one aggregation keyed by
+    * (xxhash64(span), span) — `exactDedup`'s two-level shape: map-side
+    * partial aggregation collapses each distinct span to one row per
+    * task, and the exchange's hash partitioning and sort comparisons
+    * run on the leading 8-byte hash, so the multi-word span text rides
+    * the shuffle as payload instead of being re-compared as the hot
+    * key — then one per-document reassembly aggregation keyed by id.
+    * The corpus text crosses the wire once per stage; nothing is
+    * broadcast or collected. The hash is a pure function of the span,
+    * so the grouped result (and the DuckDB oracle) is byte-identical
+    * to grouping on the span alone. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 spanWords: Int = 10): DataFrame = {
     require(spanWords > 0, s"spanWords must be positive, got $spanWords")
@@ -424,7 +436,8 @@ object Dedup {
     // first occurrence per distinct span: min of (id, position) struct
     // (lexicographic struct ordering — one map-side-combined aggregation)
     val kept = exploded
-      .groupBy(col("_span"))
+      .withColumn("_h", xxhash64(col("_span")))
+      .groupBy(col("_h"), col("_span"))
       .agg(min(struct(col(idCol), col("_idx"))).as("_k"))
       .select(col("_k").getField(idCol).as(idCol),
         col("_k").getField("_idx").as("_idx"), col("_span"))
@@ -449,22 +462,30 @@ object Dedup {
     * the longest/cleanest copy of a near-dup group, drop the rest).
     * Ties break on ascending id, so selection is total.
     *
-    * Scale shape: one window partitioned by cluster_rep (clusters are
-    * small — bounded by dup-group size, not corpus size), after an
-    * id-keyed join of quality onto membership. Singleton clusters pass
-    * through untouched. */
+    * Scale shape: ONE map-side-combined aggregation per cluster_rep
+    * (count + `max_by` over the (quality, -id) ordering struct) after an
+    * id-keyed join of quality onto membership. Dup clusters are usually
+    * small, but the real-world exception — one boilerplate string shared
+    * by millions of documents — is exactly where a
+    * window-partitioned-by-cluster formulation lands the whole cluster
+    * in a single task and sorts it; the aggregation form combines
+    * partials per task, so a giant cluster costs one state row per task
+    * instead of one single-task sort. Singleton clusters pass through
+    * untouched. A NULL quality orders below every non-NULL one (struct
+    * comparison, NULLS-smallest), matching the window form's
+    * desc-NULLS-last; id must be non-NULL within `clusters`. */
   def keepBestPerCluster(clusters: DataFrame, df: DataFrame,
                          idCol: String, qualityCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val joined = clusters.join(df.select(col(idCol), col(qualityCol)), Seq(idCol))
-    val w = Window.partitionBy(col("cluster_rep"))
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
     joined
-      .withColumn("cluster_size", count(lit(1)).over(
-        Window.partitionBy(col("cluster_rep"))))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("cluster_rep"), col(idCol), col(qualityCol), col("cluster_size"))
+      .groupBy(col("cluster_rep"))
+      .agg(
+        // argmax by (quality asc-last, then SMALLEST id wins → negate)
+        max_by(struct(col(idCol), col(qualityCol)),
+          struct(col(qualityCol), -col(idCol))).as("_best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_rep"), col("_best").getField(idCol).as(idCol),
+        col("_best").getField(qualityCol).as(qualityCol), col("cluster_size"))
   }
 
   /** Incremental ingestion dedup: drop documents from `batch` whose text
@@ -487,8 +508,12 @@ object Dedup {
     // column once more for nothing
     val seen = corpus
       .select(xxhash64(col(textCol)).as("_h"), col(textCol).as("_seen_text"))
+    // null-safe on BOTH conjuncts: xxhash64(NULL) is NULL, and a plain
+    // `===` on the hash would null the whole condition, letting a
+    // NULL-text batch row slip past a NULL-text corpus — inconsistent
+    // with exactDedup, which treats NULL as one distinct text throughout
     withinDeduped.join(seen,
-      xxhash64(withinDeduped(textCol)) === seen("_h") &&
+      xxhash64(withinDeduped(textCol)) <=> seen("_h") &&
         withinDeduped(textCol) <=> seen("_seen_text"),
       "left_anti")
   }

@@ -176,6 +176,12 @@ object Extended {
     // the final watermark is min(max click_ts, max purchase_ts) - 2 h
     // (Spark's multi-input watermark policy is min); an unmatched click
     // emits its null row only if click_ts + 1 h < that watermark.
+    // The STRICT < pins Spark's observed eviction boundary: a click
+    // whose match horizon lands EXACTLY on the final watermark keeps
+    // its state (no null row) — StreamingSpec ("outer-join null row…")
+    // locks that tie case with a synthetic fixture, so a fixture
+    // regeneration that lands a click on the boundary cannot silently
+    // flip this oracle's <.
     // Spark sorts NULL first — DuckDB defaults NULLS LAST, so pin it.
     "s8_stream_outer_join" ->
       """WITH wm AS (

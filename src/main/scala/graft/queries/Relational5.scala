@@ -33,16 +33,23 @@ object Relational5 {
     // fuzzy string matching: near-identical value pairs by edit
     // distance — the cheap cousin of the shingle-Jaccard near-dup ops,
     // right for short strings (brands/titles/names). Distinct-value
-    // pairs only, so the quadratic term is over the (small) domain, not
-    // the table.
+    // pairs only, so the quadratic term is over the domain, not the
+    // table — and the standard length prune runs INSIDE the join
+    // condition: levenshtein(a,b) >= |len(a)-len(b)|, so pairs whose
+    // lengths differ by more than the distance cap are rejected before
+    // the O(len²) edit-distance DP ever evaluates. On a
+    // high-cardinality domain (titles, names) that prune is what keeps
+    // the quadratic term from being a bare cross join.
     "q74_fuzzy_match" -> { (s, dir) =>
+      val maxDist = 2
       val brands = t(s, dir, "part").select(col("p_brand")).distinct()
       val a = brands.select(col("p_brand").as("brand_a"))
       val b = brands.select(col("p_brand").as("brand_b"))
-      a.join(b, col("brand_a") < col("brand_b"))
+      a.join(b, col("brand_a") < col("brand_b") &&
+          abs(length(col("brand_a")) - length(col("brand_b"))) <= maxDist)
         .select(col("brand_a"), col("brand_b"),
           levenshtein(col("brand_a"), col("brand_b")).as("dist"))
-        .filter(col("dist") <= 2)
+        .filter(col("dist") <= maxDist)
         .orderBy("brand_a", "brand_b")
     },
 

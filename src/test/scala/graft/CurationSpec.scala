@@ -53,6 +53,16 @@ class CurationSpec extends AnyFunSuite {
     assert(out.getInt(1) == 2 && out.getString(3) == "a b c d")
   }
 
+  test("spanDedup shuffles the first-occurrence agg on the 8-byte span hash") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Dedup.spanDedup(docs, "doc_id", "text", spanWords = 10)
+      .queryExecution.executedPlan.toString
+    // the span-dedup aggregation must partition on (xxhash64(span), span)
+    // — exactDedup's two-level shape — never on the raw span string alone
+    assert("hashpartitioning\\(_h#".r.findFirstIn(plan).isDefined,
+      s"expected the span exchange keyed by the hash column, plan:\n$plan")
+  }
+
   // ---- incrementalDedup ----------------------------------------------
 
   test("incrementalDedup dedups within batch then drops corpus-known texts") {
@@ -166,6 +176,40 @@ class CurationSpec extends AnyFunSuite {
     assert(out(0) == ((1L, 2L, 9L, 2L)))  // quality 9 beats 5
     assert(out(1) == ((3L, 3L, 7L, 2L)))  // tie at 7 → smaller id
     assert(out(2) == ((5L, 5L, 2L, 1L)))  // singleton passes through
+  }
+
+  test("keepBestPerCluster: a million-row single cluster aggregates without a window sort") {
+    // the real-world skew case — one boilerplate string shared by a
+    // million documents lands ALL membership rows in one cluster_rep;
+    // the aggregation form map-side-combines it, where a
+    // window-partitioned-by-cluster formulation would sort the whole
+    // cluster in a single task (twice)
+    val n = 1000000L
+    val clusters = spark.range(n).select(col("id"), lit(0L).as("cluster_rep"))
+    val quality = spark.range(n).select(col("id"), (col("id") % 1000).as("q"))
+    val df = Dedup.keepBestPerCluster(clusters, quality, "id", "q")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keep-best must be an aggregation, not a window, plan:\n$plan")
+    val out = df.collect()
+    assert(out.length == 1)
+    val r = out.head
+    // max quality 999, ties (ids 999, 1999, …) break on SMALLEST id
+    assert(r.getLong(0) == 0L && r.getLong(1) == 999L &&
+      r.getLong(2) == 999L && r.getLong(3) == n)
+  }
+
+  test("incrementalDedup: a corpus NULL text blocks a batch NULL text (null-safe hash key)") {
+    val corpus = Seq((Some(10L), Some("known")), (Some(11L), Option.empty[String]))
+      .toDF("id", "text")
+    val batch = Seq((Some(20L), Option.empty[String]), (Some(21L), Some("fresh")))
+      .toDF("id", "text")
+    // xxhash64(NULL) is NULL: a non-null-safe hash equi-key would null
+    // the whole join condition and let batch row 20 slip past corpus
+    // row 11 — inconsistent with exactDedup's NULL-as-one-text semantics
+    val kept = Dedup.incrementalDedup(batch, corpus, "id", "text")
+      .select("id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(21L)))
   }
 
   // ---- CharNgrams ----------------------------------------------------

@@ -110,12 +110,17 @@ class StreamingSpec extends AnyFunSuite {
     def at(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
     // final watermark = min(max click, max purchase) - 2h = 09:00 - 2h = 07:00
     // (purchase max is 10:00). An unmatched click emits its null row iff
-    // click_ts + 1h (its match horizon) < 07:00.
+    // click_ts + 1h (its match horizon) < 07:00 — STRICTLY: click 6's
+    // horizon lands EXACTLY on the watermark and must stay in state.
+    // This pins the eviction boundary the s8 oracle's `< wm` encodes; if
+    // a Spark upgrade or fixture regeneration flips the tie, this test
+    // fails before the driver's oracle comparison silently diverges.
     val ev = Seq(
       (1L, 1L, "click", at(0)),      // horizon 01:00 < 07:00 → null row emits
       (2L, 2L, "click", at(9)),      // horizon 10:00 ≥ 07:00 → held in state
       (4L, 3L, "click", at(5)),      // matched below → plain row
       (4L, 4L, "purchase", at(5, 30)),
+      (5L, 6L, "click", at(6)),      // horizon 07:00 == watermark → held (tie case)
       (3L, 5L, "purchase", at(10))   // advances the purchase-side watermark
     ).toDF("user_id", "event_id", "event_type", "ts")
     ev.coalesce(1).write.mode("overwrite").parquet(s"$work/ev")
@@ -128,7 +133,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(
       (1L, 1L, None),          // expired horizon → null-augmented
       (4L, 3L, Some(4L))))     // matched
-    // click 2 (inside the horizon at end-of-stream) must NOT appear
+    // click 2 (inside the horizon) and click 6 (horizon exactly at the
+    // watermark) must NOT appear
   }
 
   test("stateful TTL: generous TTL equals no-timeout; short TTL resets inactive users") {
