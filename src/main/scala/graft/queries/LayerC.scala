@@ -37,9 +37,16 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures)
+    // SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures). The
+    // word hash here is mix64(fingerprint64(w)) — full-avalanche and
+    // EXACTLY replicable in DuckDB HUGEINT mod-2⁶⁴ arithmetic, so the
+    // entire SimHash pipeline (per-bit signed sums, signature assembly,
+    // band-blocked pairing, hamming filter) is value-checked end to end;
+    // the xxhash64 default stays the production word hash (DedupSpec).
     "c3_dedup_simhash" -> { (s, dir) =>
-      Dedup.simHashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      import graft.functions.TextFunctions.{fingerprint64, mix64}
+      Dedup.simHashDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3,
+          wordHash = w => mix64(fingerprint64(w)))
         .orderBy("id_a", "id_b")
     },
 
@@ -70,14 +77,19 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
-    // approximate top-20 pairs via SRP-LSH buckets (scale path of c5)
+    // approximate top-20 pairs via SRP-LSH buckets (scale path of c5).
+    // Run at EXHAUSTIVE parameters — 48 tables × 4 pinned bits reach
+    // total recall on the near-orthogonal fixture (deterministic:
+    // seed-fixed hyperplanes), so the whole pipeline (signing, banding,
+    // bucket join, dedup, exact-cosine ranking) must equal brute force
+    // and c5's DuckDB oracle pins every emitted pair and cosine — the
+    // c14/c16 pattern. nBits pinned: auto-sizing grows buckets with
+    // corpus rows and would quietly lower recall at sf0.1, breaking the
+    // oracle equality. The pruned-recall regime (12 tables, recall
+    // quantified vs brute force) stays in SimilaritySpec.
     "c7_ann_lsh" -> { (s, dir) =>
-      // fixture vectors are near-orthogonal (top cosine ≈ 0.5) — the
-      // hardest LSH regime, hence 12 tables; bucket bits auto-size to
-      // the corpus (nBits=0 → 2^bits ≈ n/32). Corpora with true
-      // near-dups (cos ≥ 0.9) need far fewer tables.
       Similarity.annPairsTopK(embs(s, dir), "vec_id", "embedding", 20,
-          nBits = 0, nTables = 12, dim = 64, seed = 7L)
+          nBits = 4, nTables = 48, dim = 64, seed = 7L)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
     },
@@ -390,6 +402,62 @@ object LayerC {
     """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)""".stripMargin
 
+  /** SimHash replicated end-to-end in DuckDB: the Karp–Rabin fold (c11's
+    * HUGEINT pattern) feeds murmur3's fmix64 finalizer — xorshifts are
+    * `xor` + floor-division, the two 64×64 wrapping multiplies split
+    * into 32-bit halves (a full product would overflow HUGEINT's 127
+    * value bits) — then the 64 signed bit-sums, signature assembly and
+    * signed conversion, and the hamming-≤3 pair filter. Banding is
+    * omitted on purpose: 4-band blocking over 64 bits has total recall
+    * for hamming ≤ 3 (pigeonhole), so the Spark band-join result equals
+    * the plain quadratic filter. Constants derive from Mix64's at
+    * compile time — they cannot drift apart silently. */
+  private val simhashSql: String = {
+    val P = "18446744073709551616::HUGEINT"
+    def mul(k: Long): String = {
+      val hi = k >>> 32
+      val lo = k & 0xffffffffL
+      s"""((v * ${lo}::HUGEINT) % $P +
+         |      ((v * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $P""".stripMargin
+    }
+    val xs = "xor(v, v // 8589934592::HUGEINT)"
+    s"""WITH wx AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT w FROM wx),
+       |kr AS (
+       |  SELECT w, list_reduce(list_prepend(0::HUGEINT,
+       |    [CAST(('0x' || substring(hex(encode(w)), 2*i+1, 2)) AS INTEGER)::HUGEINT
+       |     FOR i IN range(length(hex(encode(w)))//2)]),
+       |    (acc, x) -> (acc * 31 + x) % $P) AS v
+       |  FROM dw),
+       |mx1 AS (SELECT w, $xs AS v FROM kr),
+       |mx2 AS (SELECT w, ${mul(0xff51afd7ed558ccdL)} AS v FROM mx1),
+       |mx3 AS (SELECT w, $xs AS v FROM mx2),
+       |mx4 AS (SELECT w, ${mul(0xc4ceb9fe1a85ec53L)} AS v FROM mx3),
+       |mx AS (SELECT w, $xs AS h FROM mx4),
+       |dc AS (SELECT doc_id, w, count(1) AS n FROM wx GROUP BY doc_id, w),
+       |bits AS (
+       |  SELECT doc_id, i, sum(CASE WHEN (h // CAST(power(2, i) AS HUGEINT)) % 2 = 1
+       |                             THEN n ELSE -n END) AS s
+       |  FROM dc JOIN mx USING (w)
+       |  CROSS JOIN (SELECT unnest(range(64)) AS i) bi
+       |  GROUP BY doc_id, i),
+       |us AS (
+       |  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(power(2, i) AS HUGEINT)
+       |                          ELSE 0::HUGEINT END) AS u
+       |  FROM bits GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |                           THEN u - $P ELSE u END AS BIGINT) AS sig
+       |  FROM us)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val ngramJaccardSql =
     s"""WITH $shingleCteSql
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -414,6 +482,20 @@ object LayerC {
       |SELECT query_id, nn_id, round(raw_cos, 6) AS cosine, rank
       |FROM r WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+
+  // selection is top-20 by RAW cosine (mirrors bruteForcePairsTopK's
+  // internal limit); presentation order is by the ROUNDED value
+  // (mirrors the query's final orderBy). Shared verbatim by c7 (LSH at
+  // total-recall parameters == brute force).
+  private val oracleC5: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+      |top AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_cosine_similarity(a.e, b.e) AS raw
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  ORDER BY raw DESC, id_a, id_b LIMIT 20)
+      |SELECT id_a, id_b, round(raw, 6) AS cosine FROM top
+      |ORDER BY cosine DESC, id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "c15_embedding_dedup" ->
@@ -533,6 +615,7 @@ object LayerC {
 
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,
+    "c3_dedup_simhash" -> simhashSql,
 
     // same shared shingle derivation, batch side vs corpus side
     "c34_incremental_neardup" ->
@@ -587,18 +670,7 @@ object LayerC {
          |FROM best WHERE rk = 1
          |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
-    // selection is top-20 by RAW cosine (mirrors bruteForcePairsTopK's
-    // internal limit); presentation order is by the ROUNDED value
-    // (mirrors the query's final orderBy)
-    "c5_cosine_topk" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
-        |top AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_cosine_similarity(a.e, b.e) AS raw
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |  ORDER BY raw DESC, id_a, id_b LIMIT 20)
-        |SELECT id_a, id_b, round(raw, 6) AS cosine FROM top
-        |ORDER BY cosine DESC, id_a, id_b""".stripMargin,
+    "c5_cosine_topk" -> oracleC5,
 
     "c6_knn" -> knnOracleSql,
 
@@ -791,6 +863,9 @@ object LayerC {
     // judge's round-2 ask: value-check the ANN rows, not just count)
     "c14_ann_knn" -> knnOracleSql,
     "c16_ivf_knn" -> knnOracleSql,
+    // c7 runs exhaustive LSH parameters (total recall on the fixture) →
+    // equals the exact top-20 pair set and shares c5's oracle verbatim
+    "c7_ann_lsh" -> oracleC5,
 
     "c8_text_quality" ->
       s"""SELECT doc_id,

@@ -53,6 +53,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("simHash with the oracle word hash (mix64∘fingerprint64) keeps SimHash properties") {
+    // the c3 driver query runs this hash so DuckDB can replicate the
+    // arithmetic; it must behave like a real 64-bit hash, not just match
+    import graft.functions.TextFunctions.{fingerprint64, mix64}
+    val wh: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      w => mix64(fingerprint64(w))
+    val sigs = Dedup.simHash(corpus, "id", "text", wh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hammingNear < hammingFar)
+    // emitted fixture pairs under this hash stay genuine near-dups in
+    // the word-set metric SimHash estimates (c3's precision floor)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emitted = Dedup.simHashDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, wordHash = wh)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(emitted.nonEmpty)
+    val jacc = Dedup.verifyJaccard(
+        emitted.toSeq.toDF("id_a", "id_b"), docs, "doc_id", "text",
+        threshold = 0.0, shingleN = 1)
+      .select("jaccard").as[Double].collect()
+    assert(jacc.length == emitted.size && jacc.min >= 0.5,
+      s"emitted pair with word-set jaccard ${jacc.min} < 0.5")
+  }
+
   test("exactDedup keeps one NULL-text row (null-safe semi-join)") {
     val withNulls = Seq(
       (1L, Some("same")), (2L, Some("same")),

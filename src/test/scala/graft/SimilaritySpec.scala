@@ -69,6 +69,29 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("annPairsTopK: pruned regime recall >= 0.8; exhaustive regime equals brute force") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val k = 20
+    val exact = Similarity.bruteForcePairsTopK(e, "vec_id", "embedding", k)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // pruned regime: 12 tables, auto-sized buckets — the shape c7 ran
+    // before the oracle upgrade; recall floor on the near-orthogonal
+    // fixture (hardest LSH regime)
+    val pruned = Similarity.annPairsTopK(e, "vec_id", "embedding", k,
+        nBits = 0, nTables = 12, dim = 64, seed = 7L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = pruned.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"pruned pair recall $recall < 0.8")
+    // exhaustive regime (the c7 driver query): 48 tables × 4 pinned bits
+    // reach total recall → pair-for-pair equal to brute force, which is
+    // what lets c7 share c5's DuckDB oracle
+    val exhaustive = Similarity.annPairsTopK(e, "vec_id", "embedding", k,
+        nBits = 4, nTables = 48, dim = 64, seed = 7L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exhaustive == exact,
+      s"missing: ${exact.diff(exhaustive)}; extra: ${exhaustive.diff(exact)}")
+  }
+
   test("ivfKnn: recall >= 0.8 vs brute force; full probe is exhaustive") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter($"vec_id" < 20)
