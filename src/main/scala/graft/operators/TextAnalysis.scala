@@ -133,6 +133,72 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Iterated BPE merge-table builder — the actual tokenizer-training
+    * loop that `bpePairCounts` (one counting pass) feeds: `numMerges`
+    * rounds of (count adjacent symbol pairs weighted by word frequency →
+    * pick argmax, ties on (freq desc, left asc, right asc) → re-segment
+    * every word by merging that pair greedily left-to-right), emitting
+    * the ranked merge table (merge_rank, lhs, rhs, freq).
+    *
+    * Representation: each word's segmentation is ONE string with every
+    * symbol wrapped in U+0001 markers (`(S)sym(S)(S)sym(S)…`), so a
+    * merge is a codegen'd literal `replace` of `(S)l(S)(S)r(S)`
+    * with `(S)lr(S)` — both Spark and the DuckDB oracle scan
+    * left-to-right past each replacement without rescanning it, which
+    * IS greedy BPE merging ("a a a" + (a,a) → [aa, a]), and the fully
+    * consumed per-symbol delimiters make adjacent merges ("a b a b" +
+    * (a,b) → [ab, ab]) land correctly where a shared single-space
+    * delimiter would swallow the next match's lead-in. The separator
+    * must not occur inside any word (checked against the vocabulary).
+    *
+    * Scale shape: everything iterates on the word-frequency table —
+    * vocabulary-bounded, never corpus-bounded (the one corpus pass is
+    * the initial word count). Per round: one vocab-sized aggregation,
+    * a 1-row argmax collect (the `dupClusters` scalar-per-round
+    * pattern), one codegen'd replace projection; `localCheckpoint`
+    * cuts the growing lineage each round. */
+  def bpeMergeTable(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val SEP = "\u0001"
+    val words = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    require(words.filter(col("w").contains(SEP)).isEmpty,
+      "bpeMergeTable: corpus words contain the \\u0001 segmentation separator")
+    var seg = words.select(
+      concat(lit(SEP),
+        array_join(graft.functions.ChunkFunctions.char_ngrams(
+          col("w"), 1, lowercase = false), SEP + SEP),
+        lit(SEP)).as("seg"),
+      col("c")).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to numMerges) {
+      // adjacent symbol pairs: l at 0-based i, r one past it (1-based
+      // element_at) — a 1-symbol word slices to empty and yields none
+      val top = seg
+        .select(col("c"),
+          split(col("seg").substr(lit(2), length(col("seg")) - 2), SEP + SEP).as("ss"))
+        .select(col("c"), col("ss"),
+          posexplode(slice(col("ss"), lit(1), size(col("ss")) - 1)).as(Seq("i", "l")))
+        .select(col("c"), col("l"), element_at(col("ss"), col("i") + 2).as("r"))
+        .groupBy("l", "r").agg(sum("c").as("freq"))
+        .orderBy(desc("freq"), asc("l"), asc("r"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"bpeMergeTable: corpus exhausted mergeable pairs at round $round of $numMerges")
+      val (l, r, f) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      merges += ((round, l, r, f))
+      if (round < numMerges)
+        seg = seg.withColumn("seg",
+          replace(col("seg"), lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP)))
+          .localCheckpoint()
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
   /** Per-document unigram language-model score: the corpus's own token
     * frequencies become the model, and each document scores the average
     * log-probability of its tokens — the classic cheap perplexity proxy

@@ -301,6 +301,14 @@ object LayerC {
       TextAnalysis.pmiCollocations(docs(s, dir), "text", k = 50, minCount = 5L)
     },
 
+    // iterated BPE merge-table build (10 rounds with re-segmentation
+    // between them) — the tokenizer-training loop c21's single counting
+    // pass feeds; the DuckDB oracle unrolls the same 10 rounds
+    "c36_bpe_merges" -> { (s, dir) =>
+      TextAnalysis.bpeMergeTable(docs(s, dir), "text", numMerges = 10)
+        .orderBy("merge_rank")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -456,6 +464,50 @@ object LayerC {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The BPE merge loop unrolled to `k` rounds of plain SQL (argmax per
+    * round bars a recursive CTE: aggregates aren't allowed in the
+    * recursive term). Each round re-derives pair counts from the
+    * previous segmentation and re-segments by the same U+0001-wrapped
+    * literal replace the Spark operator uses — both engines' `replace`
+    * scans left-to-right past each substitution, which IS greedy BPE
+    * merging, and the fully consumed per-symbol delimiters keep
+    * adjacent merges ("a b a b") exact. Generated from the SAME round
+    * count as the query, so they cannot drift apart. */
+  private def bpeMergeSql(k: Int): String = {
+    val S = "chr(1)"
+    val SS = "chr(1)||chr(1)"
+    val head =
+      s"""w0 AS (
+         |  SELECT w, count(1) AS c FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |    FROM documents) t
+         |  WHERE w <> '' GROUP BY w),
+         |seg0 AS (
+         |  SELECT $S || array_to_string(
+         |      [substring(w, i, 1) FOR i IN range(1, length(w)+1)], $SS) || $S AS seg,
+         |    c
+         |  FROM w0)""".stripMargin
+    val rounds = (1 to k).flatMap { i =>
+      val pick =
+        s"""p$i AS (
+           |  SELECT l, r, CAST(sum(c) AS BIGINT) AS freq FROM (
+           |    SELECT string_split(substring(seg, 2, length(seg)-2), $SS) AS ss, c
+           |    FROM seg${i - 1}) x,
+           |    LATERAL (SELECT unnest(ss[1:len(ss)-1]) AS l,
+           |                    unnest(ss[2:len(ss)]) AS r) u
+           |  GROUP BY l, r ORDER BY freq DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+      val reseg =
+        s"""seg$i AS (
+           |  SELECT replace(seg, $S||l||$SS||r||$S, $S||l||r||$S) AS seg, c
+           |  FROM seg${i - 1} CROSS JOIN p$i)""".stripMargin
+      if (i < k) Seq(pick, reseg) else Seq(pick)
+    }
+    val unions = (1 to k)
+      .map(i => s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, freq FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"WITH ${(head +: rounds).mkString(",\n")}\n$unions\nORDER BY merge_rank"
   }
 
   private val ngramJaccardSql =
@@ -616,6 +668,7 @@ object LayerC {
     "c2_dedup_minhash" -> ngramJaccardSql,
     "c4_ngram_jaccard" -> ngramJaccardSql,
     "c3_dedup_simhash" -> simhashSql,
+    "c36_bpe_merges" -> bpeMergeSql(10),
 
     // same shared shingle derivation, batch side vs corpus side
     "c34_incremental_neardup" ->

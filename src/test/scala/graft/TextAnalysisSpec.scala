@@ -26,6 +26,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Int]("bpe_tokens") == 6)
   }
 
+  test("bpeMergeTable: hand-computed merges with greedy re-segmentation") {
+    // words: aaab×2, ab×1
+    // r1: (a,a)=4 beats (a,b)=3 → aaab segments [aa,a,b] (greedy L-to-R)
+    // r2: (a,b)=3 beats (aa,a)=2 → [aa,ab] / [ab]
+    // r3: (aa,ab)=2
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("id", "text")
+    val out = TextAnalysis.bpeMergeTable(docs, "text", numMerges = 3)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+    // a 4th round has no pairs left → loud failure, not a short table
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.bpeMergeTable(docs, "text", numMerges = 4).collect()
+    }
+  }
+
+  test("bpeMergeTable: adjacent merges land exactly; ties break on (lhs, rhs)") {
+    // "abab": (a,b)=2 > (b,a)=1; greedy merge must produce [ab, ab] so
+    // round 2 finds (ab, ab) — a delimiter-sharing representation would
+    // miss the second merge and emit (ab, a) instead
+    val abab = Seq((1L, "abab")).toDF("id", "text")
+    val out = TextAnalysis.bpeMergeTable(abab, "text", numMerges = 2)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)))
+    // tie at freq 1 between (a,b) and (c,d) → lexicographically first
+    val tie = Seq((1L, "cd ab")).toDF("id", "text")
+    val first = TextAnalysis.bpeMergeTable(tie, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).head
+    assert(first == (("a", "b")))
+  }
+
   test("langId prefers the language whose trigrams dominate") {
     val df = Seq(
       (1L, "the thing and the other thing of the kind"),
