@@ -10,13 +10,15 @@ import javax.imageio.ImageIO
 /** Multimodal column handling: media as opaque `binary` payloads with a
   * typed metadata struct, plus per-partition feature extraction.
   *
-  * Images and audio are REAL: image payloads are JPEG/PNG bytes encoded
-  * with `javax.imageio`, audio payloads are WAV/PCM encoded with
-  * `javax.sound.sampled.AudioSystem` (both JDK built-ins — no external
-  * codecs), and feature extraction decodes actual pixels / samples.
-  * Only video remains a deterministic stand-in (the JDK genuinely ships
-  * no H.264/MP4 codec): its features come from `byteHistogram`,
-  * documented as the stub it is.
+  * Images, audio AND video are REAL: image payloads are JPEG/PNG bytes
+  * encoded with `javax.imageio`, audio payloads are WAV/PCM encoded
+  * with `javax.sound.sampled.AudioSystem`, and video payloads are
+  * MJPEG-in-AVI containers (RIFF chunk tree + per-frame JPEGs) that
+  * `decodeAviFrames` parses and decodes frame-by-frame — all JDK
+  * built-ins, no external codecs. Feature extraction decodes actual
+  * pixels / samples / frames. Codecs the JDK genuinely lacks (H.264
+  * etc.) degrade to the byte-histogram fallback and the chunk-named
+  * `sampleChunks` path, both documented as the stand-ins they are.
   *
   * At 100 TB: payloads stay columnar in parquet (binary column), feature
   * extraction is embarrassingly parallel per partition (iterator-to-
@@ -37,7 +39,7 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = true),
     StructField("meta", metadataType, nullable = true)))
 
-  private val mimes = Array("image/jpeg", "image/png", "audio/wav", "video/mp4")
+  private val mimes = Array("image/jpeg", "image/png", "audio/wav", "video/avi")
 
   /** Deterministic synthetic image for `seed`: a smooth two-axis gradient
     * with seed-dependent channel offsets (smooth → stable under JPEG),
@@ -155,11 +157,98 @@ object Multimodal {
     (math.sqrt(if (samples.isEmpty) 0.0 else sq / samples.length), peak)
   }
 
+  /** Minimal RIFF/AVI container around per-frame JPEGs (the MJPG
+    * codec): `avih` main header, one `vids/MJPG` stream (`strh` +
+    * BITMAPINFOHEADER `strf`), and a `movi` list of `00dc` frame chunks
+    * each holding one ImageIO-encoded JPEG. Frames vary deterministically
+    * with the frame index. This is a REAL video container the JDK can
+    * fully decode frame-by-frame (JPEG via javax.imageio) — no external
+    * codec needed, unlike H.264/MP4. */
+  def encodeMjpegAvi(seed: Long, w: Int, h: Int, nFrames: Int,
+                     fps: Int = 10): Array[Byte] = {
+    require(nFrames > 0 && fps > 0, s"need nFrames/fps > 0, got $nFrames/$fps")
+    val jpegs = (0 until nFrames).map(f => encodeImage(seed + 31L * f, w, h, "jpg"))
+    def u32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      fcc(id) ++ u32(body.length.toLong) ++ body ++ pad
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ u32(body.length + 4L) ++ fcc(listType) ++ body
+    val maxFrame = jpegs.map(_.length).max
+    val avih = u32(1000000L / fps) ++ u32(maxFrame.toLong * fps) ++ u32(0) ++
+      u32(0) ++ u32(nFrames.toLong) ++ u32(0) ++ u32(1) ++ u32(maxFrame.toLong) ++
+      u32(w.toLong) ++ u32(h.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ u32(0) ++ u16(0) ++ u16(0) ++
+      u32(0) ++ u32(1) ++ u32(fps.toLong) ++ u32(0) ++ u32(nFrames.toLong) ++
+      u32(maxFrame.toLong) ++ u32(0xffffffffL) ++ u32(0) ++
+      u16(0) ++ u16(0) ++ u16(w) ++ u16(h)
+    val strf = u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++ u16(1) ++ u16(24) ++
+      fcc("MJPG") ++ u32(w.toLong * h * 3) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val riffBody = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ u32(riffBody.length.toLong) ++ riffBody
+  }
+
+  /** Decode an MJPEG/AVI payload: walk the RIFF chunk tree, decode every
+    * `..dc`/`..db` frame chunk in the `movi` list via javax.imageio, and
+    * derive the duration from the `avih` header (µs-per-frame × total
+    * frames). None when the bytes are null/truncated/not RIFF-AVI or no
+    * frame decodes — undecodable VIDEO codecs (H.264 etc., which the JDK
+    * genuinely lacks) degrade to the byte-histogram fallback upstream. */
+  def decodeAviFrames(payload: Array[Byte]): Option[(Seq[BufferedImage], Long)] = {
+    if (payload == null || payload.length < 12) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      if (fourcc() != "RIFF") return None
+      bb.getInt
+      if (fourcc() != "AVI ") return None
+      var usPerFrame = 0L
+      var totalFrames = 0L
+      val frames = scala.collection.mutable.ArrayBuffer[BufferedImage]()
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = fourcc()
+          val size = bb.getInt
+          val dataStart = bb.position()
+          val dataEnd = dataStart + size
+          if (size < 0 || dataEnd > end) return
+          if (id == "LIST") {
+            fourcc() // list type — recurse regardless (hdrl/strl/movi)
+            walk(dataEnd)
+          } else if (id == "avih" && size >= 24) {
+            usPerFrame = bb.getInt & 0xffffffffL
+            bb.getInt; bb.getInt; bb.getInt
+            totalFrames = bb.getInt & 0xffffffffL
+          } else if (id.endsWith("dc") || id.endsWith("db")) {
+            val buf = new Array[Byte](size)
+            bb.get(buf)
+            decodeImage(buf).foreach(frames += _)
+          }
+          bb.position(dataEnd + (size & 1)) // chunks pad to even length
+        }
+      }
+      walk(payload.length)
+      if (frames.isEmpty) None
+      else Some((frames.toSeq, usPerFrame * totalFrames / 1000L))
+    } catch { case _: Exception => None }
+  }
+
   /** Attach a binary payload + metadata struct to the documents fixture.
     * Image mimes get REAL encoded JPEG/PNG bytes (deterministic gradient,
     * small dims so decode stays cheap at any SF); audio gets a REAL
     * PCM/WAV payload whose metadata duration matches its frame count;
-    * video gets the UTF-8 text bytes as a stand-in payload. */
+    * video gets a REAL MJPEG/AVI payload whose frames decode via
+    * javax.imageio and whose metadata duration matches the header. */
   def attachBinary(docs: DataFrame): DataFrame = {
     val enc = Encoders.row(payloadSchema)
     docs.select(col("doc_id").cast("long"), col("text"))
@@ -178,9 +267,13 @@ object Multimodal {
               val durMs = 50L + java.lang.Math.floorMod(id * 97, 450L)
               Row(id, encodeWav(id, durMs), Row(mime, null, null, durMs))
             case _ =>
-              val text = if (r.isNullAt(1)) null else r.getString(1)
-              val bytes = if (text == null) null else text.getBytes("UTF-8")
-              Row(id, bytes, Row(mime, null, null, java.lang.Math.floorMod(id * 97, 600000L)))
+              // real MJPEG-in-AVI: 3-7 JPEG frames at 10 fps, dims drawn
+              // like the image pools; duration_ms matches the AVI header
+              val w = 8 + java.lang.Math.floorMod(id * 37, 24L).toInt
+              val h = 8 + java.lang.Math.floorMod(id * 53, 24L).toInt
+              val nFrames = 3 + java.lang.Math.floorMod(id, 5L).toInt
+              Row(id, encodeMjpegAvi(id, w, h, nFrames),
+                Row(mime, w, h, nFrames * 100L))
           }
         }
       }(enc)
@@ -236,11 +329,29 @@ object Multimodal {
     bins
   }
 
+  /** Mean of per-frame luma histograms — the video counterpart of
+    * `lumaHistogram`/`amplitudeHistogram` (still L1-normalized). */
+  def meanLumaHistogram(frames: Seq[BufferedImage]): Array[Float] = {
+    val acc = new Array[Float](16)
+    frames.foreach { f =>
+      val h = lumaHistogram(f)
+      var i = 0
+      while (i < 16) { acc(i) += h(i); i += 1 }
+    }
+    if (frames.nonEmpty) {
+      var i = 0
+      while (i < 16) { acc(i) /= frames.length; i += 1 }
+    }
+    acc
+  }
+
   /** Per-partition feature extraction over the binary column, one decode
     * per row, iterator-to-iterator. Image payloads decode for real
     * (width/height from the decoded image, luma-histogram features);
     * audio payloads decode for real (PCM samples → amplitude-histogram
-    * features); video and undecodable payloads fall back to the byte
+    * features); video payloads decode for real (MJPEG/AVI frames →
+    * frame dims + mean per-frame luma histogram). Codecs the JDK truly
+    * lacks (H.264 etc.) and undecodable payloads fall back to the byte
     * histogram with null dims.
     * Output: (doc_id, mime, width, height, features[16]). */
   def extractFeatures(spark: SparkSession, withBinary: DataFrame): DataFrame = {
@@ -261,13 +372,18 @@ object Multimodal {
             decodeImage(payload) else None
           val asAudio = if (mime != null && mime.startsWith("audio/"))
             decodeWav(payload) else None
-          (asImage, asAudio) match {
-            case (Some(img), _) =>
+          val asVideo = if (mime != null && mime.startsWith("video/"))
+            decodeAviFrames(payload) else None
+          (asImage, asAudio, asVideo) match {
+            case (Some(img), _, _) =>
               Row(r.getLong(0), mime, img.getWidth, img.getHeight,
                 lumaHistogram(img).toSeq)
-            case (_, Some((samples, _))) =>
+            case (_, Some((samples, _)), _) =>
               Row(r.getLong(0), mime, null, null,
                 amplitudeHistogram(samples).toSeq)
+            case (_, _, Some((frames, _))) =>
+              Row(r.getLong(0), mime, frames.head.getWidth, frames.head.getHeight,
+                meanLumaHistogram(frames).toSeq)
             case _ =>
               Row(r.getLong(0), mime, null, null, byteHistogram(payload).toSeq)
           }
@@ -320,16 +436,55 @@ object Multimodal {
       }(enc)
   }
 
-  /** Frame sampling STUB: slices `n` evenly-spaced fixed-size byte
-    * chunks from the payload — the plumbing shape of video frame
-    * extraction (explode to one row per frame), with the decode step
-    * absent because the JDK ships no H.264/MP4 codec. Output columns
-    * are named chunk_idx/chunk_payload (NOT frame_*) so downstream
-    * code cannot mistake raw byte slices for decoded frames. */
-  def sampleFrames(withBinary: DataFrame, n: Int, frameBytes: Int = 32): DataFrame = {
+  /** REAL video frame sampling: decode the MJPEG/AVI payload, keep `n`
+    * evenly-spaced frames (all of them when the video is shorter), and
+    * re-encode each as PNG — one row per sampled frame with decoded
+    * dims. Iterator-to-iterator mapPartitions, one container parse per
+    * row. Undecodable video payloads (codecs the JDK lacks) yield no
+    * rows here — route those through `sampleChunks`, which is honest
+    * about emitting raw byte slices. */
+  def sampleFrames(withBinary: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("frame_payload", BinaryType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary
+      .filter(col("meta.mime").startsWith("video/"))
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          decodeAviFrames(r.getAs[Array[Byte]]("payload")) match {
+            case Some((frames, _)) =>
+              val picks =
+                if (frames.length <= n) frames.indices
+                else (0 until n).map(i => i * frames.length / n)
+              picks.zipWithIndex.map { case (fi, outIdx) =>
+                val img = frames(fi)
+                val bos = new ByteArrayOutputStream()
+                ImageIO.write(img, "png", bos)
+                Row(id, outIdx, img.getWidth, img.getHeight, bos.toByteArray)
+              }
+            case None => Nil
+          }
+        }
+      }(enc)
+  }
+
+  /** Byte-slice sampling for video codecs the JDK cannot decode: `n`
+    * evenly-spaced fixed-size chunks of the raw payload — the plumbing
+    * shape of frame extraction with the decode step honestly absent.
+    * Output columns are named chunk_idx/chunk_payload (NOT frame_*) so
+    * downstream code cannot mistake raw byte slices for decoded
+    * frames. */
+  def sampleChunks(withBinary: DataFrame, n: Int, frameBytes: Int = 32): DataFrame = {
     val idxs = sequence(lit(0), lit(n - 1))
     withBinary
-      .filter(col("meta.mime") === "video/mp4")
+      .filter(col("meta.mime").startsWith("video/"))
       .select(col("doc_id"),
         posexplode(transform(idxs, i =>
           substr(col("payload"),

@@ -118,8 +118,8 @@ object Extended {
 
     // multimodal: binary payload + metadata → mapPartitions feature
     // extraction (images REALLY decoded via javax.imageio, audio REALLY
-    // decoded via javax.sound.sampled; video byte-histogram stub) →
-    // per-mime aggregate over decoded dimensions
+    // decoded via javax.sound.sampled, video REALLY decoded as
+    // MJPEG/AVI frames) → per-mime aggregate over decoded dimensions
     "m1_multimodal_features" -> { (s, dir) =>
       val feats = Multimodal.extractFeatures(s,
         Multimodal.attachBinary(Tables.load(s, dir, "documents")))
@@ -133,14 +133,16 @@ object Extended {
         .orderBy("mime")
     },
 
-    // video frame sampling plumbing: evenly-spaced payload byte slices
-    // (chunk_*, not decoded frames — see Multimodal.sampleFrames)
+    // REAL video frame sampling: MJPEG/AVI payloads decode to frames,
+    // 4 evenly-spaced frames re-encode as PNG rows per video
     "m2_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.attachBinary(Tables.load(s, dir, "documents")), n = 4)
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-             sum(length(col("chunk_payload"))).as("sampled_bytes"))
+        .agg(count(lit(1)).as("n_frames"),
+             min(col("width")).as("frame_w"),
+             min(col("height")).as("frame_h"),
+             sum(length(col("frame_payload"))).as("sampled_bytes"))
         .orderBy("doc_id")
     }
   )

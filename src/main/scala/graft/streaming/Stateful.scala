@@ -84,14 +84,16 @@ object Stateful {
         })
   }
 
-  /** Run the stateful query to completion into a memory sink. */
-  def runToCompletion(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.catalog.dropTempView(name)
-    val q = runningTotals(spark, Streams.eventStream(spark, dir))
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-  }
+  /** Run the stateful query to completion into a memory sink (with the
+    * harness partition count — see Streams.withHarnessPartitions). */
+  def runToCompletion(spark: SparkSession, dir: String, name: String): DataFrame =
+    Streams.withHarnessPartitions(spark) {
+      spark.catalog.dropTempView(name)
+      val q = runningTotals(spark, Streams.eventStream(spark, dir))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    }
 
   /** foreachBatch sink: reuse an arbitrary batch writer per micro-batch —
     * the streaming face of the ETL write path (micro-batch id gives

@@ -132,17 +132,34 @@ object Streams {
               col("click_ts"), col("purchase_ts"))
   }
 
-  private def runToMemorySink(spark: SparkSession, streamingDf: DataFrame,
-                              name: String, outputMode: String): DataFrame = {
-    spark.catalog.dropTempView(name)
-    val q = streamingDf.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+  /** Replayed verification runs execute several tiny micro-batches into
+    * a memory sink; their wall time is per-batch HARNESS overhead, not
+    * plan cost, and it scales with the shuffle partition count (each
+    * stateful operator keeps one state-store instance per partition per
+    * batch — a stream-stream join keeps four). Results are
+    * partition-count independent, so the harness plans its micro-batches
+    * over a few partitions instead of the session's 32; a production
+    * stream sizes this to its executor count instead. The session conf
+    * is restored afterwards — batch queries are untouched. */
+  private[streaming] def withHarnessPartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try f finally spark.conf.set(key, prev)
   }
+
+  private def runToMemorySink(spark: SparkSession, streamingDf: DataFrame,
+                              name: String, outputMode: String): DataFrame =
+    withHarnessPartitions(spark) {
+      spark.catalog.dropTempView(name)
+      val q = streamingDf.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+    }
 
   /** Run an append-mode streaming query (stream-stream joins support
     * only append) to completion into a memory sink. */

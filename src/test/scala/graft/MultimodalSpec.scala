@@ -42,9 +42,33 @@ class MultimodalSpec extends AnyFunSuite {
     val (samples, durMs) = Multimodal.decodeWav(audio.getAs[Array[Byte]]("payload")).get
     assert(durMs == audio.getStruct(audio.fieldIndex("meta")).getLong(3))
     assert(samples.nonEmpty)
-    // video payloads remain the UTF-8 text stand-in
-    val video = out.filter($"meta.mime" === "video/mp4").collect().head
-    assert(new String(video.getAs[Array[Byte]]("payload"), "UTF-8") == "dddd")
+    // video payloads are REAL MJPEG/AVI: frames decode, duration and
+    // dims match metadata (doc 3: 3 + 3%5 = 6 frames at 10 fps)
+    val video = out.filter($"meta.mime" === "video/avi").collect().head
+    val meta = video.getStruct(video.fieldIndex("meta"))
+    val (frames, vidMs) =
+      Multimodal.decodeAviFrames(video.getAs[Array[Byte]]("payload")).get
+    assert(frames.length == 6)
+    assert(vidMs == 600L && meta.getLong(3) == 600L)
+    frames.foreach { f =>
+      assert(f.getWidth == meta.getInt(1) && f.getHeight == meta.getInt(2))
+    }
+  }
+
+  test("encodeMjpegAvi/decodeAviFrames round-trip: exact frame count, dims, duration") {
+    val avi = Multimodal.encodeMjpegAvi(seed = 42L, w = 12, h = 9, nFrames = 5, fps = 10)
+    val (frames, durMs) = Multimodal.decodeAviFrames(avi).get
+    assert(frames.length == 5)
+    assert(durMs == 500L)
+    assert(frames.forall(f => f.getWidth == 12 && f.getHeight == 9))
+    // frames vary deterministically with the index — not one repeated frame
+    val h0 = Multimodal.lumaHistogram(frames.head).toSeq
+    assert(frames.tail.exists(f => Multimodal.lumaHistogram(f).toSeq != h0))
+    // malformed payloads degrade to None, never throw
+    assert(Multimodal.decodeAviFrames("not an avi".getBytes).isEmpty)
+    assert(Multimodal.decodeAviFrames(avi.take(40)).isEmpty)
+    assert(Multimodal.decodeAviFrames(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAviFrames(null).isEmpty)
   }
 
   test("encodeWav/decodeWav round-trip: exact duration, RMS and peak from samples") {
@@ -76,7 +100,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(null).isEmpty)
   }
 
-  test("extractFeatures: images decode to real dims; others byte-histogram with null dims") {
+  test("extractFeatures: image/audio/video all decode for real, per-modality features") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.attachBinary(docs))
     val rows = feats.collect()
     assert(rows.length == 5)
@@ -97,9 +121,15 @@ class MultimodalSpec extends AnyFunSuite {
     val expected = Multimodal.amplitudeHistogram(Multimodal.decodeWav(wav).get._1)
     val got = byId(2L).getSeq[Float](byId(2L).fieldIndex("features"))
     assert(got == expected.toSeq)
-    // doc 3 (video): byte histogram of "dddd" ('d' = 0x64 → bin 6)
-    assert(byId(3L).isNullAt(2) && byId(3L).isNullAt(3))
-    assert(byId(3L).getSeq[Float](byId(3L).fieldIndex("features"))(6) == 1.0f)
+    // doc 3 (video): REAL decoded frame dims (w = 8 + 3*37 % 24 = 23,
+    // h = 8 + 3*53 % 24 = 23) and mean per-frame luma histogram
+    assert(byId(3L).getInt(2) == 8 + (3 * 37 % 24) &&
+      byId(3L).getInt(3) == 8 + (3 * 53 % 24))
+    val aviPayload = Multimodal.attachBinary(docs)
+      .filter($"doc_id" === 3L).collect().head.getAs[Array[Byte]]("payload")
+    val expectedVid = Multimodal.meanLumaHistogram(
+      Multimodal.decodeAviFrames(aviPayload).get._1)
+    assert(byId(3L).getSeq[Float](byId(3L).fieldIndex("features")) == expectedVid.toSeq)
   }
 
   test("attachBinary handles negative doc_ids (floorMod, no crash)") {
@@ -121,11 +151,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.byteHistogram(null).length == 16)
   }
 
-  test("sampleFrames explodes n slices per video payload") {
-    val frames = Multimodal.sampleFrames(Multimodal.attachBinary(docs), n = 4, frameBytes = 2)
-    // mime is video/mp4 for doc_id % 4 == 3 → doc 3 only
-    val byDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
-    assert(byDoc.length == 1 && byDoc.head.getLong(0) == 3L && byDoc.head.getLong(1) == 4L)
+  test("sampleFrames decodes real evenly-spaced frames that round-trip as PNG") {
+    // doc 3 is the only video (doc_id % 4 == 3): 6 frames, sample 4
+    val frames = Multimodal.sampleFrames(Multimodal.attachBinary(docs), n = 4).collect()
+    assert(frames.map(_.getLong(0)).toSet == Set(3L))
+    assert(frames.map(_.getInt(1)).sorted.sameElements(Array(0, 1, 2, 3)))
+    frames.foreach { r =>
+      val img = Multimodal.decodeImage(r.getAs[Array[Byte]]("frame_payload"))
+      assert(img.isDefined, "sampled frame must decode as PNG")
+      assert(img.get.getWidth == r.getInt(2) && img.get.getHeight == r.getInt(3))
+    }
+    // a 2-frame video sampled at n=4 yields exactly its 2 frames
+    val short = Seq((0L, Multimodal.encodeMjpegAvi(1L, 8, 8, 2)))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("video/avi").as("mime"), lit(8).as("width"),
+          lit(8).as("height"), lit(200L).as("duration_ms")).as("meta"))
+    assert(Multimodal.sampleFrames(short, n = 4).count() == 2L)
+  }
+
+  test("sampleChunks slices n byte chunks for undecodable video codecs") {
+    val fake = Seq((9L, Array.fill(200)(7.toByte)))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("video/mp4").as("mime"), lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"), lit(0L).as("duration_ms")).as("meta"))
+    val chunks = Multimodal.sampleChunks(fake, n = 4, frameBytes = 2).collect()
+    assert(chunks.length == 4)
+    assert(chunks.forall(_.getAs[Array[Byte]]("chunk_payload").length == 2))
   }
 
   test("resize: real resample to target dims, re-encoded payload decodes back") {
