@@ -273,16 +273,21 @@ object Dedup {
     val v = df.select(col(idCol).as("_eid"), col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_norm", Similarity.l2norm(col("_v")))
     val sigs = array(planes.map(p => Similarity.srpSignature(col("_v"), p)): _*)
-    val banded = v.select(col("_eid"), col("_v"), col("_norm"),
-      posexplode(sigs).as(Seq("_tbl", "_bkt")))
-    val a = banded.select(col("_eid").as("_ida"), col("_v").as("_va"),
-      col("_norm").as("_na"), col("_tbl"), col("_bkt"))
-    val b = banded.select(col("_eid").as("_idb"), col("_v").as("_vb"),
-      col("_norm").as("_nb"), col("_tbl"), col("_bkt"))
-    val dupIds = a.join(b, Seq("_tbl", "_bkt"))
-      .filter(col("_ida") < col("_idb") &&
-        Similarity.cosineOrNull(Similarity.dot(col("_va"), col("_vb")),
-          col("_na"), col("_nb")) >= threshold)
+    // ids-only bucket join → distinct candidate pairs → one dot product
+    // per pair after joining vectors back on 8-byte keys (multi-table
+    // collisions would otherwise re-score the pair per table and drag
+    // both vectors through every collision row — see annPairsTopK)
+    val banded = v.select(col("_eid"), posexplode(sigs).as(Seq("_tbl", "_bkt")))
+    val a = banded.select(col("_eid").as("_ida"), col("_tbl"), col("_bkt"))
+    val b = banded.select(col("_eid").as("_idb"), col("_tbl"), col("_bkt"))
+    val cand = a.join(b, Seq("_tbl", "_bkt"))
+      .filter(col("_ida") < col("_idb"))
+      .select("_ida", "_idb").distinct()
+    val va = v.select(col("_eid").as("_ida"), col("_v").as("_va"), col("_norm").as("_na"))
+    val vb = v.select(col("_eid").as("_idb"), col("_v").as("_vb"), col("_norm").as("_nb"))
+    val dupIds = cand.join(va, Seq("_ida")).join(vb, Seq("_idb"))
+      .filter(Similarity.cosineOrNull(Similarity.dot(col("_va"), col("_vb")),
+        col("_na"), col("_nb")) >= threshold)
       .select(col("_idb").as("_eid")).distinct()
     df.join(dupIds, df(idCol) === dupIds("_eid"), "left_anti")
   }

@@ -133,18 +133,25 @@ object Similarity {
     val sigs = array((0 until nTables).map { t =>
       srpSignature(col("v"), hyperplanes(bits, dim, seed + t))
     }: _*)
-    val banded = v.select(col("id"), col("v"), col("norm"),
-      posexplode(sigs).as(Seq("table_idx", "bucket")))
-    val a = banded.select(col("id").as("id_a"), col("v").as("va"),
-      col("norm").as("na"), col("table_idx"), col("bucket"))
-    val b = banded.select(col("id").as("id_b"), col("v").as("vb"),
-      col("norm").as("nb"), col("table_idx"), col("bucket"))
-    a.join(b, Seq("table_idx", "bucket"))
+    // the bucket join carries IDS ONLY: a pair colliding in many of the
+    // nTables tables would otherwise drag both dim-sized vectors through
+    // every collision row and pay one dot product per collision — the
+    // distinct() collapses multiplicity first, then each surviving pair
+    // joins its two vectors back (8-byte keys) and scores ONCE. At
+    // production scale the signature projection is persisted alongside
+    // the vectors, so the re-read here is an index scan, not a recompute.
+    val banded = v.select(col("id"), posexplode(sigs).as(Seq("table_idx", "bucket")))
+    val a = banded.select(col("id").as("id_a"), col("table_idx"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("table_idx"), col("bucket"))
+    val cand = a.join(b, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
+    val vb = v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineOrNull(dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine").isNotNull)
-      .groupBy("id_a", "id_b").agg(first("cosine").as("cosine"))
       .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
       .limit(k)
   }
@@ -270,23 +277,28 @@ object Similarity {
     val bits = if (nBits > 0) nBits else sizeBits(corpus.count())
     val planes = (0 until nTables).map(t => hyperplanes(bits, dim, seed + t))
     def sig(vc: Column): Column = array(planes.map(p => srpSignature(vc, p)): _*)
-    val c = corpus
+    val cv = corpus
       .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-      .select(col("nn_id"), col("cv"), col("cn"),
-        posexplode(sig(col("cv"))).as(Seq("table_idx", "bucket")))
-    val q = queries
+    val qv = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
-      .select(col("query_id"), col("qv"), col("qn"),
-        posexplode(sig(col("qv"))).as(Seq("table_idx", "bucket")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))
-    q.join(c, Seq("table_idx", "bucket"))
+    // ids-only bucket join → distinct (query, candidate) pairs → score
+    // each pair ONCE after joining vectors back on 8-byte keys (see
+    // annPairsTopK — multi-table collisions would otherwise re-pay the
+    // dot product and drag vectors through every collision row)
+    val c = cv.select(col("nn_id"),
+      posexplode(sig(col("cv"))).as(Seq("table_idx", "bucket")))
+    val q = qv.select(col("query_id"),
+      posexplode(sig(col("qv"))).as(Seq("table_idx", "bucket")))
+    val cand = q.join(c, Seq("table_idx", "bucket"))
       .filter(col("query_id") =!= col("nn_id"))
+      .select("query_id", "nn_id").distinct()
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))
+    cand.join(qv, Seq("query_id")).join(cv, Seq("nn_id"))
       .select(col("query_id"), col("nn_id"),
         cosineOrNull(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
       .filter(col("cosine").isNotNull)
-      .groupBy("query_id", "nn_id").agg(first("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -199,6 +199,46 @@ object TextAnalysis {
     merges.result().toDF("merge_rank", "lhs", "rhs", "freq")
   }
 
+  /** Apply a learned BPE merge table: segment every word with the
+    * `numMerges`-round table `bpeMergeTable` builds on the same corpus
+    * and report per-document (n_words, n_symbols) — the tokenizer-
+    * APPLICATION side of the training loop, i.e. the real "token cost
+    * under my tokenizer" counter (`tokenCounts`' bpe_tokens is a fixed
+    * regex approximation).
+    *
+    * Scale shape: the k merges apply to the DISTINCT-word table as k
+    * chained codegen `replace` projections (vocabulary-bounded), which
+    * joins back to the exploded corpus on the word key — a model-sized
+    * broadcast join, so each corpus word occurrence is segmented once
+    * per distinct word, not once per occurrence. The merge table itself
+    * is k driver-side literals (it IS the model artifact a production
+    * tokenizer ships). */
+  def bpeSegment(df: DataFrame, idCol: String, textCol: String,
+                 numMerges: Int): DataFrame = {
+    val table = bpeMergeTable(df, textCol, numMerges).orderBy("merge_rank").collect()
+    val SEP = "\u0001"
+    val words = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val seg0 = concat(lit(SEP),
+      array_join(graft.functions.ChunkFunctions.char_ngrams(
+        col("w"), 1, lowercase = false), SEP + SEP),
+      lit(SEP))
+    val segK = table.foldLeft(seg0) { (c, r) =>
+      val (l, rr) = (r.getString(1), r.getString(2))
+      replace(c, lit(SEP + l + SEP + SEP + rr + SEP), lit(SEP + l + rr + SEP))
+    }
+    val vocab = words.select("w").distinct()
+      .withColumn("_seg", segK)
+      .select(col("w"),
+        size(split(col("_seg").substr(lit(2), length(col("_seg")) - 2), SEP + SEP))
+          .as("_nsym"))
+    words.join(vocab, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_nsym").cast("long")).as("n_symbols"))
+  }
+
   /** Per-document unigram language-model score: the corpus's own token
     * frequencies become the model, and each document scores the average
     * log-probability of its tokens — the classic cheap perplexity proxy

@@ -309,6 +309,13 @@ object LayerC {
         .orderBy("merge_rank")
     },
 
+    // tokenizer APPLICATION: segment the corpus with c36's learned
+    // 10-round merge table → per-doc token cost under that tokenizer
+    "c37_bpe_segment" -> { (s, dir) =>
+      TextAnalysis.bpeSegment(docs(s, dir), "doc_id", "text", numMerges = 10)
+        .orderBy("doc_id")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -475,7 +482,13 @@ object LayerC {
     * merging, and the fully consumed per-symbol delimiters keep
     * adjacent merges ("a b a b") exact. Generated from the SAME round
     * count as the query, so they cannot drift apart. */
-  private def bpeMergeSql(k: Int): String = {
+  /** Shared CTE chain for the BPE oracles: w0 (word frequencies), seg0
+    * (initial char segmentation, word column kept for the application
+    * join), then per round i: pick p_i (argmax pair) and reseg seg_i.
+    * `resegLast` controls whether the final round's re-segmentation is
+    * materialized (the application oracle needs it; the merge-table
+    * oracle does not). */
+  private def bpeChainSql(k: Int, resegLast: Boolean): Seq[String] = {
     val S = "chr(1)"
     val SS = "chr(1)||chr(1)"
     val head =
@@ -485,11 +498,11 @@ object LayerC {
          |    FROM documents) t
          |  WHERE w <> '' GROUP BY w),
          |seg0 AS (
-         |  SELECT $S || array_to_string(
+         |  SELECT w, $S || array_to_string(
          |      [substring(w, i, 1) FOR i IN range(1, length(w)+1)], $SS) || $S AS seg,
          |    c
          |  FROM w0)""".stripMargin
-    val rounds = (1 to k).flatMap { i =>
+    head +: (1 to k).flatMap { i =>
       val pick =
         s"""p$i AS (
            |  SELECT l, r, CAST(sum(c) AS BIGINT) AS freq FROM (
@@ -500,14 +513,38 @@ object LayerC {
            |  GROUP BY l, r ORDER BY freq DESC, l ASC, r ASC LIMIT 1)""".stripMargin
       val reseg =
         s"""seg$i AS (
-           |  SELECT replace(seg, $S||l||$SS||r||$S, $S||l||r||$S) AS seg, c
+           |  SELECT w, replace(seg, $S||l||$SS||r||$S, $S||l||r||$S) AS seg, c
            |  FROM seg${i - 1} CROSS JOIN p$i)""".stripMargin
-      if (i < k) Seq(pick, reseg) else Seq(pick)
+      if (i < k || resegLast) Seq(pick, reseg) else Seq(pick)
     }
+  }
+
+  private def bpeMergeSql(k: Int): String = {
     val unions = (1 to k)
       .map(i => s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, freq FROM p$i")
       .mkString("\nUNION ALL ")
-    s"WITH ${(head +: rounds).mkString(",\n")}\n$unions\nORDER BY merge_rank"
+    s"WITH ${bpeChainSql(k, resegLast = false).mkString(",\n")}\n$unions\nORDER BY merge_rank"
+  }
+
+  /** Application oracle: re-derive the merge table (same chain), apply
+    * all k rounds, then join every word occurrence to its final
+    * segmentation's symbol count and aggregate per document. */
+  private def bpeSegmentSql(k: Int): String = {
+    val SS = "chr(1)||chr(1)"
+    val tail =
+      s"""docw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |    FROM documents) t
+         |  WHERE w <> ''),
+         |vs AS (
+         |  SELECT w, len(string_split(substring(seg, 2, length(seg)-2), $SS)) AS nsym
+         |  FROM seg$k)""".stripMargin
+    s"""WITH ${(bpeChainSql(k, resegLast = true) :+ tail).mkString(",\n")}
+       |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_words,
+       |  CAST(sum(nsym) AS BIGINT) AS n_symbols
+       |FROM docw JOIN vs USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private val ngramJaccardSql =
@@ -669,6 +706,7 @@ object LayerC {
     "c4_ngram_jaccard" -> ngramJaccardSql,
     "c3_dedup_simhash" -> simhashSql,
     "c36_bpe_merges" -> bpeMergeSql(10),
+    "c37_bpe_segment" -> bpeSegmentSql(10),
 
     // same shared shingle derivation, batch side vs corpus side
     "c34_incremental_neardup" ->

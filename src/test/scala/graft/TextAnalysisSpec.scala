@@ -58,6 +58,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(first == (("a", "b")))
   }
 
+  test("bpeSegment applies the learned table: hand-computed symbol counts") {
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("id", "text")
+    // 3 merges → (a,a), (a,b), (aa,ab): aaab segments to [aaab], ab to [ab]
+    val k3 = TextAnalysis.bpeSegment(docs, "id", "text", numMerges = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(k3.toSeq == Seq((1L, 2L, 2L), (2L, 1L, 1L)))
+    // 2 merges → aaab = [aa, ab] (2 symbols), ab = [ab] (1)
+    val k2 = TextAnalysis.bpeSegment(docs, "id", "text", numMerges = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(k2.toSeq == Seq((1L, 2L, 3L), (2L, 1L, 2L)))
+  }
+
   test("langId prefers the language whose trigrams dominate") {
     val df = Seq(
       (1L, "the thing and the other thing of the kind"),
