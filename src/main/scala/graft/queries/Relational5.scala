@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Round-4 SQL-surface additions: bitwise/boolean aggregates and the
-  * linear-regression aggregate family (SURVEY.md §2.2 "Aggregations" —
-  * dialect built-ins every delegated RDBMS exposes).
+/** Round-4/5 SQL-surface additions: bitwise/boolean aggregates, the
+  * linear-regression aggregate family, fuzzy matching, recursive CTEs,
+  * and the VARIANT semi-structured type (SURVEY.md §2.2 — dialect
+  * built-ins every delegated RDBMS exposes; recursive CTE and VARIANT
+  * are Spark 4 features).
   */
 object Relational5 {
   type Q = (SparkSession, String) => DataFrame
@@ -53,6 +55,42 @@ object Relational5 {
         .orderBy("brand_a", "brand_b")
     },
 
+    // recursive CTE (Spark 4): a data-driven integer ladder — every
+    // order year between min and max INCLUDING empty years (the gap a
+    // plain GROUP BY silently skips). The recursion carries its bound
+    // as a column so the recursive term needs no subquery; work per
+    // step is one row. DuckDB runs the identical statement.
+    "q75_recursive_cte" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_rec")
+      s.sql("""
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(min(year(o_orderdate)) AS INT) AS lo,
+                 CAST(max(year(o_orderdate)) AS INT) AS hi FROM orders_rec),
+        years(y, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL SELECT y + 1, hi FROM years WHERE y < hi)
+        SELECT y AS order_year, count(o_orderkey) AS n_orders
+        FROM years LEFT JOIN orders_rec ON year(o_orderdate) = y
+        GROUP BY y ORDER BY y""")
+    },
+
+    // VARIANT semi-structured type (Spark 4): build a nested JSON from
+    // the event's props + type, parse once to VARIANT, extract typed
+    // paths (nested field, array element, and a missing path via
+    // try_variant_get). The DuckDB oracle extracts the same paths from
+    // the same JSON with its json functions.
+    "q76_variant" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("_j", concat(lit("{\"meta\":"), col("props"),
+          lit(",\"tags\":[\""), col("event_type"), lit("\"]}")))
+        .select(col("event_id"),
+          expr("variant_get(parse_json(_j), '$.meta.k', 'int')").as("k"),
+          expr("variant_get(parse_json(_j), '$.tags[0]', 'string')").as("tag0"),
+          expr("try_variant_get(parse_json(_j), '$.missing', 'int')").as("absent"))
+        .filter(col("k") > 95)
+        .orderBy("event_id")
+    },
+
     // regression aggregates: corr / covariance / least-squares fit of
     // extendedprice on quantity per return flag. One map-side-combined
     // aggregation — co-moments merge associatively, so the shuffle
@@ -92,6 +130,30 @@ object Relational5 {
         |FROM br x JOIN br y ON x.p_brand < y.p_brand
         |WHERE levenshtein(x.p_brand, y.p_brand) <= 2
         |ORDER BY brand_a, brand_b""".stripMargin,
+
+    "q75_recursive_cte" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(min(year(o_orderdate)) AS INTEGER) AS lo,
+        |         CAST(max(year(o_orderdate)) AS INTEGER) AS hi FROM orders),
+        |years(y, hi) AS (
+        |  SELECT lo, hi FROM bounds
+        |  UNION ALL SELECT y + 1, hi FROM years WHERE y < hi)
+        |SELECT y AS order_year, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM years LEFT JOIN orders ON year(o_orderdate) = y
+        |GROUP BY y ORDER BY y""".stripMargin,
+
+    "q76_variant" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    '{"meta":' || props || ',"tags":["' || event_type || '"]}' AS js
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(json_extract_string(js, '$.meta.k') AS INTEGER) AS k,
+        |  json_extract_string(js, '$.tags[0]') AS tag0,
+        |  CAST(NULL AS INTEGER) AS absent
+        |FROM j
+        |WHERE CAST(json_extract_string(js, '$.meta.k') AS INTEGER) > 95
+        |ORDER BY event_id""".stripMargin,
 
     "q73_regr_stats" ->
       """SELECT l_returnflag,

@@ -27,6 +27,21 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("xml source round-trips rows and from_xml parses nested fragments (Spark 4 built-in)") {
+    val work = Files.createTempDirectory("graft_xml").toString
+    val df = sample
+    Sources.write(df, "xml", s"$work/xml", SaveMode.Overwrite, Map("rowTag" -> "rec"))
+    val back = Sources.read(spark, SourceSpec("xml", s"$work/xml",
+      schema = Some(df.schema), options = Map("rowTag" -> "rec")))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // from_xml: per-row fragment parsing (the streaming/ingest shape
+    // where XML arrives as a string column, not files)
+    val frag = Seq("<rec><id>9</id><name>frag</name></rec>").toDF("x")
+      .selectExpr("from_xml(x, 'id INT, name STRING') AS s")
+      .select("s.id", "s.name").collect().head
+    assert(frag.getInt(0) == 9 && frag.getString(1) == "frag")
+  }
+
   test("text source round-trips raw lines; binaryFile reads payload + metadata") {
     val work = Files.createTempDirectory("graft_txt").toString
     // text: one string column named `value`, newline-delimited — the raw
