@@ -101,6 +101,15 @@ object Extended {
         .orderBy("user_id", "click_id", "purchase_id")
     },
 
+    // the same running totals on Spark 4's transformWithState (typed
+    // named state + RocksDB provider) — shares s3's oracle: two
+    // different stateful APIs, one pinned semantics
+    "s9_stream_tws" -> { (s, dir) =>
+      graft.streaming.Stateful.runTwsToCompletion(s, dir, "s9_tws")
+        .withColumn("total_value", round(col("total_value"), 4))
+        .orderBy("user_id", "event_id")
+    },
+
     // deterministic seeded generator (reference `import` entry point)
     "e1_generator" -> { (s, _) =>
       Generator.addresses(s, 10000L).orderBy("id")
@@ -146,6 +155,18 @@ object Extended {
         .orderBy("doc_id")
     }
   )
+
+  // s3 (flatMapGroupsWithState) and s9 (transformWithState) run the
+  // same semantics through two stateful APIs — one shared oracle string
+  // pins both (an edit to one cannot strand the other)
+  private val statefulOracle: String =
+    """SELECT user_id, event_id,
+      |  count(1) OVER w AS n_events,
+      |  round(sum(value) OVER w, 4) AS total_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "s1_stream_tumble" ->
@@ -212,14 +233,8 @@ object Extended {
         |UNION ALL SELECT * FROM unmatched
         |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin,
 
-    "s3_stream_stateful" ->
-      """SELECT user_id, event_id,
-        |  count(1) OVER w AS n_events,
-        |  round(sum(value) OVER w, 4) AS total_value
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin,
+    "s9_stream_tws" -> statefulOracle,
+    "s3_stream_stateful" -> statefulOracle,
 
     // gaps-and-islands sessionization == Spark session_window on bounded
     // input (new session when the gap is >= 30 min; Spark's window end is

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming (SURVEY.md §2.2 "Streaming" — stateful ops):
   * `flatMapGroupsWithState` with explicit per-key state, the Spark-native
@@ -83,6 +84,66 @@ object Stateful {
           }
         })
   }
+
+  /** The same running-totals operator on Spark 4's `transformWithState`
+    * API — the successor of `flatMapGroupsWithState`: explicit named
+    * state variables from a `StatefulProcessorHandle` (typed
+    * `ValueState`, per-variable `TTLConfig`, timers) instead of one
+    * opaque `GroupState` blob. Semantics here are identical to
+    * `runningTotals` by construction (same per-batch event_id ordering,
+    * same fold), so the s3 oracle pins both. Requires the RocksDB state
+    * store provider (the API's backing store — see `runTwsToCompletion`). */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, EventIn, UserUpdate] {
+    @transient private var totals: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserState](
+        "totals", Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+                                 timerValues: TimerValues): Iterator[UserUpdate] = {
+      var st = if (totals.exists()) totals.get() else UserState(0L, 0.0)
+      val out = rows.toSeq.sortBy(_.event_id).map { e =>
+        st = UserState(st.nEvents + 1, st.totalValue + e.value)
+        UserUpdate(key, e.event_id, st.nEvents, st.totalValue)
+      }
+      totals.update(st)
+      out.iterator
+    }
+  }
+
+  /** Streaming per-user running totals via `transformWithState`. */
+  def runningTotalsTws(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("value"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Run the transformWithState query to completion into a memory sink.
+    * `transformWithState` only runs on the RocksDB state store provider
+    * (its state layout needs multiple column families); the conf is
+    * scoped to this run and restored after. */
+  def runTwsToCompletion(spark: SparkSession, dir: String, name: String): DataFrame =
+    Streams.withHarnessPartitions(spark) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        spark.catalog.dropTempView(name)
+        val q = runningTotalsTws(spark, Streams.eventStream(spark, dir))
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(name)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
 
   /** Run the stateful query to completion into a memory sink (with the
     * harness partition count — see Streams.withHarnessPartitions). */

@@ -196,6 +196,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(byEvent(204L) == 4, s"active user 2 must keep its state, got ${byEvent(204L)}")
   }
 
+  test("transformWithState running totals equal the flatMapGroupsWithState twin") {
+    import graft.streaming.Stateful
+    val tws = Stateful.runTwsToCompletion(spark, dir, "t_tws")
+      .orderBy("user_id", "event_id").collect()
+    val fmgws = Stateful.runToCompletion(spark, dir, "t_fmgws")
+      .orderBy("user_id", "event_id").collect()
+    assert(tws.nonEmpty)
+    assert(tws.sameElements(fmgws))
+    // the RocksDB provider conf must not leak into the session
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .forall(!_.contains("RocksDB")))
+  }
+
   test("streaming session windows match batch gaps-and-islands") {
     val streamed = Streams.runToCompletion(spark,
       Streams.sessionCounts(Streams.eventStream(spark, dir)), "t_session")
