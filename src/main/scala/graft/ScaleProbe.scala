@@ -84,11 +84,28 @@ object ScaleProbe {
       TextAnalysis.tfidfKeywords(docsBlown, "doc_id", "text", 3))
     time("sequencePack 512/source")(
       Curation.sequencePack(docsBlown, "doc_id", "text", "source", 512))
+    // round-5 additions: the iterated tokenizer loop is vocabulary-
+    // bounded — the 50k-doc corpus should cost barely more than the
+    // 5k one per round; keepBest exercises the max_by aggregation on
+    // the planted 10-copy near-dup clusters
+    time("bpeMergeTable 10 rounds")(
+      TextAnalysis.bpeMergeTable(docsBlown, "text", 10))
+    time("bpeSegment (learned 10-merge table applied)")(
+      TextAnalysis.bpeSegment(docsBlown, "doc_id", "text", 10))
+    time("keepBestPerCluster over synthetic 10-copy clusters")(
+      Dedup.keepBestPerCluster(
+        docsBlown.select(col("doc_id"),
+          (col("doc_id") - pmod(col("doc_id"), lit(10))).as("cluster_rep")),
+        docsBlown.select(col("doc_id"), length(col("text")).as("q")),
+        "doc_id", "q"))
     }
     spark.stop()
   }
 
-  private def time(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+  // by-name: operators with EAGER construction work (the BPE driver
+  // loop's per-round collects) must be timed from construction, not
+  // just the final noop write of their (tiny) result
+  private def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
