@@ -88,10 +88,17 @@ object ScaleProbe {
     // bounded — the 50k-doc corpus should cost barely more than the
     // 5k one per round; keepBest exercises the max_by aggregation on
     // the planted 10-copy near-dup clusters
-    time("bpeMergeTable 10 rounds")(
-      TextAnalysis.bpeMergeTable(docsBlown, "text", 10))
-    time("bpeSegment (learned 10-merge table applied)")(
-      TextAnalysis.bpeSegment(docsBlown, "doc_id", "text", 10))
+    var mt: Seq[(String, String)] = Seq.empty
+    time("bpeMergeTable 10 rounds")({
+      val t = TextAnalysis.bpeMergeTable(docsBlown, "text", 10)
+      mt = t.orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      t
+    })
+    // application timed with the PRECOMPUTED table (the production
+    // shape) — training is measured once above, not re-paid here
+    time("bpeSegmentWith (apply learned 10-merge table)")(
+      TextAnalysis.bpeSegmentWith(docsBlown, "doc_id", "text", mt))
     time("keepBestPerCluster over synthetic 10-copy clusters")(
       Dedup.keepBestPerCluster(
         docsBlown.select(col("doc_id"),

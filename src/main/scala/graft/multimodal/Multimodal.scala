@@ -196,13 +196,14 @@ object Multimodal {
     fcc("RIFF") ++ u32(riffBody.length.toLong) ++ riffBody
   }
 
-  /** Decode an MJPEG/AVI payload: walk the RIFF chunk tree, decode every
-    * `..dc`/`..db` frame chunk in the `movi` list via javax.imageio, and
-    * derive the duration from the `avih` header (µs-per-frame × total
-    * frames). None when the bytes are null/truncated/not RIFF-AVI or no
-    * frame decodes — undecodable VIDEO codecs (H.264 etc., which the JDK
-    * genuinely lacks) degrade to the byte-histogram fallback upstream. */
-  def decodeAviFrames(payload: Array[Byte]): Option[(Seq[BufferedImage], Long)] = {
+  /** Walk an MJPEG/AVI payload's RIFF chunk tree WITHOUT decoding:
+    * return the raw bytes of every `..dc`/`..db` frame chunk in document
+    * order plus the header-derived duration (µs-per-frame × total
+    * frames). This is the cheap pass — a sampler can pick frame indices
+    * first and JPEG-decode only the picked slices instead of paying one
+    * decode per frame it will discard. None when the bytes are
+    * null/truncated/not RIFF-AVI or contain no frame chunks. */
+  def aviFrameChunks(payload: Array[Byte]): Option[(Seq[Array[Byte]], Long)] = {
     if (payload == null || payload.length < 12) return None
     try {
       val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -214,7 +215,7 @@ object Multimodal {
       if (fourcc() != "AVI ") return None
       var usPerFrame = 0L
       var totalFrames = 0L
-      val frames = scala.collection.mutable.ArrayBuffer[BufferedImage]()
+      val chunks = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
       def walk(end: Int): Unit = {
         while (bb.position() + 8 <= end) {
           val id = fourcc()
@@ -232,16 +233,27 @@ object Multimodal {
           } else if (id.endsWith("dc") || id.endsWith("db")) {
             val buf = new Array[Byte](size)
             bb.get(buf)
-            decodeImage(buf).foreach(frames += _)
+            chunks += buf
           }
           bb.position(dataEnd + (size & 1)) // chunks pad to even length
         }
       }
       walk(payload.length)
-      if (frames.isEmpty) None
-      else Some((frames.toSeq, usPerFrame * totalFrames / 1000L))
+      if (chunks.isEmpty) None
+      else Some((chunks.toSeq, usPerFrame * totalFrames / 1000L))
     } catch { case _: Exception => None }
   }
+
+  /** Decode an MJPEG/AVI payload: every frame chunk through
+    * javax.imageio (see `aviFrameChunks` for the decode-free walk).
+    * None when nothing decodes — undecodable VIDEO codecs (H.264 etc.,
+    * which the JDK genuinely lacks) degrade to the byte-histogram
+    * fallback upstream. */
+  def decodeAviFrames(payload: Array[Byte]): Option[(Seq[BufferedImage], Long)] =
+    aviFrameChunks(payload).flatMap { case (chunks, durMs) =>
+      val frames = chunks.flatMap(decodeImage)
+      if (frames.isEmpty) None else Some((frames, durMs))
+    }
 
   /** Attach a binary payload + metadata struct to the documents fixture.
     * Image mimes get REAL encoded JPEG/PNG bytes (deterministic gradient,
@@ -436,13 +448,16 @@ object Multimodal {
       }(enc)
   }
 
-  /** REAL video frame sampling: decode the MJPEG/AVI payload, keep `n`
-    * evenly-spaced frames (all of them when the video is shorter), and
-    * re-encode each as PNG — one row per sampled frame with decoded
-    * dims. Iterator-to-iterator mapPartitions, one container parse per
-    * row. Undecodable video payloads (codecs the JDK lacks) yield no
-    * rows here — route those through `sampleChunks`, which is honest
-    * about emitting raw byte slices. */
+  /** REAL video frame sampling: walk the MJPEG/AVI container (no
+    * decode), pick `n` evenly-spaced frame chunks (all of them when the
+    * video is shorter), and JPEG-decode ONLY the picked ones before
+    * re-encoding as PNG — one row per sampled frame with decoded dims.
+    * Sampling cost is O(picked frames), not O(total frames): a
+    * 300-frame video sampled at n=4 pays 4 decodes, not 300.
+    * Iterator-to-iterator mapPartitions, one container parse per row.
+    * Undecodable video payloads (codecs the JDK lacks) yield no rows
+    * here — route those through `sampleChunks`, which is honest about
+    * emitting raw byte slices. */
   def sampleFrames(withBinary: DataFrame, n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     val schema = StructType(Seq(
@@ -458,16 +473,17 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          decodeAviFrames(r.getAs[Array[Byte]]("payload")) match {
-            case Some((frames, _)) =>
+          aviFrameChunks(r.getAs[Array[Byte]]("payload")) match {
+            case Some((chunks, _)) =>
               val picks =
-                if (frames.length <= n) frames.indices
-                else (0 until n).map(i => i * frames.length / n)
-              picks.zipWithIndex.map { case (fi, outIdx) =>
-                val img = frames(fi)
-                val bos = new ByteArrayOutputStream()
-                ImageIO.write(img, "png", bos)
-                Row(id, outIdx, img.getWidth, img.getHeight, bos.toByteArray)
+                if (chunks.length <= n) chunks.indices
+                else (0 until n).map(i => i * chunks.length / n)
+              picks.zipWithIndex.flatMap { case (fi, outIdx) =>
+                decodeImage(chunks(fi)).map { img =>
+                  val bos = new ByteArrayOutputStream()
+                  ImageIO.write(img, "png", bos)
+                  Row(id, outIdx, img.getWidth, img.getHeight, bos.toByteArray)
+                }
               }
             case None => Nil
           }

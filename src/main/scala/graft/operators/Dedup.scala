@@ -467,30 +467,35 @@ object Dedup {
     * the longest/cleanest copy of a near-dup group, drop the rest).
     * Ties break on ascending id, so selection is total.
     *
-    * Scale shape: ONE map-side-combined aggregation per cluster_rep
-    * (count + `max_by` over the (quality, -id) ordering struct) after an
-    * id-keyed join of quality onto membership. Dup clusters are usually
-    * small, but the real-world exception — one boilerplate string shared
-    * by millions of documents — is exactly where a
+    * Scale shape: two map-side-combined aggregations per cluster_rep
+    * (max quality + count, then min id among the rows AT that quality)
+    * joined by the cluster key — no window, no sort. Dup clusters are
+    * usually small, but the real-world exception — one boilerplate
+    * string shared by millions of documents — is exactly where a
     * window-partitioned-by-cluster formulation lands the whole cluster
     * in a single task and sorts it; the aggregation form combines
-    * partials per task, so a giant cluster costs one state row per task
-    * instead of one single-task sort. Singleton clusters pass through
-    * untouched. A NULL quality orders below every non-NULL one (struct
-    * comparison, NULLS-smallest), matching the window form's
-    * desc-NULLS-last; id must be non-NULL within `clusters`. */
+    * partials per task, so a giant cluster costs one state row per
+    * task. (A single `max_by(…, struct(quality, -id))` aggregation
+    * would be one shuffle fewer but silently restricts id to NUMERIC
+    * types; min/max keep both columns type-agnostic, matching the
+    * original window form.) Singleton clusters pass through untouched.
+    * A NULL quality loses to every non-NULL one (max ignores NULLs;
+    * an all-NULL-quality cluster falls back to min id) — the window
+    * form's desc-NULLS-last. */
   def keepBestPerCluster(clusters: DataFrame, df: DataFrame,
                          idCol: String, qualityCol: String): DataFrame = {
     val joined = clusters.join(df.select(col(idCol), col(qualityCol)), Seq(idCol))
-    joined
+    val perCluster = joined
       .groupBy(col("cluster_rep"))
-      .agg(
-        // argmax by (quality asc-last, then SMALLEST id wins → negate)
-        max_by(struct(col(idCol), col(qualityCol)),
-          struct(col(qualityCol), -col(idCol))).as("_best"),
-        count(lit(1)).as("cluster_size"))
-      .select(col("cluster_rep"), col("_best").getField(idCol).as(idCol),
-        col("_best").getField(qualityCol).as(qualityCol), col("cluster_size"))
+      .agg(max(col(qualityCol)).as("_mq"), count(lit(1)).as("cluster_size"))
+    joined.join(perCluster, Seq("cluster_rep"))
+      // null-safe: an all-NULL-quality cluster keeps its rows (NULL <=> NULL)
+      .filter(col(qualityCol) <=> col("_mq"))
+      .groupBy(col("cluster_rep"))
+      // _mq and cluster_size are constant per group — min() just carries them
+      .agg(min(col(idCol)).as(idCol), min(col("_mq")).as(qualityCol),
+        min(col("cluster_size")).as("cluster_size"))
+      .select(col("cluster_rep"), col(idCol), col(qualityCol), col("cluster_size"))
   }
 
   /** Incremental ingestion dedup: drop documents from `batch` whose text

@@ -162,10 +162,15 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val SEP = "\u0001"
+    // ONE corpus pass: the word-frequency aggregation materializes via
+    // localCheckpoint BEFORE anything reads it — the separator check
+    // and the initial segmentation both derive from the checkpointed
+    // vocab table instead of each re-running the explode+shuffle lineage
     val words = df
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     require(words.filter(col("w").contains(SEP)).isEmpty,
       "bpeMergeTable: corpus words contain the \\u0001 segmentation separator")
     var seg = words.select(
@@ -173,7 +178,7 @@ object TextAnalysis {
         array_join(graft.functions.ChunkFunctions.char_ngrams(
           col("w"), 1, lowercase = false), SEP + SEP),
         lit(SEP)).as("seg"),
-      col("c")).localCheckpoint()
+      col("c"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (round <- 1 to numMerges) {
       // adjacent symbol pairs: l at 0-based i, r one past it (1-based
@@ -214,8 +219,18 @@ object TextAnalysis {
     * is k driver-side literals (it IS the model artifact a production
     * tokenizer ships). */
   def bpeSegment(df: DataFrame, idCol: String, textCol: String,
-                 numMerges: Int): DataFrame = {
-    val table = bpeMergeTable(df, textCol, numMerges).orderBy("merge_rank").collect()
+                 numMerges: Int): DataFrame =
+    bpeSegmentWith(df, idCol, textCol,
+      bpeMergeTable(df, textCol, numMerges).orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Apply a PRECOMPUTED merge table (ordered (lhs, rhs) pairs) — the
+    * production entry point: the merge table IS the tokenizer's model
+    * artifact, trained once and shipped, so application must not re-run
+    * the training loop (the numMerges overload above is the
+    * train-and-apply convenience for self-contained corpus analysis). */
+  def bpeSegmentWith(df: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
     val SEP = "\u0001"
     val words = df
       .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
@@ -224,9 +239,8 @@ object TextAnalysis {
       array_join(graft.functions.ChunkFunctions.char_ngrams(
         col("w"), 1, lowercase = false), SEP + SEP),
       lit(SEP))
-    val segK = table.foldLeft(seg0) { (c, r) =>
-      val (l, rr) = (r.getString(1), r.getString(2))
-      replace(c, lit(SEP + l + SEP + SEP + rr + SEP), lit(SEP + l + rr + SEP))
+    val segK = merges.foldLeft(seg0) { case (c, (l, r)) =>
+      replace(c, lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP))
     }
     val vocab = words.select("w").distinct()
       .withColumn("_seg", segK)
