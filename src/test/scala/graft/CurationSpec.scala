@@ -178,6 +178,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) == ((5L, 5L, 2L, 1L)))  // singleton passes through
   }
 
+  test("keepBestPerCluster: string ids work (type-agnostic tie-break) and NULL quality loses") {
+    // regression: a numeric-only tie-break (negated id) would throw
+    // under ANSI on string ids or silently break tie totality
+    val clusters = Seq(("a", "x"), ("b", "x"), ("c", "c"), ("d", "n"), ("e", "n"))
+      .toDF("id", "cluster_rep")
+    val quality = Seq(("a", Some(5L)), ("b", Some(5L)), ("c", Some(1L)),
+      ("d", Option.empty[Long]), ("e", Option.empty[Long])).toDF("id", "q")
+    val out = Dedup.keepBestPerCluster(clusters, quality, "id", "q")
+      .orderBy("cluster_rep")
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.get(2)), r.getLong(3)))
+    assert(out(0) == (("c", "c", Some(1L), 1L)))         // singleton
+    // all-NULL-quality cluster: falls back to min id, quality NULL
+    assert(out(1) == (("n", "d", None, 2L)))
+    assert(out(2) == (("x", "a", Some(5L), 2L)))         // tie at 5 → "a"
+  }
+
   test("keepBestPerCluster: a million-row single cluster aggregates without a window sort") {
     // the real-world skew case — one boilerplate string shared by a
     // million documents lands ALL membership rows in one cluster_rep;
