@@ -67,4 +67,66 @@ object Curation {
         expr(s"_ce div $budgetTokens").as("bin_id"),
         (col("_ce") % budgetTokens).as("offset_in_bin"))
   }
+
+  /** Deterministic global shuffle — the epoch-reshuffle a training run
+    * performs before sequence packing. The order key is
+    * `mix64(fingerprint64("<seed>:" || id))`: content-independent,
+    * reproducible across runs and engines (both primitives have exact
+    * DuckDB replicas — see LayerC's oracle), and fully avalanched so the
+    * induced order is uniform regardless of id distribution.
+    *
+    * Scale shape: attaching the key is a narrow projection; consuming
+    * the order is `repartitionByRange(shuffle_key)` + sort-within-
+    * partitions — a single range-exchange, no global single-task sort,
+    * no row_number. Different `seed` → a fresh independent permutation
+    * per epoch. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long,
+                           numPartitions: Int = 0): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint64, mix64}
+    val keyed = df.withColumn("shuffle_key",
+      mix64(fingerprint64(concat(lit(s"$seed:"), col(idCol).cast("string")))))
+    val parted =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("shuffle_key"))
+      else keyed.repartitionByRange(col("shuffle_key"))
+    parted.sortWithinPartitions(col("shuffle_key"), col(idCol))
+  }
+
+  /** Curriculum interleave: order training examples so quality deciles
+    * are consumed round-robin (position r of decile 1, then r of decile
+    * 2, …) — every context-window-sized slice of the stream sees the
+    * full quality spectrum instead of a quality-sorted corpus's drift.
+    *
+    * Windows are per-shard (`shardCol`), never global: deciles and
+    * round-robin positions are assigned within each shard, and shards
+    * are independent parallel streams a data-loader consumes — the same
+    * bins-never-span-shards contract as [[sequencePack]]. A global
+    * ntile would single-partition the corpus; at 100 TB the shard count
+    * is the parallelism knob.
+    *
+    * Output: shardCol, idCol, `decile` (1..nBuckets, best quality
+    * first), `slot` (round-robin position within the shard; consuming
+    * order is `ORDER BY shard, slot, decile`). */
+  def curriculumInterleave(df: DataFrame, idCol: String, scoreCol: String,
+                           shardCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val byQuality = Window.partitionBy(col(shardCol))
+      .orderBy(desc(scoreCol), col(idCol))
+    val wholeShard = Window.partitionBy(col(shardCol))
+    // slot is derived arithmetically from (row_number, shard count)
+    // rather than a second window over (shard, decile): all three
+    // window functions share the one exchange+sort on shardCol. ntile's
+    // uneven-bucket rule (first n%k buckets get the extra row) is the
+    // SQL-standard one, so rows-before-decile-d is
+    // (d-1)*(n div k) + min(d-1, n mod k) on both engines.
+    val base = expr(s"_n div $nBuckets")  // integer division (`/` on Columns is double)
+    val rem = col("_n") % nBuckets
+    val before = (col("decile") - 1) * base +
+      least(col("decile") - 1, rem)
+    df.select(col(shardCol), col(idCol), col(scoreCol))
+      .withColumn("decile", ntile(nBuckets).over(byQuality).cast("long"))
+      .withColumn("_rn", row_number().over(byQuality).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wholeShard))
+      .withColumn("slot", col("_rn") - before)
+      .drop("_rn", "_n")
+  }
 }

@@ -440,6 +440,42 @@ object TextAnalysis {
     * eval set → broadcast; the corpus side streams through explode +
     * broadcast-hash semi-ish join + per-doc count, so the corpus never
     * shuffles on anything wider than (id, matched shingle). */
+  /** PII patterns shared by the redaction operator and its tests.
+    * Kept RE2-compatible (no backreferences or lookaround) so the same
+    * patterns run identically under Java regex (Spark) and RE2-family
+    * engines (DuckDB, Go tooling) — the dialect-portable subset is the
+    * right contract for rules that legal/compliance reviews once and
+    * every engine in the shop then enforces. */
+  object PiiPatterns {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  }
+
+  /** PII redaction: replace emails, phone numbers, and IPv4 addresses
+    * with typed placeholders and report per-document match counts — the
+    * compliance scrub every public-web training corpus runs before
+    * anything else sees the text.
+    *
+    * Scale shape: a narrow projection (regexp_replace/regexp_count are
+    * codegen'd string expressions); no shuffle, no UDFs. Order matters:
+    * emails are redacted first so a phone-like digit run inside an
+    * address local-part can't be double-redacted; IPv4 runs after phone
+    * because the two patterns can't overlap (phone separators are never
+    * all dots of 1-3-digit groups — 555.123.4567 has a 4-digit octet).
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val step1 = regexp_replace(text, PiiPatterns.email, "<EMAIL>")
+    val step2 = regexp_replace(step1, PiiPatterns.phone, "<PHONE>")
+    val step3 = regexp_replace(step2, PiiPatterns.ipv4, "<IP>")
+    df.select(col(idCol),
+      regexp_count(text, lit(PiiPatterns.email)).as("n_email"),
+      regexp_count(step1, lit(PiiPatterns.phone)).as("n_phone"),
+      regexp_count(step2, lit(PiiPatterns.ipv4)).as("n_ip"),
+      step3.as("redacted"))
+  }
+
   def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3): DataFrame = {
     val benchShingles = benchmark

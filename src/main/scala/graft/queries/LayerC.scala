@@ -316,6 +316,56 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // symmetric int8 embedding quantization (4× storage cut — the first
+    // compression tier of a 100 TB embedding corpus). qvec rides as CSV
+    // text because the comparison harness can't sort array columns; the
+    // reconstruction-error bound is asserted in QuantizeSpec
+    "c38_int8_quantize" -> { (s, dir) =>
+      graft.operators.Quantize.int8(embs(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec_csv"))
+        .orderBy("vec_id")
+    },
+
+    // deterministic epoch shuffle: mix64(fingerprint64(seed:id)) order —
+    // reproducible across engines; the DuckDB oracle replays the same
+    // Karp–Rabin fold + fmix64 finalizer in HUGEINT arithmetic
+    "c39_det_shuffle" -> { (s, dir) =>
+      graft.operators.Curation.deterministicShuffle(docs(s, dir), "doc_id",
+          seed = 1L, numPartitions = 8)
+        .select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key", "doc_id")
+    },
+
+    // curriculum interleave: per-shard quality deciles consumed
+    // round-robin (shard = doc_id % 8 here for oracle clarity; a real
+    // pipeline shards by content hash). Score = whitespace token count.
+    "c40_curriculum" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("n_tokens",
+          size(split(col("text"), "\\s+")).cast("long"))
+      graft.operators.Curation.curriculumInterleave(d, "doc_id", "n_tokens",
+          "shard", nBuckets = 10)
+        .orderBy("shard", "slot", "decile", "doc_id")
+    },
+
+    // PII redaction with per-doc match counts. The synthetic fixture has
+    // no PII, so the query plants deterministic doc_id-derived PII on
+    // BOTH engines first — the redaction regexes, sequencing, and counts
+    // are what the oracle exercises
+    "c41_pii_redact" -> { (s, dir) =>
+      val planted = docs(s, dir).withColumn("text2",
+        concat(col("text"),
+          lit(" reach u"), col("doc_id"), lit("@ex-mail.org or 415-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), col("doc_id") % 256, lit(".0."),
+          (col("doc_id") % 100) + 1))
+      TextAnalysis.redactPii(planted, "doc_id", "text2")
+        .orderBy("doc_id")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -427,6 +477,39 @@ object LayerC {
     * for hamming ≤ 3 (pigeonhole), so the Spark band-join result equals
     * the plain quadratic filter. Constants derive from Mix64's at
     * compile time — they cannot drift apart silently. */
+  /** DuckDB replica of `mix64(fingerprint64("<seed>:" || doc_id))` —
+    * the c39 deterministic-shuffle key. Same HUGEINT Karp–Rabin fold +
+    * fmix64 chain as [[simhashSql]], applied to the seed-prefixed id
+    * string instead of corpus words; the final signed conversion makes
+    * ORDER BY compare exactly like Spark's BIGINT sort. */
+  private def detShuffleSql(seed: Long): String = {
+    val P = "18446744073709551616::HUGEINT"
+    def mul(k: Long): String = {
+      val hi = k >>> 32
+      val lo = k & 0xffffffffL
+      s"""((v * ${lo}::HUGEINT) % $P +
+         |      ((v * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $P""".stripMargin
+    }
+    val xs = "xor(v, v // 8589934592::HUGEINT)"
+    s"""WITH sk AS (
+       |  SELECT doc_id, '$seed:' || CAST(doc_id AS VARCHAR) AS k FROM documents),
+       |kr AS (
+       |  SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
+       |    [CAST(('0x' || substring(hex(encode(k)), 2*i+1, 2)) AS INTEGER)::HUGEINT
+       |     FOR i IN range(length(hex(encode(k)))//2)]),
+       |    (acc, x) -> (acc * 31 + x) % $P) AS v
+       |  FROM sk),
+       |mx1 AS (SELECT doc_id, $xs AS v FROM kr),
+       |mx2 AS (SELECT doc_id, ${mul(0xff51afd7ed558ccdL)} AS v FROM mx1),
+       |mx3 AS (SELECT doc_id, $xs AS v FROM mx2),
+       |mx4 AS (SELECT doc_id, ${mul(0xc4ceb9fe1a85ec53L)} AS v FROM mx3),
+       |mx AS (SELECT doc_id, $xs AS u FROM mx4)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |            THEN u - $P ELSE u END AS BIGINT) AS shuffle_key
+       |FROM mx ORDER BY shuffle_key, doc_id""".stripMargin
+  }
+
   private val simhashSql: String = {
     val P = "18446744073709551616::HUGEINT"
     def mul(k: Long): String = {
@@ -886,6 +969,72 @@ object LayerC {
         |  FROM tf JOIN df USING (token) CROSS JOIN n)
         |SELECT doc_id, token, tf, round(raw, 6) AS score, rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // int8 quantization: floor(x*scale+0.5) is exact IEEE arithmetic on
+    // both engines (round() half-case semantics differ across dialects —
+    // deliberately avoided); scale = 127/max|x| matches bitwise
+    "c38_int8_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma FROM v),
+        |sc AS (SELECT vec_id, v,
+        |  CASE WHEN ma IS NULL OR ma = 0 THEN NULL ELSE 127.0 / ma END AS scale
+        |  FROM m)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale IS NULL THEN NULL ELSE array_to_string(
+        |    list_transform(v, x -> CAST(greatest(-127.0,
+        |      least(127.0, floor(x * scale + 0.5))) AS INTEGER)), ',') END
+        |    AS qvec_csv
+        |FROM sc ORDER BY vec_id""".stripMargin,
+
+    "c39_det_shuffle" -> detShuffleSql(1L),
+
+    // ntile + the SQL-standard uneven-bucket arithmetic; slot derived
+    // from (row_number, count) exactly as the Spark side does
+    "c40_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(ntile(10) OVER (PARTITION BY shard
+        |      ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS decile,
+        |    CAST(row_number() OVER (PARTITION BY shard
+        |      ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn,
+        |    count(1) OVER (PARTITION BY shard) AS n
+        |  FROM t)
+        |SELECT shard, doc_id, n_tokens, decile,
+        |  CAST(rn - ((decile - 1) * (n // 10) + least(decile - 1, n % 10))
+        |    AS BIGINT) AS slot
+        |FROM w ORDER BY shard, slot, decile, doc_id""".stripMargin,
+
+    // same planted PII, same patterns, same redaction sequencing; DuckDB
+    // regexp_replace needs the explicit 'g' flag (Spark replaces all)
+    "c41_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' reach u' || CAST(doc_id AS VARCHAR) ||
+        |    '@ex-mail.org or 415-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |    CAST(doc_id % 100 + 1 AS VARCHAR) AS t0
+        |  FROM documents),
+        |r1 AS (SELECT doc_id, t0,
+        |  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |r2 AS (SELECT doc_id, n_email, t1,
+        |  len(regexp_extract_all(t1, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+        |  regexp_replace(t1, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t2
+        |  FROM r1),
+        |r3 AS (SELECT doc_id, n_email, n_phone,
+        |  len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |  FROM r2)
+        |SELECT doc_id, n_email, n_phone, n_ip, redacted
+        |FROM r3 ORDER BY doc_id""".stripMargin,
 
     "c31_incremental_dedup" ->
       """WITH b AS (SELECT * FROM documents WHERE doc_id % 7 = 0),

@@ -107,6 +107,18 @@ object Relational5 {
           round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
           expr("regr_count(l_extendedprice, l_quantity)").as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB both support the
+    // dialect shorthand — the statement text is shared verbatim with
+    // the oracle, modulo the view name)
+    "q77_group_by_all" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_gba")
+      s.sql("""
+        SELECT o_orderpriority, year(o_orderdate) AS order_year,
+               count(o_orderkey) AS n, round(sum(o_totalprice), 4) AS total
+        FROM orders_gba
+        GROUP BY ALL ORDER BY ALL""")
     }
   )
 
@@ -122,6 +134,14 @@ object Relational5 {
         |  bool_or(l_discount > 0.07) AS any_hi_disc,
         |  CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // year() → DuckDB returns BIGINT, Spark INT — dtype KINDS still
+    // both integer, which is what the harness compares
+    "q77_group_by_all" ->
+      """SELECT o_orderpriority, year(o_orderdate) AS order_year,
+        |       count(o_orderkey) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
 
     "q74_fuzzy_match" ->
       """WITH br AS (SELECT DISTINCT p_brand FROM part)

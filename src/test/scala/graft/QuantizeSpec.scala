@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Quantize
+import graft.functions.VectorFunctions.max_abs
+
+/** int8 embedding quantization: scale math, clamping, the
+  * reconstruction-error bound, and zero/empty-vector degradation. */
+class QuantizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(0.5, -0.25, 0.125)),
+    (2L, Array(1.0, -1.0, 0.0)),
+    (3L, Array(0.003, 0.0017, -0.0042))
+  ).toDF("id", "v")
+
+  test("int8: scale = 127/max|x| and extremes land exactly on ±127") {
+    val out = Quantize.int8(vecs, "id", "v").orderBy("id").collect()
+    assert(out(0).getDouble(1) == 127.0 / 0.5)
+    val q2 = out(1).getSeq[Byte](2)
+    assert(q2 == Seq[Byte](127, -127, 0))
+  }
+
+  test("int8: values quantize to round-half-up of x*scale") {
+    val out = Quantize.int8(vecs, "id", "v").orderBy("id").collect()
+    val q1 = out(0).getSeq[Byte](2)
+    // scale 254: 0.5*254=127, -0.25*254=-63.5 -> floor(-63)= -63, 0.125*254=31.75 -> 32
+    assert(q1 == Seq[Byte](127, -63, 32))
+  }
+
+  test("int8WithError: max_err never exceeds the 0.5/scale bound") {
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j * 3.7) * (j + 1))))
+      .toDF("id", "v")
+    val bad = Quantize.int8WithError(df, "id", "v")
+      .filter(col("max_err") > col("err_bound") * 1.0000001)
+    assert(bad.count() == 0)
+  }
+
+  test("zero and empty vectors degrade to NULL scale/qvec, not an ANSI error") {
+    val df = Seq(
+      (1L, Array(0.0, 0.0)),
+      (2L, Array.empty[Double]),
+      (3L, Array(2.0, -4.0))
+    ).toDF("id", "v")
+    val out = Quantize.int8(df, "id", "v").orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(!out(2).isNullAt(2))
+  }
+
+  test("max_abs matches the interpreted array_max(transform(abs)) form") {
+    val df = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i + j) * (i - 10))))
+      .toDF("id", "v")
+    val diff = df
+      .withColumn("a", max_abs(col("v")))
+      .withColumn("b", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+  }
+}
