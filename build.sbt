@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Deliberately NO -Xms/-XX:+AlwaysPreTouch: this box demand-pages
+  // fresh anon memory at millisecond-scale per fault (measured:
+  // `java -Xms8g -XX:+AlwaysPreTouch -version` = 2.7-4 min wall,
+  // 88 CPU-minutes of sys time, and a later JVM pays it again), so
+  // pre-touching costs every forked JVM minutes at startup. The fault
+  // tax is instead kept out of the BENCH numbers by Bench.scala's
+  // per-query unmeasured warmup rep (see PLANS.md, q9 r5 regression).
 )

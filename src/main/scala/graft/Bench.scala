@@ -9,9 +9,17 @@ import org.apache.spark.sql.SparkSession
   * `count()`, noop cannot be satisfied by metadata or column pruning, so
   * the measured time includes the whole physical plan.
   *
-  * Batch queries report the MEDIAN of 3 runs: round-2 artifacts recorded
-  * an 11× one-off on an untouched query (driver-box contention burst),
-  * and a single sample cannot distinguish that from a plan regression.
+  * Batch queries report the MEDIAN of 3 runs AFTER one unmeasured
+  * warmup execution. Two reasons, both measured in round 6 (PLANS.md):
+  * the bench box demand-pages fresh anon memory at ~ms/fault, so the
+  * first execution of a query can spend tens of seconds in page-fault
+  * sys time (q9_range_join: 0.7 s steady state, 39-80 s cold spikes on
+  * UNCHANGED code — the round-5 "regression"); and the first execution
+  * also pays janino + C2 JIT compilation of that query's generated
+  * code (40+ CPU-seconds observed). Both are per-process constants,
+  * not per-row costs — at the 100 TB design point they amortize to
+  * zero, so steady-state is the honest number. Round-2's 11× one-off
+  * on an untouched query was the same fault tax, now explained.
   * Streaming queries run once — their time is micro-batch harness
   * latency, already reported separately.
   *
@@ -50,10 +58,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (isStreaming(name)) (name, runOnce(name, fn))
       else {
-        val samples = Iterator.continually(runOnce(name, fn))
-          .take(reps).takeWhile(_ >= 0).toSeq
-        // any failed rep marks the query failed; otherwise the median
-        (name, if (samples.length < reps) -1.0 else samples.sorted.apply(reps / 2))
+        // unmeasured warmup rep: absorbs first-touch page faults and
+        // JIT/janino compilation of this query's generated code
+        if (runOnce(name, fn) < 0) (name, -1.0)
+        else {
+          val samples = Iterator.continually(runOnce(name, fn))
+            .take(reps).takeWhile(_ >= 0).toSeq
+          // any failed rep marks the query failed; otherwise the median
+          (name, if (samples.length < reps) -1.0 else samples.sorted.apply(reps / 2))
+        }
       }
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
