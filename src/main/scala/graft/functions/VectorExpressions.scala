@@ -82,7 +82,11 @@ case class DotProduct(left: Expression, right: Expression)
   * codegen rationale as [[DotProduct]]: a tight primitive loop beats
   * the interpreted `array_max(transform(v, abs))` form, and at corpus
   * scale this runs once per embedding row. An empty array yields null
-  * (no elements → no scale), as does a null input.
+  * (no elements → no scale), as does a null input or an array holding
+  * a null element. The null-element case is deliberately STRICTER than
+  * `array_max` (which skips nulls): a skipped dimension would produce
+  * a plausible-but-wrong scale and silently corrupt every quantized
+  * value downstream, so the row degrades to null instead.
   */
 case class MaxAbs(child: Expression) extends UnaryExpression {
 
@@ -104,6 +108,7 @@ case class MaxAbs(child: Expression) extends UnaryExpression {
       var m = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i)) return null
         val a = math.abs(x.getDouble(i))
         if (a > m) m = a
         i += 1
@@ -125,10 +130,11 @@ case class MaxAbs(child: Expression) extends UnaryExpression {
          |} else {
          |  double $m = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $a = Math.abs($c.getDouble($i));
          |    if ($a > $m) $m = $a;
          |  }
-         |  ${ev.value} = $m;
+         |  if (!${ev.isNull}) { ${ev.value} = $m; }
          |}
        """.stripMargin
     })
@@ -148,6 +154,10 @@ case class MaxAbs(child: Expression) extends UnaryExpression {
   * bit-identical across engines, while round() half-case semantics
   * differ between SQL dialects — the DuckDB oracle replays the same
   * floor form and must match byte-for-byte.
+  *
+  * An array holding a null element yields a null row (same rationale
+  * as [[MaxAbs]]: a silently-zeroed dimension would corrupt every
+  * downstream distance without signal).
   */
 case class QuantizeInt8(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -177,7 +187,11 @@ case class QuantizeInt8(left: Expression, right: Expression)
     val n = x.numElements()
     val out = new Array[Byte](n)
     var i = 0
-    while (i < n) { out(i) = quantize(x.getDouble(i), scale); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      out(i) = quantize(x.getDouble(i), scale)
+      i += 1
+    }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
@@ -191,12 +205,15 @@ case class QuantizeInt8(left: Expression, right: Expression)
          |int $n = $v.numElements();
          |byte[] $arr = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $q = Math.floor($v.getDouble($i) * $s + 0.5);
          |  if ($q > 127.0) $q = 127.0;
          |  if ($q < -127.0) $q = -127.0;
          |  $arr[$i] = (byte) $q;
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+         |}
        """.stripMargin
     })
 

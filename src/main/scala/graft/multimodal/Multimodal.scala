@@ -164,6 +164,17 @@ object Multimodal {
     * with the frame index. This is a REAL video container the JDK can
     * fully decode frame-by-frame (JPEG via javax.imageio) — no external
     * codec needed, unlike H.264/MP4. */
+  /** µs-per-frame as written to the AVI `avih` header — the single
+    * source of truth for durations: `aviFrameChunks` multiplies this
+    * by the frame count, and `attachBinary`'s metadata derives from
+    * the same product, so header, decode, and metadata always agree. */
+  def aviUsPerFrame(fps: Int): Long = Math.round(1000000.0 / fps)
+
+  /** Duration in ms implied by the AVI header for `nFrames` at `fps` —
+    * exactly what `aviFrameChunks` will report back after a decode. */
+  def aviDurationMs(nFrames: Int, fps: Int): Long =
+    aviUsPerFrame(fps) * nFrames / 1000L
+
   def encodeMjpegAvi(seed: Long, w: Int, h: Int, nFrames: Int,
                      fps: Int = 10): Array[Byte] = {
     require(nFrames > 0 && fps > 0, s"need nFrames/fps > 0, got $nFrames/$fps")
@@ -180,7 +191,11 @@ object Multimodal {
     def list(listType: String, body: Array[Byte]): Array[Byte] =
       fcc("LIST") ++ u32(body.length + 4L) ++ fcc(listType) ++ body
     val maxFrame = jpegs.map(_.length).max
-    val avih = u32(1000000L / fps) ++ u32(maxFrame.toLong * fps) ++ u32(0) ++
+    // round, don't truncate: for fps not dividing 1e6 (e.g. 3) a
+    // truncated µs-per-frame would make the header-derived duration
+    // (usPerFrame × nFrames, what aviFrameChunks reports) drift from
+    // the true duration by up to nFrames µs-fractions
+    val avih = u32(aviUsPerFrame(fps)) ++ u32(maxFrame.toLong * fps) ++ u32(0) ++
       u32(0) ++ u32(nFrames.toLong) ++ u32(0) ++ u32(1) ++ u32(maxFrame.toLong) ++
       u32(w.toLong) ++ u32(h.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
     val strh = fcc("vids") ++ fcc("MJPG") ++ u32(0) ++ u16(0) ++ u16(0) ++
@@ -285,7 +300,7 @@ object Multimodal {
               val h = 8 + java.lang.Math.floorMod(id * 53, 24L).toInt
               val nFrames = 3 + java.lang.Math.floorMod(id, 5L).toInt
               Row(id, encodeMjpegAvi(id, w, h, nFrames),
-                Row(mime, w, h, nFrames * 100L))
+                Row(mime, w, h, aviDurationMs(nFrames, fps = 10)))
           }
         }
       }(enc)

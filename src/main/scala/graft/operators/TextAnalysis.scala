@@ -431,15 +431,6 @@ object TextAnalysis {
         round(score, 6).as("score"), col("rk"))
   }
 
-  /** Benchmark decontamination: flag training documents sharing any
-    * word-`shingleN`-gram with a benchmark/eval set — the standard
-    * guard against test-set leakage into training data. Returns
-    * (id, n_shared_shingles) for contaminated docs only.
-    *
-    * Scale shape: the benchmark side is distinct shingles of a SMALL
-    * eval set → broadcast; the corpus side streams through explode +
-    * broadcast-hash semi-ish join + per-doc count, so the corpus never
-    * shuffles on anything wider than (id, matched shingle). */
   /** PII patterns shared by the redaction operator and its tests.
     * Kept RE2-compatible (no backreferences or lookaround) so the same
     * patterns run identically under Java regex (Spark) and RE2-family
@@ -476,6 +467,15 @@ object TextAnalysis {
       step3.as("redacted"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-`shingleN`-gram with a benchmark/eval set — the standard
+    * guard against test-set leakage into training data. Returns
+    * (id, n_shared_shingles) for contaminated docs only.
+    *
+    * Scale shape: the benchmark side is distinct shingles of a SMALL
+    * eval set → broadcast; the corpus side streams through explode +
+    * broadcast-hash semi-ish join + per-doc count, so the corpus never
+    * shuffles on anything wider than (id, matched shingle). */
   def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3): DataFrame = {
     val benchShingles = benchmark

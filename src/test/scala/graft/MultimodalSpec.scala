@@ -71,6 +71,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAviFrames(null).isEmpty)
   }
 
+  test("AVI duration agrees between header, decode, and metadata for fps not dividing 1e6") {
+    // fps=3: 1e6/3 truncates to 333333 but rounds to 333333 — use fps=7
+    // too (1e6/7 = 142857.14 → rounds 142857) and fps=6 (166666.67 →
+    // 166667, where truncation would lose a full ms over 6 frames)
+    for (fps <- Seq(3, 6, 7)) {
+      val n = 6
+      val avi = Multimodal.encodeMjpegAvi(seed = 9L, w = 8, h = 8, nFrames = n, fps = fps)
+      val (frames, durMs) = Multimodal.decodeAviFrames(avi).get
+      assert(frames.length == n)
+      assert(durMs == Multimodal.aviDurationMs(n, fps),
+        s"fps=$fps: decoded $durMs != header math ${Multimodal.aviDurationMs(n, fps)}")
+      // rounded µs-per-frame keeps the decoded duration within 1 ms of truth
+      val trueMs = math.round(n * 1000.0 / fps)
+      assert(math.abs(durMs - trueMs) <= 1, s"fps=$fps: $durMs vs true $trueMs")
+    }
+  }
+
   test("encodeWav/decodeWav round-trip: exact duration, RMS and peak from samples") {
     // 1 s at 8 kHz: duration must be exact; doc 2's amplitude is
     // 0.25 + (2*13 % 50)/100 = 0.51 → peak ≈ 0.51, RMS ≈ 0.51/√2

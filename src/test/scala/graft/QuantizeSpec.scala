@@ -52,6 +52,20 @@ class QuantizeSpec extends AnyFunSuite {
     assert(!out(2).isNullAt(2))
   }
 
+  test("null array elements propagate to a NULL row, never read as 0") {
+    // array<double> with containsNull=true and a planted null element:
+    // max_abs and quantize_int8 must yield NULL for that row —
+    // deliberately stricter than array_max (which skips nulls), because
+    // a skipped dimension gives a plausible-but-wrong scale
+    val df = Seq(
+      (1L, Array[java.lang.Double](1.0, null, 3.0)),
+      (2L, Array[java.lang.Double](2.0, -4.0, 1.0))
+    ).toDF("id", "v")
+    val out = Quantize.int8(df, "id", "v").orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert(out(1).getDouble(1) == 127.0 / 4.0 && !out(1).isNullAt(2))
+  }
+
   test("max_abs matches the interpreted array_max(transform(abs)) form") {
     val df = Seq.tabulate(20)(i =>
       (i.toLong, Array.tabulate(8)(j => math.cos(i + j) * (i - 10))))
