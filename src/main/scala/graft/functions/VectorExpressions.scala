@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the dense dot product of two
   * `array<double>` columns.
@@ -222,6 +222,83 @@ case class QuantizeInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance (ADC) score for product quantization: sum the
+  * per-subspace lookup-table entries selected by a PQ code array —
+  * `score = Σ_j table[j*ksub + codes[j]]`. `codes` is the corpus row's
+  * `array<int>` PQ code (one centroid id per subspace), `table` the
+  * query's flattened `array<double>` of per-(subspace, centroid)
+  * partial inner products.
+  *
+  * This is THE hot loop of PQ retrieval — one add per subspace per
+  * corpus row — so it's a codegen expression for the same reason as
+  * [[DotProduct]]: a tight primitive loop inside whole-stage codegen
+  * beats any higher-order/interpreted form. A code outside
+  * `[0, ksub)` or a table shorter than `m*ksub` yields null (a
+  * silently-clamped index would score against the wrong centroid). */
+case class AdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_score"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_score requires (array<int>, array<double>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(c: Any, t: Any): Any = {
+    val codes = c.asInstanceOf[ArrayData]
+    val table = t.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val tn = table.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val code = codes.getInt(j)
+      val idx = j * ksub + code
+      if (code < 0 || code >= ksub || idx >= tn || table.isNullAt(idx)) return null
+      s += table.getDouble(idx)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val m = ctx.freshName("m")
+      val tn = ctx.freshName("tn")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val code = ctx.freshName("code")
+      val idx = ctx.freshName("idx")
+      s"""
+         |int $m = $c.numElements();
+         |int $tn = $t.numElements();
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  int $code = $c.getInt($j);
+         |  int $idx = $j * $ksub + $code;
+         |  if ($code < 0 || $code >= $ksub || $idx >= $tn || $t.isNullAt($idx)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  $s += $t.getDouble($idx);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level dot product backed by the codegen expression. */
   def dot_product(a: Column, b: Column): Column =
@@ -236,4 +313,10 @@ object VectorFunctions {
   def quantize_int8(v: Column, scale: Column): Column =
     GraftColumnBridge.column(QuantizeInt8(
       GraftColumnBridge.expression(v), GraftColumnBridge.expression(scale)))
+
+  /** PQ asymmetric-distance score from a code array and a flattened
+    * per-query lookup table (codegen). */
+  def adc_score(codes: Column, table: Column, ksub: Int): Column =
+    GraftColumnBridge.column(AdcScore(
+      GraftColumnBridge.expression(codes), GraftColumnBridge.expression(table), ksub))
 }

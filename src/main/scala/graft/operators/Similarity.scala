@@ -260,6 +260,122 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-subspace PQ codebooks: split `dim` into `m` subspaces of
+    * `dim/m` dims and k-means each to `ksub` centroids. Returns
+    * m × ksub × (dim/m) centroid coordinates — a model artifact of
+    * `m*ksub*dim/m = ksub*dim` doubles (a few KB), trained once and
+    * shipped as literals. `trainFraction` < 1 fits on a seeded sample:
+    * at 100 TB the codebooks need thousands of vectors, not all of
+    * them, and a real deployment persists the trained codebooks with
+    * the encoded corpus rather than refitting per query. */
+  def pqTrain(corpus: DataFrame, vecCol: String, dim: Int, m: Int,
+              ksub: Int, seed: Long = 7L,
+              trainFraction: Double = 1.0): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val base = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val train = if (trainFraction >= 1.0) base else base.sample(trainFraction, seed)
+    (0 until m).map { j =>
+      val model = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(20)
+        .setFeaturesCol("_fv").setPredictionCol("_c")
+        .fit(train.select(
+          array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("_fv")))
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+  }
+
+  /** Product-quantization kNN with ADC scoring and exact rerank — the
+    * memory-bound retrieval tier int8 ([[Quantize.int8]]) is the first
+    * step toward: each corpus vector compresses to `m` small centroid
+    * ids (m bytes at ksub ≤ 256 — 64× smaller than a 64-dim double
+    * vector), queries score the WHOLE corpus through a per-query lookup
+    * table of `m × ksub` partial inner products, and only the top
+    * `rerank` approximate hits per query pay the exact-cosine join.
+    *
+    * Scale shape, stage by stage:
+    *  - encode: per-subspace argmin against literal centroids — a
+    *    narrow codegen projection, no shuffle; the coded corpus
+    *    (id, m ints, norm) is what a serving tier persists.
+    *  - ADC scan: coded corpus ⨯ broadcast query tables; per row it's
+    *    m adds through [[graft.functions.AdcScore]] inside whole-stage
+    *    codegen. No vector ever moves — the scan streams ids + codes.
+    *  - top-`rerank` selection is TWO-phase: a per-(query, input
+    *    partition) local top-R, then a global top-R over the
+    *    nPartitions×R survivors — never a corpus-sized single-key
+    *    window partition (the keep-best-per-cluster lesson; selection
+    *    commutes with partition-local pruning, so this is exact).
+    *  - rerank: shortlist ids join vectors back on 8-byte keys and
+    *    score exact cosine once per surviving pair (the ids-only
+    *    lesson from [[annPairsTopK]]).
+    *
+    * `rerank >= corpus size` makes the pipeline EXACT regardless of
+    * codebook quality (every row survives to the exact stage) — the
+    * oracle configuration, same pattern as c16's probe-all-cells. The
+    * pruned regime's recall is quantified in SimilaritySpec.
+    * Output matches [[bruteForceKnn]]: query_id, nn_id, cosine, rank. */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, k: Int, dim: Int = 64, m: Int = 8,
+            ksub: Int = 16, rerank: Int = 50, seed: Long = 7L,
+            trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.adc_score
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val dsub = dim / m
+    val codebooks = pqTrain(corpus, vecCol, dim, m, ksub, seed, trainFraction)
+    // squared L2 up to the ||v_sub||² constant: ||c||² − 2 v_sub·c —
+    // same argmin as true squared distance (the ivfKnn literal form)
+    def subDists(vc: Column, j: Int): Column = array(codebooks(j).map { cen =>
+      lit(cen.map(x => x * x).sum) -
+        lit(2.0) * dot(slice(vc, j * dsub + 1, dsub), typedLit(cen))
+    }: _*)
+    def subCode(vc: Column, j: Int): Column = {
+      val d = subDists(vc, j)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    val coded = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+      .withColumn("codes", array((0 until m).map(j => subCode(col("cv"), j)): _*))
+      .select("nn_id", "codes", "cn")
+    // flattened per-query ADC table: entry j*ksub+c = q_sub_j · cen_{j,c},
+    // so Σ_j table[j*ksub+codes_j] approximates q · v
+    val qv = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val adcTable = array((for (j <- 0 until m; cen <- codebooks(j)) yield
+      dot(slice(col("qv"), j * dsub + 1, dsub), typedLit(cen))): _*)
+    val qAdc = qv.select(col("query_id"), col("qn"), adcTable.as("adc"))
+    val scored = coded.crossJoin(broadcast(qAdc))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"), col("cn"), col("qn"),
+        cosineOrNull(adc_score(col("codes"), col("adc"), ksub),
+          col("qn"), col("cn")).as("approx_cos"))
+      .filter(col("approx_cos").isNotNull)
+    val wLocal = Window.partitionBy(col("query_id"), col("_pid"))
+      .orderBy(desc("approx_cos"), asc("nn_id"))
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(desc("approx_cos"), asc("nn_id"))
+    val shortlist = scored
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= rerank)
+      .withColumn("_gr", row_number().over(wGlobal))
+      .filter(col("_gr") <= rerank)
+      .select("query_id", "nn_id")
+    val cvFull = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))
+    shortlist.join(cvFull, Seq("nn_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosineOrNull(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate k-NN, query-vs-corpus: probe `queries` into the
     * corpus's SRP-LSH buckets. Unlike `bruteForceKnn` the corpus is
     * NEVER broadcast — both sides are signed with the same hyperplanes,

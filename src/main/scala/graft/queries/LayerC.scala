@@ -134,6 +134,22 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
+    // product-quantization kNN: per-subspace codebooks, m-byte codes,
+    // ADC lookup-table scan, exact-cosine rerank — the memory-bound
+    // retrieval tier (64× vector compression). rerank >= corpus size
+    // keeps EVERY row through to the exact stage, so the pipeline
+    // (codebook train, encode, ADC scan, two-phase top-R, rerank) must
+    // equal brute-force kNN row-for-row regardless of codebook quality
+    // — the c16 probe-all-cells pattern; the pruned regime (rerank 50,
+    // recall quantified vs exact) is in SimilaritySpec.
+    "c42_pq_knn" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.pqKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          5, dim = 64, m = 8, ksub = 16, rerank = Int.MaxValue, seed = 7L)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    },
+
     // end-to-end curation pipeline: quality filter → exact dedup →
     // token-count projection — the composed shape of a training-data
     // prep job, each stage an already-verified operator
@@ -1103,6 +1119,9 @@ object LayerC {
     // judge's round-2 ask: value-check the ANN rows, not just count)
     "c14_ann_knn" -> knnOracleSql,
     "c16_ivf_knn" -> knnOracleSql,
+    // c42 reranks an unbounded shortlist (rerank = MaxValue), so the
+    // PQ pipeline degenerates to exact kNN and shares the same oracle
+    "c42_pq_knn" -> knnOracleSql,
     // c7 runs exhaustive LSH parameters (total recall on the fixture) →
     // equals the exact top-20 pair set and shares c5's oracle verbatim
     "c7_ann_lsh" -> oracleC5,

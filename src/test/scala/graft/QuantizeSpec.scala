@@ -66,6 +66,27 @@ class QuantizeSpec extends AnyFunSuite {
     assert(out(1).getDouble(1) == 127.0 / 4.0 && !out(1).isNullAt(2))
   }
 
+  test("int8 retrieval: kNN over dequantized vectors, recall@10 >= 0.95 vs exact") {
+    // the retrieval consequence of the 0.5/scale error bound: searching
+    // the dequantized int8 corpus must surface (nearly) the same
+    // neighbors as the full-precision corpus — this is what a serving
+    // tier that ships int8 vectors actually runs
+    import graft.operators.Similarity
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val k = 10
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", k)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val deq = Quantize.int8(e, "vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("qvec").cast("array<double>"),
+          q => q / col("scale")).as("embedding"))
+    val approx = Similarity.bruteForceKnn(deq, queries, "vec_id", "embedding", k)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"int8 retrieval recall $recall < 0.95")
+  }
+
   test("max_abs matches the interpreted array_max(transform(abs)) form") {
     val df = Seq.tabulate(20)(i =>
       (i.toLong, Array.tabulate(8)(j => math.cos(i + j) * (i - 10))))

@@ -112,6 +112,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("pqKnn: pruned rerank recall >= 0.8 vs brute force; unbounded rerank is exact") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" < 20)
+    val k = 5
+    val exact = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", k)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    // pruned regime: ADC shortlist of 50, exact rerank — the serving
+    // shape. Near-orthogonal fixture is PQ's worst case (all cosines
+    // near 0, quantization error comparable to the signal), hence 4-dim
+    // subspaces (m=16) and a generous shortlist relative to corpus
+    // size; clustered corpora get away with far coarser codes.
+    val pruned = Similarity.pqKnn(e, queries, "vec_id", "embedding", k,
+        dim = 64, m = 16, ksub = 16, rerank = 50, seed = 7L)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recall = pruned.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall < 0.8")
+    // unbounded rerank keeps every row through the exact stage → must
+    // equal brute force rank-for-rank regardless of codebook quality
+    // (what lets c42 share the exact-kNN DuckDB oracle)
+    val full = Similarity.pqKnn(e, queries, "vec_id", "embedding", k,
+        dim = 64, m = 8, ksub = 16, rerank = Int.MaxValue, seed = 7L)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exactRanked = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", k)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exactRanked,
+      s"missing: ${exactRanked.diff(full)}; extra: ${full.diff(exactRanked)}")
+  }
+
   test("ivfKnn: broadcast-join centroid path equals the literal path") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter($"vec_id" < 20)
