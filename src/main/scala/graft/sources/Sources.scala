@@ -27,8 +27,19 @@ object Sources {
       schema: Option[StructType] = None,
       options: Map[String, String] = Map.empty)
 
+  /** Spark ships Avro's FileFormat inside spark-sql but (in this
+    * distribution) without the DataSourceRegister service entry that
+    * binds the `avro` short name, so the short name resolves to the
+    * provider class here. Row-oriented Avro is the streaming-interchange
+    * format (Kafka payloads, schema-registry pipelines) next to the
+    * columnar parquet/orc at-rest pair. */
+  private def provider(format: String): String = format match {
+    case "avro" => "org.apache.spark.sql.avro.AvroFileFormat"
+    case other => other
+  }
+
   def read(spark: SparkSession, spec: SourceSpec): DataFrame = {
-    var r = spark.read.format(spec.format).options(spec.options)
+    var r = spark.read.format(provider(spec.format)).options(spec.options)
     spec.schema.foreach(s => r = r.schema(s))
     spec.format match {
       case "jdbc" => r.load() // url/dbtable|query come from options
@@ -55,7 +66,7 @@ object Sources {
   def write(df: DataFrame, format: String, path: String,
             mode: SaveMode = SaveMode.Overwrite,
             options: Map[String, String] = Map.empty): Unit = {
-    val w = df.write.format(format).mode(mode).options(options)
+    val w = df.write.format(provider(format)).mode(mode).options(options)
     format match {
       case "jdbc" => w.option("batchsize", "2000").save()
       case _ => w.save(path)
