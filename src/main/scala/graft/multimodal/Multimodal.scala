@@ -178,7 +178,18 @@ object Multimodal {
   def encodeMjpegAvi(seed: Long, w: Int, h: Int, nFrames: Int,
                      fps: Int = 10): Array[Byte] = {
     require(nFrames > 0 && fps > 0, s"need nFrames/fps > 0, got $nFrames/$fps")
-    val jpegs = (0 until nFrames).map(f => encodeImage(seed + 31L * f, w, h, "jpg"))
+    encodeAviFromJpegs(
+      (0 until nFrames).map(f => encodeImage(seed + 31L * f, w, h, "jpg")),
+      w, h, fps)
+  }
+
+  /** RIFF/AVI container around caller-supplied per-frame JPEG payloads —
+    * the bring-your-own-frames variant of [[encodeMjpegAvi]] (fixtures
+    * with analytically-known pixel content, re-muxing sampled frames). */
+  def encodeAviFromJpegs(jpegs: Seq[Array[Byte]], w: Int, h: Int,
+                         fps: Int = 10): Array[Byte] = {
+    require(jpegs.nonEmpty && fps > 0, s"need frames and fps > 0, got ${jpegs.size}/$fps")
+    val nFrames = jpegs.size
     def u32(v: Long): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
         ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)

@@ -71,6 +71,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAviFrames(null).isEmpty)
   }
 
+  test("image feature math: hand-computed gradient payload yields the exact luma histogram") {
+    // 16×1 PNG (lossless), pixel x = gray 16x+8: equal channels make
+    // luma = g (BT.601 weights sum to 1), and every g sits mid-bin, so
+    // the expected histogram is EXACTLY uniform 1/16 — computed from
+    // first principles, not by re-running the implementation
+    val img = new BufferedImage(16, 1, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16) { val g = 16 * x + 8; img.setRGB(x, 0, (g << 16) | (g << 8) | g) }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val decoded = Multimodal.decodeImage(bos.toByteArray).get
+    val hist = Multimodal.lumaHistogram(decoded)
+    assert(hist.toSeq == Seq.fill(16)(1.0f / 16))
+  }
+
+  test("audio feature math: hand-built PCM payload yields the exact samples and histogram") {
+    // mono 16-bit little-endian WAV with one sample per amplitude bin:
+    // v_k = 4096k + 2048 − 32768 decodes to s = v/32768 landing mid-bin
+    // k, so the expected amplitude histogram is EXACTLY uniform 1/16
+    val samples = (0 until 16).map(k => 4096 * k + 2048 - 32768)
+    val pcm = samples.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(Multimodal.wavSampleRate, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 16), AudioFileFormat.Type.WAVE, bos)
+    val (decoded, durMs) = Multimodal.decodeWav(bos.toByteArray).get
+    assert(decoded.toSeq == samples.map(_ / 32768.0f))
+    assert(durMs == 2L) // 16 frames at 8 kHz = 2 ms
+    assert(Multimodal.amplitudeHistogram(decoded).toSeq == Seq.fill(16)(1.0f / 16))
+  }
+
+  test("video feature math: solid-gray JPEG frames yield the exact mean luma histogram") {
+    // 3 solid gray-136 frames (mid-bin 8): a solid JPEG is a pure DC
+    // block, so decode error stays within the bin and every pixel of
+    // every frame lands in bin 8 — expected mean histogram is exactly
+    // one-hot. Built via encodeAviFromJpegs (bring-your-own-frames).
+    def solidJpeg(g: Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = Multimodal.encodeAviFromJpegs(Seq.fill(3)(solidJpeg(136)), 16, 16, fps = 10)
+    val (frames, durMs) = Multimodal.decodeAviFrames(avi).get
+    assert(frames.length == 3 && durMs == 300L)
+    val expected = Array.tabulate(16)(i => if (i == 8) 1.0f else 0.0f)
+    assert(Multimodal.meanLumaHistogram(frames).toSeq == expected.toSeq)
+  }
+
   test("AVI duration agrees between header, decode, and metadata for fps not dividing 1e6") {
     // fps=3: 1e6/3 truncates to 333333 but rounds to 333333 — use fps=7
     // too (1e6/7 = 142857.14 → rounds 142857) and fps=6 (166666.67 →
