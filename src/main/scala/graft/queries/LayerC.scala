@@ -134,6 +134,19 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
+    // SemDeDup-style semantic dedup: k-means cells bound the pairwise
+    // term to within-cluster. nCells = 1 degenerates to the exact
+    // embedding-dedup semantics, so the whole pipeline shares c15's
+    // NOT EXISTS oracle (the c16/c42 exhaustive-config pattern); the
+    // clustered regime (nCells > 1, drop set ⊆ exact drop set) is
+    // quantified in DedupSpec.
+    "c43_semantic_dedup" -> { (s, dir) =>
+      graft.operators.Dedup.semanticDedup(embs(s, dir), "vec_id", "embedding",
+          0.4, nCells = 1)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+
     // product-quantization kNN: per-subspace codebooks, m-byte codes,
     // ADC lookup-table scan, exact-cosine rerank — the memory-bound
     // retrieval tier (64× vector compression). rerank >= corpus size
@@ -685,15 +698,20 @@ object LayerC {
       |SELECT id_a, id_b, round(raw, 6) AS cosine FROM top
       |ORDER BY cosine DESC, id_a, id_b""".stripMargin
 
+  // shared by c15 (exact tier) and c43 (SemDeDup at nCells = 1, which
+  // degenerates to the same NOT EXISTS semantics)
+  private val embeddingDedupOracle: String =
+    """SELECT e.vec_id, e.label FROM embeddings e
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM embeddings o
+      |  WHERE o.vec_id < e.vec_id
+      |    AND list_cosine_similarity(CAST(o.embedding AS DOUBLE[]),
+      |                               CAST(e.embedding AS DOUBLE[])) >= 0.4)
+      |ORDER BY e.vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "c15_embedding_dedup" ->
-      """SELECT e.vec_id, e.label FROM embeddings e
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM embeddings o
-        |  WHERE o.vec_id < e.vec_id
-        |    AND list_cosine_similarity(CAST(o.embedding AS DOUBLE[]),
-        |                               CAST(e.embedding AS DOUBLE[])) >= 0.4)
-        |ORDER BY e.vec_id""".stripMargin,
+    "c15_embedding_dedup" -> embeddingDedupOracle,
+    "c43_semantic_dedup" -> embeddingDedupOracle,
 
     "c17_curation_pipeline" ->
       s"""WITH f AS (

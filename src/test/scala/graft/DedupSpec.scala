@@ -143,6 +143,29 @@ class DedupSpec extends AnyFunSuite {
     assert(agreement >= 0.9, s"ANN kept ${annKept.size} vs exact ${kept.size}")
   }
 
+  test("semanticDedup: nCells=1 equals the exact tier; clustered regime never over-drops") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exactKept = Dedup.embeddingDedup(e, "vec_id", "embedding", 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    // nCells=1: one cell holds everything → identical NOT EXISTS
+    // semantics (what lets c43 share c15's DuckDB oracle)
+    val oneCell = Dedup.semanticDedup(e, "vec_id", "embedding", 0.4, nCells = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(oneCell == exactKept)
+    // clustered regime: only same-cell pairs are compared, so the drop
+    // set is a SUBSET of the exact tier's — never drops a unique row —
+    // and SemDeDup's premise (near-dups co-cluster) keeps most drops
+    val clustered = Dedup.semanticDedup(e, "vec_id", "embedding", 0.4, nCells = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exactKept.subsetOf(clustered), "clustered tier dropped a unique row")
+    val all = e.select("vec_id").as[Long].collect().toSet
+    val exactDrops = all.size - exactKept.size
+    val caught = all.size - clustered.size
+    assert(exactDrops > 0)
+    val dropRecall = caught.toDouble / exactDrops
+    assert(dropRecall >= 0.5, s"clustered tier caught $caught of $exactDrops drops")
+  }
+
   test("dupClusters: transitive chains collapse to the min id; singletons self-label") {
     // chain 1-2, 2-3 (1 and 3 NOT paired directly), separate pair 5-6,
     // singleton 9
