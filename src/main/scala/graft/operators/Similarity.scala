@@ -264,26 +264,77 @@ object Similarity {
     * `dim/m` dims and k-means each to `ksub` centroids. Returns
     * m × ksub × (dim/m) centroid coordinates — a model artifact of
     * `m*ksub*dim/m = ksub*dim` doubles (a few KB), trained once and
-    * shipped as literals. `trainFraction` < 1 fits on a seeded sample:
-    * at 100 TB the codebooks need thousands of vectors, not all of
-    * them, and a real deployment persists the trained codebooks with
-    * the encoded corpus rather than refitting per query. */
+    * shipped as literals; a real deployment persists the codebooks with
+    * the encoded corpus rather than refitting per query.
+    *
+    * Training is a DRIVER-SIDE Lloyd's fit on a bounded seeded sample
+    * (`trainFraction` of the corpus, capped at `maxTrainRows` — the
+    * FAISS discipline: PQ codebooks train on 10⁴-10⁵ vectors no matter
+    * how big the corpus). This is deliberate and measured: the sample
+    * is a few hundred KB, and fitting it through distributed k-means
+    * costs m × (init + maxIter) tiny Spark jobs — ~12 s of pure
+    * job-scheduling latency at sf0.1 vs ~0.2 s of local arithmetic
+    * (PLANS.md round 6). Same pattern as the driver-side LSH
+    * hyperplanes: model-sized math stays on the driver, seed-fixed and
+    * deterministic; only corpus-sized work runs distributed. */
   def pqTrain(corpus: DataFrame, vecCol: String, dim: Int, m: Int,
-              ksub: Int, seed: Long = 7L,
-              trainFraction: Double = 1.0): Seq[Seq[Seq[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              ksub: Int, seed: Long = 7L, trainFraction: Double = 1.0,
+              maxTrainRows: Int = 10000): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     val base = corpus.select(col(vecCol).cast("array<double>").as("v"))
-    val train = if (trainFraction >= 1.0) base else base.sample(trainFraction, seed)
+      .filter(size(col("v")) === dim)
+    val sampled = if (trainFraction >= 1.0) base else base.sample(trainFraction, seed)
+    val pts: Array[Array[Double]] = sampled.limit(maxTrainRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(pts.nonEmpty, s"PQ training sample is empty (trainFraction=$trainFraction)")
     (0 until m).map { j =>
-      val model = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(20)
-        .setFeaturesCol("_fv").setPredictionCol("_c")
-        .fit(train.select(
-          array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("_fv")))
-      model.clusterCenters.map(_.toArray.toSeq).toSeq
+      lloyds(pts.map(p => java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub)),
+        ksub, seed + j)
     }
+  }
+
+  /** Plain Lloyd's k-means on driver-local points: seeded random init,
+    * empty clusters reseeded to random points, fixed iteration budget.
+    * Deterministic for a given (points, k, seed). */
+  private def lloyds(pts: Array[Array[Double]], k: Int, seed: Long,
+                     iters: Int = 20): Seq[Seq[Double]] = {
+    val d = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    val cents = Array.tabulate(k)(_ => pts(rnd.nextInt(pts.length)).clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0
+          var i = 0
+          while (i < d) { val df = p(i) - cents(c)(i); dist += df * df; i += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } else {
+          // empty cluster: reseed so all ksub code points stay live
+          pts(rnd.nextInt(pts.length)).copyToArray(cents(c))
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents.map(_.toSeq).toSeq
   }
 
   /** Product-quantization kNN with ADC scoring and exact rerank — the

@@ -155,10 +155,16 @@ object LayerC {
     // equal brute-force kNN row-for-row regardless of codebook quality
     // — the c16 probe-all-cells pattern; the pruned regime (rerank 50,
     // recall quantified vs exact) is in SimilaritySpec.
+    // trainFraction 0.25: codebooks fit on a seeded sample — the 100 TB
+    // build shape (pqTrain scaladoc), and with unbounded rerank the
+    // result is exact REGARDLESS of codebook quality, so sampling
+    // cannot perturb the oracle equality (only the k-means cost; 0.25
+    // keeps the smallest fixture's sample comfortably above ksub)
     "c42_pq_knn" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.pqKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-          5, dim = 64, m = 8, ksub = 16, rerank = Int.MaxValue, seed = 7L)
+          5, dim = 64, m = 8, ksub = 16, rerank = Int.MaxValue, seed = 7L,
+          trainFraction = 0.25)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     },
