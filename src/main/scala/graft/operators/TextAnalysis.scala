@@ -334,12 +334,15 @@ object TextAnalysis {
     val words = split(lower(col(textCol)), "\\s+")
     val tokens = df.select(explode(words).as("_t"))
     val uni = tokens.groupBy(col("_t")).agg(count(lit(1)).as("_uc"))
-    val totTok = tokens.agg(count(lit(1)).as("_tt"))
     val bg = df.select(explode(graft.functions.ChunkFunctions.word_chunks(
       col(textCol), 2, 1, lowercase = true, fullOnly = true)).as("pair"))
-    val bic = bg.groupBy(col("pair")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
-    val totBg = bg.agg(count(lit(1)).as("_tb"))
+    val bicAll = bg.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val bic = bicAll.filter(col("n") >= minCount)
+    // totals come from the aggregated tables (Σ group counts == total,
+    // exactly, in integers) — totalling the raw token/bigram relations
+    // would re-explode the whole corpus a second time per relation
+    val totTok = uni.agg(sum(col("_uc")).as("_tt"))
+    val totBg = bicAll.agg(sum(col("n")).as("_tb"))
     // exactly one space per pair (words cannot contain whitespace), so
     // substring_index recovers both members losslessly
     val raw = log((col("n").cast("double") / col("_tb").cast("double")) /
