@@ -281,27 +281,74 @@ object Similarity {
               ksub: Int, seed: Long = 7L, trainFraction: Double = 1.0,
               maxTrainRows: Int = 10000): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val dsub = dim / m
+    val pts = trainSample(corpus, vecCol, dim, seed, trainFraction, maxTrainRows)
+    pqCodebooksFromSample(pts, dim, m, ksub, seed)
+  }
+
+  /** Bounded seeded training sample for driver-side model fits: the
+    * collect is capped at `maxTrainRows` REGARDLESS of corpus size —
+    * never a corpus-sized driver materialization. */
+  private def trainSample(corpus: DataFrame, vecCol: String, dim: Int,
+                          seed: Long, trainFraction: Double,
+                          maxTrainRows: Int): Array[Array[Double]] = {
     val base = corpus.select(col(vecCol).cast("array<double>").as("v"))
       .filter(size(col("v")) === dim)
     val sampled = if (trainFraction >= 1.0) base else base.sample(trainFraction, seed)
     val pts: Array[Array[Double]] = sampled.limit(maxTrainRows)
       .collect().map(_.getSeq[Double](0).toArray)
-    require(pts.nonEmpty, s"PQ training sample is empty (trainFraction=$trainFraction)")
+    require(pts.nonEmpty, s"training sample is empty (trainFraction=$trainFraction)")
+    pts
+  }
+
+  private def pqCodebooksFromSample(pts: Array[Array[Double]], dim: Int,
+                                    m: Int, ksub: Int,
+                                    seed: Long): Seq[Seq[Seq[Double]]] = {
+    val dsub = dim / m
     (0 until m).map { j =>
       lloyds(pts.map(p => java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub)),
         ksub, seed + j)
     }
   }
 
-  /** Plain Lloyd's k-means on driver-local points: seeded random init,
-    * empty clusters reseeded to random points, fixed iteration budget.
-    * Deterministic for a given (points, k, seed). */
+  /** Lloyd's k-means on driver-local points with k-means++ seeding
+    * (D²-weighted initial centroids — Arthur & Vassilvitskii 2007;
+    * random init measurably degrades coarse-cell quality and with it
+    * IVF probe recall), empty clusters reseeded to random points, fixed
+    * iteration budget. Deterministic for a given (points, k, seed). */
   private def lloyds(pts: Array[Array[Double]], k: Int, seed: Long,
                      iters: Int = 20): Seq[Seq[Double]] = {
     val d = pts.head.length
     val rnd = new scala.util.Random(seed)
-    val cents = Array.tabulate(k)(_ => pts(rnd.nextInt(pts.length)).clone)
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { val df = a(i) - b(i); s += df * df; i += 1 }
+      s
+    }
+    // k-means++: first centroid uniform, each next drawn ∝ D²(point)
+    val cents = new Array[Array[Double]](k)
+    cents(0) = pts(rnd.nextInt(pts.length)).clone
+    val d2 = pts.map(sqDist(_, cents(0)))
+    var ci = 1
+    while (ci < k) {
+      val total = d2.sum
+      if (total <= 0.0) {
+        // all points coincide with chosen centroids — fill with copies
+        cents(ci) = pts(rnd.nextInt(pts.length)).clone
+      } else {
+        var r = rnd.nextDouble() * total
+        var pick = 0
+        while (pick < pts.length - 1 && r > d2(pick)) { r -= d2(pick); pick += 1 }
+        cents(ci) = pts(pick).clone
+        var i = 0
+        while (i < pts.length) {
+          val nd = sqDist(pts(i), cents(ci))
+          if (nd < d2(i)) d2(i) = nd
+          i += 1
+        }
+      }
+      ci += 1
+    }
     var it = 0
     while (it < iters) {
       val sums = Array.fill(k)(new Array[Double](d))
@@ -370,45 +417,71 @@ object Similarity {
             vecCol: String, k: Int, dim: Int = 64, m: Int = 8,
             ksub: Int = 16, rerank: Int = 50, seed: Long = 7L,
             trainFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.adc_score
     require(rerank >= k, s"rerank $rerank must be >= k $k")
-    val dsub = dim / m
     val codebooks = pqTrain(corpus, vecCol, dim, m, ksub, seed, trainFraction)
-    // squared L2 up to the ||v_sub||² constant: ||c||² − 2 v_sub·c —
-    // same argmin as true squared distance (the ivfKnn literal form)
-    def subDists(vc: Column, j: Int): Column = array(codebooks(j).map { cen =>
-      lit(cen.map(x => x * x).sum) -
-        lit(2.0) * dot(slice(vc, j * dsub + 1, dsub), typedLit(cen))
-    }: _*)
-    def subCode(vc: Column, j: Int): Column = {
-      val d = subDists(vc, j)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
     val coded = corpus
       .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-      .withColumn("codes", array((0 until m).map(j => subCode(col("cv"), j)): _*))
+      .withColumn("codes", pqCodes(codebooks, dim)(col("cv")))
       .select("nn_id", "codes", "cn")
-    // flattened per-query ADC table: entry j*ksub+c = q_sub_j · cen_{j,c},
-    // so Σ_j table[j*ksub+codes_j] approximates q · v
     val qv = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
-    val adcTable = array((for (j <- 0 until m; cen <- codebooks(j)) yield
-      dot(slice(col("qv"), j * dsub + 1, dsub), typedLit(cen))): _*)
-    val qAdc = qv.select(col("query_id"), col("qn"), adcTable.as("adc"))
+    val qAdc = qv.select(col("query_id"), col("qn"),
+      pqAdcTable(codebooks, dim)(col("qv")).as("adc"))
     val scored = coded.crossJoin(broadcast(qAdc))
       .filter(col("nn_id") =!= col("query_id"))
-      .select(col("query_id"), col("nn_id"), col("cn"), col("qn"),
+      .select(col("query_id"), col("nn_id"),
         cosineOrNull(adc_score(col("codes"), col("adc"), ksub),
           col("qn"), col("cn")).as("approx_cos"))
-      .filter(col("approx_cos").isNotNull)
+    shortlistAndRerank(scored, corpus, qv, idCol, vecCol, k, rerank)
+  }
+
+  /** PQ code array for a vector column: per-subspace argmin against
+    * literal centroids — squared L2 up to the ||v_sub||² constant
+    * (||c||² − 2 v_sub·c, the ivfKnn literal form). */
+  private def pqCodes(codebooks: Seq[Seq[Seq[Double]]], dim: Int)
+                     (vc: Column): Column = {
+    val dsub = dim / codebooks.length
+    array(codebooks.indices.map { j =>
+      val d = array(codebooks(j).map { cen =>
+        lit(cen.map(x => x * x).sum) -
+          lit(2.0) * dot(slice(vc, j * dsub + 1, dsub), typedLit(cen))
+      }: _*)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Flattened per-query ADC table: entry j*ksub+c = q_sub_j · cen_{j,c},
+    * so Σ_j table[j*ksub+codes_j] approximates q · v. */
+  private def pqAdcTable(codebooks: Seq[Seq[Seq[Double]]], dim: Int)
+                        (qc: Column): Column = {
+    val dsub = dim / codebooks.length
+    array((for (j <- codebooks.indices; cen <- codebooks(j)) yield
+      dot(slice(qc, j * dsub + 1, dsub), typedLit(cen))): _*)
+  }
+
+  /** Shared tail of the ADC retrieval family: top-`rerank` shortlist on
+    * the approximate score, then exact-cosine rerank to top-k.
+    * `scored` carries (query_id, nn_id, approx_cos). The shortlist is a
+    * TWO-PHASE selection — local top-R per (query, input partition),
+    * then global top-R over the nPartitions×R survivors — never a
+    * corpus-sized single-key window partition (the keep-best-per-cluster
+    * lesson; selection commutes with partition-local pruning, so it is
+    * exact). Rerank joins vectors back on 8-byte ids and scores exact
+    * cosine once per surviving pair (the ids-only lesson from
+    * [[annPairsTopK]]). Output matches [[bruteForceKnn]]. */
+  private def shortlistAndRerank(scored: DataFrame, corpus: DataFrame,
+                                 qv: DataFrame, idCol: String, vecCol: String,
+                                 k: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wLocal = Window.partitionBy(col("query_id"), col("_pid"))
       .orderBy(desc("approx_cos"), asc("nn_id"))
     val wGlobal = Window.partitionBy(col("query_id"))
       .orderBy(desc("approx_cos"), asc("nn_id"))
     val shortlist = scored
+      .filter(col("approx_cos").isNotNull)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lr", row_number().over(wLocal))
       .filter(col("_lr") <= rerank)
@@ -425,6 +498,72 @@ object Similarity {
       .filter(col("cosine").isNotNull)
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF+PQ kNN — the composed production ANN architecture (FAISS
+    * IVFPQ with `by_residual=false`: PQ codes over raw vectors, cell
+    * pruning over a coarse quantizer; residual encoding is the accuracy
+    * upgrade a later round could add): a coarse k-means partitions the
+    * corpus into `nCells`, each row stores (cell, m-byte PQ code, norm),
+    * and a query ADC-scans ONLY its `nProbe` nearest cells — combining
+    * IVF's partition pruning (~nProbe/nCells of the corpus touched)
+    * with PQ's compression (no vector moves in the scan).
+    *
+    * Both quantizers train driver-side on ONE bounded seeded sample
+    * (see [[pqTrain]]); the scored relation comes from an equi-join of
+    * the coded corpus against the broadcast per-(query, probed-cell)
+    * tables on the cell id — a broadcast-hash join that prunes at the
+    * join, not a crossJoin-then-filter. Shortlist + exact rerank as in
+    * [[pqKnn]].
+    *
+    * `nProbe >= nCells` AND `rerank >= corpus size` make the pipeline
+    * exact regardless of either quantizer's quality (every row is
+    * scanned and every row survives to the exact stage) — the oracle
+    * configuration; the pruned regime's recall is in SimilaritySpec.
+    * Output matches [[bruteForceKnn]]: query_id, nn_id, cosine, rank. */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, dim: Int = 64, nCells: Int = 16,
+               nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+               rerank: Int = 50, seed: Long = 7L,
+               trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.adc_score
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val pts = trainSample(corpus, vecCol, dim, seed, trainFraction, 10000)
+    // seed - 1: the coarse quantizer must not share a subspace fit's seed
+    val coarse = lloyds(pts, nCells, seed - 1)
+    val codebooks = pqCodebooksFromSample(pts, dim, m, ksub, seed)
+    def cellDists(vc: Column): Column = array(coarse.map { cen =>
+      lit(cen.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(cen))
+    }: _*)
+    val coded = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+      .withColumn("_cell", {
+        val d = cellDists(col("cv"))
+        (array_position(d, array_min(d)) - 1).cast("int")
+      })
+      .withColumn("codes", pqCodes(codebooks, dim)(col("cv")))
+      .select("nn_id", "_cell", "codes", "cn")
+    val qv = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    // one row per (query, probed cell): queries are the small side, so
+    // the nCells-way explode + window ranks a bounded set (ivfKnn form)
+    val wp = Window.partitionBy("query_id").orderBy(asc("_cd"), asc("_cell"))
+    val qProbes = qv
+      .withColumn("adc", pqAdcTable(codebooks, dim)(col("qv")))
+      .select(col("query_id"), col("qn"), col("adc"),
+        posexplode(cellDists(col("qv"))).as(Seq("_cell", "_cd")))
+      .withColumn("_pr", row_number().over(wp))
+      .filter(col("_pr") <= nProbe)
+      .select("query_id", "qn", "adc", "_cell")
+    val scored = coded.join(broadcast(qProbes), Seq("_cell"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosineOrNull(adc_score(col("codes"), col("adc"), ksub),
+          col("qn"), col("cn")).as("approx_cos"))
+    shortlistAndRerank(scored, corpus, qv, idCol, vecCol, k, rerank)
   }
 
   /** Approximate k-NN, query-vs-corpus: probe `queries` into the

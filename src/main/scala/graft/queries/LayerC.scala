@@ -134,6 +134,21 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
+    // IVF+PQ kNN: the composed production ANN architecture — coarse
+    // cells prune the scan, PQ codes compress it, ADC scores it, exact
+    // cosine reranks. Probing ALL cells with unbounded rerank makes the
+    // pipeline exact regardless of either quantizer's quality → shares
+    // the brute-force oracle (c16/c42 pattern); the pruned regime is in
+    // SimilaritySpec.
+    "c44_ivf_pq_knn" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfPqKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          5, dim = 64, nCells = 16, nProbe = 16, m = 8, ksub = 16,
+          rerank = Int.MaxValue, seed = 7L, trainFraction = 0.25)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    },
+
     // SemDeDup-style semantic dedup: k-means cells bound the pairwise
     // term to within-cluster. nCells = 1 degenerates to the exact
     // embedding-dedup semantics, so the whole pipeline shares c15's
@@ -1144,8 +1159,10 @@ object LayerC {
     "c14_ann_knn" -> knnOracleSql,
     "c16_ivf_knn" -> knnOracleSql,
     // c42 reranks an unbounded shortlist (rerank = MaxValue), so the
-    // PQ pipeline degenerates to exact kNN and shares the same oracle
+    // PQ pipeline degenerates to exact kNN and shares the same oracle;
+    // c44 additionally probes every IVF cell (nProbe = nCells)
     "c42_pq_knn" -> knnOracleSql,
+    "c44_ivf_pq_knn" -> knnOracleSql,
     // c7 runs exhaustive LSH parameters (total recall on the fixture) →
     // equals the exact top-20 pair set and shares c5's oracle verbatim
     "c7_ann_lsh" -> oracleC5,

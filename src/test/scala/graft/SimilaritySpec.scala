@@ -140,6 +140,35 @@ class SimilaritySpec extends AnyFunSuite {
       s"missing: ${exactRanked.diff(full)}; extra: ${full.diff(exactRanked)}")
   }
 
+  test("ivfPqKnn: pruned cells+rerank recall >= 0.8; probe-all + unbounded rerank is exact") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" < 20)
+    val k = 5
+    val exactRanked = Similarity.bruteForceKnn(e, queries, "vec_id", "embedding", k)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // pruned serving regime: half the cells probed, fine subspaces
+    // (m=16 — the PQ worst case on near-orthogonal data, see pqKnn),
+    // shortlist 100 → exact rerank. The two prunings COMPOUND (a true
+    // neighbor must land in a probed cell AND survive the ADC
+    // shortlist), so on this hardest-case fixture the shortlist is
+    // wider than pqKnn's; clustered corpora need far less.
+    val pruned = Similarity.ivfPqKnn(e, queries, "vec_id", "embedding", k,
+        dim = 64, nCells = 16, nProbe = 8, m = 16, ksub = 16, rerank = 100, seed = 7L)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val exact = exactRanked.map(t => (t._1, t._2))
+    val recall = pruned.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall < 0.8")
+    // probe-all + unbounded rerank: every row scanned, every row
+    // reranked exactly → equals brute force rank-for-rank regardless of
+    // either quantizer's quality (what lets c44 share the kNN oracle)
+    val full = Similarity.ivfPqKnn(e, queries, "vec_id", "embedding", k,
+        dim = 64, nCells = 8, nProbe = 8, m = 8, ksub = 16,
+        rerank = Int.MaxValue, seed = 7L)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exactRanked,
+      s"missing: ${exactRanked.diff(full)}; extra: ${full.diff(exactRanked)}")
+  }
+
   test("ivfKnn: broadcast-join centroid path equals the literal path") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter($"vec_id" < 20)
