@@ -501,13 +501,23 @@ object Similarity {
   }
 
   /** IVF+PQ kNN — the composed production ANN architecture (FAISS
-    * IVFPQ with `by_residual=false`: PQ codes over raw vectors, cell
-    * pruning over a coarse quantizer; residual encoding is the accuracy
-    * upgrade a later round could add): a coarse k-means partitions the
-    * corpus into `nCells`, each row stores (cell, m-byte PQ code, norm),
-    * and a query ADC-scans ONLY its `nProbe` nearest cells — combining
-    * IVF's partition pruning (~nProbe/nCells of the corpus touched)
-    * with PQ's compression (no vector moves in the scan).
+    * IVFPQ): a coarse k-means partitions the corpus into `nCells`, each
+    * row stores (cell, m-byte PQ code, norm), and a query ADC-scans
+    * ONLY its `nProbe` nearest cells — combining IVF's partition
+    * pruning (~nProbe/nCells of the corpus touched) with PQ's
+    * compression (no vector moves in the scan).
+    *
+    * `byResidual` (the FAISS default, true): PQ codes quantize the
+    * RESIDUAL `v − c_cell` rather than the raw vector — residual
+    * magnitudes are much smaller than vector magnitudes, so the same
+    * codebook budget buys far less quantization error. The encode-side
+    * argmin stays a literal-expression projection via the decomposition
+    * `argmin_cb ||r_j − cb||² = argmin_cb [||cb||² − 2 v_j·cb + 2 c_j·cb]`
+    * where `c_j·cb` is a per-(cell, subspace, centroid) CONSTANT —
+    * precomputed driver-side and shipped as one nCells-long literal
+    * array per (j, cb), indexed by the row's cell id. The ADC score
+    * adds back the per-(query, probed-cell) constant `q·c_cell`:
+    * `q·v ≈ q·c_cell + Σ_j q_j·cb_{codes_j}`.
     *
     * Both quantizers train driver-side on ONE bounded seeded sample
     * (see [[pqTrain]]); the scored relation comes from an equi-join of
@@ -525,44 +535,95 @@ object Similarity {
                vecCol: String, k: Int, dim: Int = 64, nCells: Int = 16,
                nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
                rerank: Int = 50, seed: Long = 7L,
-               trainFraction: Double = 1.0): DataFrame = {
+               trainFraction: Double = 1.0,
+               byResidual: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.adc_score
     require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val dsub = dim / m
     val pts = trainSample(corpus, vecCol, dim, seed, trainFraction, 10000)
     // seed - 1: the coarse quantizer must not share a subspace fit's seed
     val coarse = lloyds(pts, nCells, seed - 1)
-    val codebooks = pqCodebooksFromSample(pts, dim, m, ksub, seed)
+    def nearestCellLocal(p: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        var s = 0.0; var i = 0
+        while (i < dim) { val df = p(i) - coarse(c)(i); s += df * df; i += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      best
+    }
+    // residual mode trains the codebooks on the sample's residuals —
+    // the same distribution the encoder will quantize
+    val codebookPts =
+      if (!byResidual) pts
+      else pts.map { p =>
+        val cen = coarse(nearestCellLocal(p))
+        Array.tabulate(dim)(i => p(i) - cen(i))
+      }
+    val codebooks = pqCodebooksFromSample(codebookPts, dim, m, ksub, seed)
     def cellDists(vc: Column): Column = array(coarse.map { cen =>
       lit(cen.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(cen))
     }: _*)
-    val coded = corpus
+    // residual encode: per (j, cb) the cell-dependent correction
+    // 2·(c_j·cb) rides as element_at(<nCells literal doubles>, _cell+1)
+    def residualCodes(vc: Column, cellCol: Column): Column = {
+      array((0 until m).map { j =>
+        val d = array(codebooks(j).zipWithIndex.map { case (cb, _) =>
+          val corr: Seq[Double] = coarse.map { cen =>
+            2.0 * (0 until dsub).map(i => cen(j * dsub + i) * cb(i)).sum
+          }
+          lit(cb.map(x => x * x).sum) -
+            lit(2.0) * dot(slice(vc, j * dsub + 1, dsub), typedLit(cb)) +
+            element_at(typedLit(corr), cellCol + 1)
+        }: _*)
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }: _*)
+    }
+    val cellAssigned = corpus
       .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
       .withColumn("_cell", {
         val d = cellDists(col("cv"))
         (array_position(d, array_min(d)) - 1).cast("int")
       })
-      .withColumn("codes", pqCodes(codebooks, dim)(col("cv")))
+    val coded = (if (byResidual)
+        cellAssigned.withColumn("codes", residualCodes(col("cv"), col("_cell")))
+      else
+        cellAssigned.withColumn("codes", pqCodes(codebooks, dim)(col("cv"))))
       .select("nn_id", "_cell", "codes", "cn")
     val qv = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
     // one row per (query, probed cell): queries are the small side, so
-    // the nCells-way explode + window ranks a bounded set (ivfKnn form)
+    // the nCells-way explode + window ranks a bounded set (ivfKnn form);
+    // residual mode keeps _cd — the ADC correction recovers q·c_cell
+    // from it without a second dot product
     val wp = Window.partitionBy("query_id").orderBy(asc("_cd"), asc("_cell"))
+    val probeCols = Seq("query_id", "qn", "adc", "_cell") ++
+      (if (byResidual) Seq("_cd") else Nil)
     val qProbes = qv
       .withColumn("adc", pqAdcTable(codebooks, dim)(col("qv")))
       .select(col("query_id"), col("qn"), col("adc"),
         posexplode(cellDists(col("qv"))).as(Seq("_cell", "_cd")))
       .withColumn("_pr", row_number().over(wp))
       .filter(col("_pr") <= nProbe)
-      .select("query_id", "qn", "adc", "_cell")
+      .select(probeCols.map(col): _*)
+    // residual ADC adds back q·c_cell: _cd = ||c||² − 2 q·c, so
+    // q·c = (||c||² − _cd)/2 with ||c||² a literal lookup by cell id
+    val approxDot =
+      if (!byResidual) adc_score(col("codes"), col("adc"), ksub)
+      else {
+        val cen2: Seq[Double] = coarse.map(c => c.map(x => x * x).sum)
+        (element_at(typedLit(cen2), col("_cell") + 1) - col("_cd")) / lit(2.0) +
+          adc_score(col("codes"), col("adc"), ksub)
+      }
     val scored = coded.join(broadcast(qProbes), Seq("_cell"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
-        cosineOrNull(adc_score(col("codes"), col("adc"), ksub),
-          col("qn"), col("cn")).as("approx_cos"))
+        cosineOrNull(approxDot, col("qn"), col("cn")).as("approx_cos"))
     shortlistAndRerank(scored, corpus, qv, idCol, vecCol, k, rerank)
   }
 

@@ -152,12 +152,20 @@ class SimilaritySpec extends AnyFunSuite {
     // neighbor must land in a probed cell AND survive the ADC
     // shortlist), so on this hardest-case fixture the shortlist is
     // wider than pqKnn's; clustered corpora need far less.
+    val exact = exactRanked.map(t => (t._1, t._2))
+    // residual encoding (the FAISS default): codes quantize v − c_cell
     val pruned = Similarity.ivfPqKnn(e, queries, "vec_id", "embedding", k,
         dim = 64, nCells = 16, nProbe = 8, m = 16, ksub = 16, rerank = 100, seed = 7L)
       .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
-    val exact = exactRanked.map(t => (t._1, t._2))
     val recall = pruned.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.8, s"IVF-PQ recall $recall < 0.8")
+    assert(recall >= 0.8, s"IVF-PQ residual recall $recall < 0.8")
+    // raw-vector codes (by_residual=false): same floor, covers the path
+    val prunedRaw = Similarity.ivfPqKnn(e, queries, "vec_id", "embedding", k,
+        dim = 64, nCells = 16, nProbe = 8, m = 16, ksub = 16, rerank = 100,
+        seed = 7L, byResidual = false)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val recallRaw = prunedRaw.intersect(exact).size.toDouble / exact.size
+    assert(recallRaw >= 0.8, s"IVF-PQ raw recall $recallRaw < 0.8")
     // probe-all + unbounded rerank: every row scanned, every row
     // reranked exactly → equals brute force rank-for-rank regardless of
     // either quantizer's quality (what lets c44 share the kNN oracle)
