@@ -51,6 +51,16 @@ object ScaleProbe {
       Dedup.embeddingDedupAnn(blown, "vec_id", "embedding", 0.9, nTables = 16))
     time("annPairsTopK k=100 (8 tables, auto bits)")(
       Similarity.annPairsTopK(blown, "vec_id", "embedding", 100))
+    time("pqKnn k=10, 2000 queries (m=8 ksub=16, rerank 50, fit on 25%)")(
+      Similarity.pqKnn(blown, queries, "vec_id", "embedding", 10,
+        m = 8, ksub = 16, rerank = 50, trainFraction = 0.25))
+    time("ivfPqKnn k=10, 2000 queries (64 cells/probe 8, m=8 ksub=16, rerank 50, residual)")(
+      Similarity.ivfPqKnn(blown, queries, "vec_id", "embedding", 10,
+        nCells = 64, nProbe = 8, m = 8, ksub = 16, rerank = 50,
+        trainFraction = 0.25))
+    time("semanticDedup t=0.9 (64 cells)")(
+      Dedup.semanticDedup(blown, "vec_id", "embedding", 0.9, nCells = 64,
+        trainFraction = 0.25))
     }
 
     if (tier != "vec") {

@@ -169,9 +169,16 @@ class SimilaritySpec extends AnyFunSuite {
     // probe-all + unbounded rerank: every row scanned, every row
     // reranked exactly → equals brute force rank-for-rank regardless of
     // either quantizer's quality (what lets c44 share the kNN oracle)
-    val full = Similarity.ivfPqKnn(e, queries, "vec_id", "embedding", k,
+    val fullDf = Similarity.ivfPqKnn(e, queries, "vec_id", "embedding", k,
         dim = 64, nCells = 8, nProbe = 8, m = 8, ksub = 16,
         rerank = Int.MaxValue, seed = 7L)
+    // plan shape: the probed-cell scan is an EQUI-join on the cell id —
+    // a hash join, never a cartesian/nested-loop scan of the corpus
+    // (pqKnn's crossJoin-against-broadcast-queries is the contrast)
+    val plan = fullDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cell join degenerated to cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "cell join degenerated to BNLJ")
+    val full = fullDf
       .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
     assert(full == exactRanked,
       s"missing: ${exactRanked.diff(full)}; extra: ${full.diff(exactRanked)}")
