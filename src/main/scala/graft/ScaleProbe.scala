@@ -15,13 +15,15 @@ import graft.operators.{Curation, Dedup, Sampling, Similarity, TextAnalysis}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // optional 2nd arg selects a tier: "vec" | "text" | "all" (default)
+    // optional 2nd arg selects a tier: "vec" | "vec-new" (round-6 ops
+    // only) | "text" | "all" (default)
     val tier = args.lift(1).getOrElse("all")
-    require(Set("vec", "text", "all")(tier),
-      s"unknown tier '$tier' — expected vec | text | all")
+    require(Set("vec", "vec-new", "text", "all")(tier),
+      s"unknown tier '$tier' — expected vec | vec-new | text | all")
     val spark = GraftSession.build("graft-scale-probe")
     val base = Tables.load(spark, sfDir, "embeddings")
     if (tier != "text") {
+    val newOnly = tier == "vec-new"
     val blown = base.crossJoin(spark.range(10).toDF("copy"))
       .select(
         (col("vec_id") * 10 + col("copy")).as("vec_id"),
@@ -39,6 +41,7 @@ object ScaleProbe {
     // dominates and brute force wins — the approximate tiers are for
     // query volumes where per-query cost matters.)
     val queries = blown.filter(col("vec_id") < 2000)
+    if (!newOnly) {
     time("bruteForceKnn k=10, 2000 queries")(
       Similarity.bruteForceKnn(blown, queries, "vec_id", "embedding", 10))
     time("annKnn k=10, 2000 queries (16 tables, auto bits)")(
@@ -51,6 +54,7 @@ object ScaleProbe {
       Dedup.embeddingDedupAnn(blown, "vec_id", "embedding", 0.9, nTables = 16))
     time("annPairsTopK k=100 (8 tables, auto bits)")(
       Similarity.annPairsTopK(blown, "vec_id", "embedding", 100))
+    }
     time("pqKnn k=10, 2000 queries (m=8 ksub=16, rerank 50, fit on 25%)")(
       Similarity.pqKnn(blown, queries, "vec_id", "embedding", 10,
         m = 8, ksub = 16, rerank = 50, trainFraction = 0.25))
@@ -63,7 +67,7 @@ object ScaleProbe {
         trainFraction = 0.25))
     }
 
-    if (tier != "vec") {
+    if (tier != "vec" && tier != "vec-new") {
     // text-curation tier (round 3): 10× blow-up of the documents fixture
     // with a copy marker appended so near-dup (not identical) structure
     // is planted by construction

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -128,5 +128,64 @@ object Curation {
       .withColumn("_n", count(lit(1)).over(wholeShard))
       .withColumn("slot", col("_rn") - before)
       .drop("_rn", "_n")
+  }
+
+  /** DSIR-style importance weighting for targeted data selection (Xie
+    * et al., "Data Selection for Language Models via Importance
+    * Resampling", 2023): documents are featurized as hashed n-grams
+    * (unigrams + word bigrams folded into `buckets` hash buckets), the
+    * target slice and the raw corpus each induce a smoothed categorical
+    * distribution over buckets, and a document's importance weight is
+    * its features' summed log-likelihood ratio
+    * `Σ ln(p_target(b(f)) / p_raw(b(f)))` — high weight = looks like
+    * the target domain. Downstream selection keeps the top mass (or
+    * Gumbel-samples proportionally; the weights are the operator).
+    *
+    * `buckets` must be a power of two: Spark buckets by `pmod` of the
+    * SIGNED 64-bit hash while an engine working in unsigned mod-2⁶⁴
+    * arithmetic (the DuckDB oracle) reduces the unsigned value, and the
+    * two agree exactly when `buckets` divides 2⁶⁴. `featureHash`
+    * defaults to xxhash64 (production); the oracle passes
+    * `mix64 ∘ fingerprint64`, the engine-replicable hash (c3 pattern).
+    *
+    * Scale shape: feature explosion is a narrow projection; both
+    * distributions are map-side-combined aggregations bounded by
+    * `buckets` rows; totals come off the model aggregates (never a
+    * second corpus scan); the log-ratio table (≤ `buckets` rows)
+    * broadcast-joins back to the per-document feature stream; the only
+    * corpus-keyed shuffle is the final per-document sum. */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 1024, alpha: Double = 0.5,
+                  featureHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    require(alpha > 0.0, s"smoothing alpha must be positive, got $alpha")
+    def feats(df: DataFrame, cols: Column*): DataFrame = {
+      val uni = df
+        .select(cols :+ explode(split(lower(col(textCol)), "\\s+")).as("_f"): _*)
+        .filter(col("_f") =!= "")
+      val bi = df.select(cols :+ explode(graft.functions.ChunkFunctions
+        .word_chunks(col(textCol), 2, 1, lowercase = true, fullOnly = true))
+        .as("_f"): _*)
+      uni.unionAll(bi)
+    }
+    def bucketed(df: DataFrame) = df.withColumn("_b",
+      pmod(featureHash(col("_f")), lit(buckets.toLong))).drop("_f")
+    val raw = bucketed(feats(corpus)).groupBy("_b").agg(count(lit(1)).as("_rc"))
+    val tgt = bucketed(feats(target)).groupBy("_b").agg(count(lit(1)).as("_tc"))
+    val totals = raw.agg(sum("_rc").as("_traw"))
+      .crossJoin(tgt.agg(sum("_tc").as("_ttgt")))
+    // every bucket a corpus document can hit appears in `raw` by
+    // construction, so the ratio table left-joins target counts onto it
+    val ratio = raw.join(tgt, Seq("_b"), "left").crossJoin(broadcast(totals))
+      .select(col("_b"),
+        (log((coalesce(col("_tc"), lit(0L)).cast("double") + alpha) /
+            (col("_ttgt").cast("double") + alpha * buckets)) -
+          log((col("_rc").cast("double") + alpha) /
+            (col("_traw").cast("double") + alpha * buckets))).as("_lr"))
+    bucketed(feats(corpus, col(idCol)))
+      .join(broadcast(ratio), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(round(sum("_lr"), 6).as("weight"), count(lit(1)).as("n_feats"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: quality scoring,
@@ -317,6 +318,66 @@ object TextAnalysis {
           (col("_uc").cast("double") + col("_v").cast("double") * k))), 6)
           .as("avg_logprob"),
         count(lit(1)).as("n_bigrams"))
+  }
+
+  /** CCNet-style perplexity bucketing: a unigram LM with add-`alpha`
+    * smoothing is trained on `target` (the clean reference slice — CCNet
+    * uses Wikipedia), every `corpus` document scores its tokens' average
+    * log-probability under that model (out-of-vocabulary tokens get the
+    * smoothed zero-count mass over V+1 outcomes), and documents split
+    * into `head` / `middle` / `tail` thirds by score — the
+    * head-middle-tail quality gate of Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data" (2020).
+    *
+    * Bucketing is by VALUE THRESHOLD, not per-row ntile: the score
+    * distribution (distinct rounded score → doc count) is aggregated,
+    * a cumulative count over that model-sized relation locates the
+    * tercile boundary values, and documents join their bucket back by
+    * score. Score-tied documents land in the same bucket (a tie group
+    * straddling a boundary falls wholly into the later bucket) — the
+    * property that makes the rule engine-independent AND avoids ranking
+    * the corpus: no global window ever touches per-document rows.
+    *
+    * Scale shape: two token aggregations (target model, per-doc score),
+    * the model joins back by token key, totals are 1-row broadcasts;
+    * the only window runs over the score DISTRIBUTION (bounded by
+    * distinct 6-decimal scores, ≪ corpus), and bucket assignment is a
+    * broadcast join on the score value. Documents with no tokens have
+    * no score and are omitted (the c22 convention). */
+  def perplexityBuckets(corpus: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"smoothing alpha must be positive, got $alpha")
+    def toks(df: DataFrame, cols: Column*) = df
+      .select(cols :+ explode(split(lower(col(textCol)), "\\s+")).as("token"): _*)
+      .filter(col("token") =!= "")
+    val freq = toks(target).groupBy("token").agg(count(lit(1)).as("_f"))
+    // N and V from the model aggregate — never a second corpus scan
+    val model = freq.agg(sum("_f").as("_n"), count(lit(1)).as("_v"))
+    val scored = toks(corpus, col(idCol))
+      .join(freq, Seq("token"), "left")
+      .crossJoin(broadcast(model))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(log((coalesce(col("_f"), lit(0L)).cast("double") + alpha) /
+          (col("_n").cast("double") +
+            (col("_v").cast("double") + 1.0d) * alpha))), 6)
+          .as("avg_logprob"),
+        count(lit(1)).as("n_tokens"))
+    val total = scored.agg(count(lit(1)).as("_cnt"))
+    val dist = scored.groupBy("avg_logprob").agg(count(lit(1)).as("_c"))
+    // cumulative docs-at-or-above-score over the distribution relation;
+    // single-partition is intentional — this is model-sized data
+    val cum = dist.withColumn("_cum",
+      sum("_c").over(Window.orderBy(col("avg_logprob").desc)))
+    val buckets = cum.crossJoin(broadcast(total)).select(
+      col("avg_logprob"),
+      when(col("_cum") <= ceil(col("_cnt") / 3.0d), lit("head"))
+        .when(col("_cum") <= ceil(col("_cnt") * 2 / 3.0d), lit("middle"))
+        .otherwise(lit("tail")).as("bucket"))
+    // equality join on the rounded double is exact: both sides carry the
+    // identical values produced by the same `scored` relation
+    scored.join(broadcast(buckets), Seq("avg_logprob"))
+      .select(col(idCol), col("avg_logprob"), col("n_tokens"), col("bucket"))
   }
 
   /** Top-`k` word collocations by pointwise mutual information:

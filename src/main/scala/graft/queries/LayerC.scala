@@ -416,6 +416,29 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // CCNet head/middle/tail: unigram LM trained on the English slice
+    // (the "clean reference" role Wikipedia plays in CCNet), every doc
+    // scored against it, terciles assigned by score-value threshold
+    "c45_ccnet_buckets" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.perplexityBuckets(d, d.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // DSIR importance weights toward the English slice; the word hash is
+    // mix64(fingerprint64(f)) so the DuckDB oracle replays the exact
+    // bucket assignment (c3 pattern); power-of-two bucket count keeps
+    // signed pmod == unsigned mod-2⁶⁴ reduction
+    "c46_dsir_weights" -> { (s, dir) =>
+      import graft.functions.TextFunctions.{fingerprint64, mix64}
+      val d = docs(s, dir)
+      graft.operators.Curation.dsirWeights(d, d.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 1024,
+          featureHash = f => mix64(fingerprint64(f)))
+        .orderBy("doc_id")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -558,6 +581,61 @@ object LayerC {
        |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
        |            THEN u - $P ELSE u END AS BIGINT) AS shuffle_key
        |FROM mx ORDER BY shuffle_key, doc_id""".stripMargin
+  }
+
+  /** DuckDB replica of `Curation.dsirWeights` with the
+    * `mix64 ∘ fingerprint64` feature hash: hashed unigram+bigram
+    * features (the [[simhashSql]] HUGEINT fold applied to DISTINCT
+    * features), bucket = unsigned value mod 1024 (== Spark's signed
+    * `pmod` because 1024 divides 2⁶⁴), then the smoothed
+    * target-vs-raw log-likelihood-ratio sum per document. */
+  private val dsirSql: String = {
+    val P = "18446744073709551616::HUGEINT"
+    def mul(k: Long): String = {
+      val hi = k >>> 32
+      val lo = k & 0xffffffffL
+      s"""((v * ${lo}::HUGEINT) % $P +
+         |      ((v * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $P""".stripMargin
+    }
+    val xs = "xor(v, v // 8589934592::HUGEINT)"
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS ws
+       |  FROM documents),
+       |uf AS (SELECT doc_id, lang, unnest(ws) AS f FROM w),
+       |uf2 AS (SELECT doc_id, lang, f FROM uf WHERE f <> ''),
+       |bf AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1])) AS f
+       |  FROM w WHERE len(ws) >= 2),
+       |feats AS (SELECT * FROM uf2 UNION ALL SELECT * FROM bf),
+       |df AS (SELECT DISTINCT f FROM feats),
+       |kr AS (
+       |  SELECT f, list_reduce(list_prepend(0::HUGEINT,
+       |    [CAST(('0x' || substring(hex(encode(f)), 2*i+1, 2)) AS INTEGER)::HUGEINT
+       |     FOR i IN range(length(hex(encode(f)))//2)]),
+       |    (acc, x) -> (acc * 31 + x) % $P) AS v
+       |  FROM df),
+       |mx1 AS (SELECT f, $xs AS v FROM kr),
+       |mx2 AS (SELECT f, ${mul(0xff51afd7ed558ccdL)} AS v FROM mx1),
+       |mx3 AS (SELECT f, $xs AS v FROM mx2),
+       |mx4 AS (SELECT f, ${mul(0xc4ceb9fe1a85ec53L)} AS v FROM mx3),
+       |fb AS (SELECT f, CAST(($xs) % 1024::HUGEINT AS BIGINT) AS b FROM mx4),
+       |fe AS (SELECT doc_id, lang, b FROM feats JOIN fb USING (f)),
+       |raw AS (SELECT b, count(1) AS rc FROM fe GROUP BY b),
+       |tgt AS (SELECT b, count(1) AS tc FROM fe WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT (SELECT sum(rc) FROM raw) AS traw,
+       |               (SELECT sum(tc) FROM tgt) AS ttgt),
+       |ratio AS (
+       |  SELECT b,
+       |    ln((CAST(coalesce(tc, 0) AS DOUBLE) + 0.5) /
+       |       (CAST(ttgt AS DOUBLE) + 0.5 * 1024)) -
+       |    ln((CAST(rc AS DOUBLE) + 0.5) /
+       |       (CAST(traw AS DOUBLE) + 0.5 * 1024)) AS lr
+       |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+       |SELECT doc_id, round(sum(lr), 6) AS weight, count(1) AS n_feats
+       |FROM fe JOIN ratio USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private val simhashSql: String = {
@@ -1090,6 +1168,45 @@ object LayerC {
         |  FROM r2)
         |SELECT doc_id, n_email, n_phone, n_ip, redacted
         |FROM r3 ORDER BY doc_id""".stripMargin,
+
+    // smoothing arithmetic mirrors TextAnalysis.perplexityBuckets
+    // exactly (alpha = 0.5, OOV mass over V+1 outcomes); bucketing is
+    // the same score-value-threshold rule: cumulative doc count over the
+    // distinct-score distribution, tercile boundaries by ceil(n/3)
+    "c45_ccnet_buckets" ->
+      """WITH tt AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |tt2 AS (SELECT token FROM tt WHERE token <> ''),
+        |freq AS (SELECT token, count(1) AS f FROM tt2 GROUP BY token),
+        |model AS (SELECT sum(f) AS n, count(1) AS v FROM freq),
+        |ct AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |ct2 AS (SELECT doc_id, token FROM ct WHERE token <> ''),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(avg(ln((CAST(coalesce(f, 0) AS DOUBLE) + 0.5) /
+        |      (CAST(n AS DOUBLE) + (CAST(v AS DOUBLE) + 1.0) * 0.5))), 6)
+        |      AS avg_logprob,
+        |    count(1) AS n_tokens
+        |  FROM ct2 LEFT JOIN freq USING (token) CROSS JOIN model
+        |  GROUP BY doc_id),
+        |tot AS (SELECT count(1) AS cnt FROM scored),
+        |dist AS (SELECT avg_logprob, count(1) AS c FROM scored
+        |         GROUP BY avg_logprob),
+        |cum AS (SELECT avg_logprob,
+        |          sum(c) OVER (ORDER BY avg_logprob DESC) AS cm FROM dist),
+        |bk AS (SELECT avg_logprob,
+        |  CASE WHEN cm <= ceil(cnt / 3.0) THEN 'head'
+        |       WHEN cm <= ceil(cnt * 2 / 3.0) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |  FROM cum CROSS JOIN tot)
+        |SELECT doc_id, avg_logprob, n_tokens, bucket
+        |FROM scored JOIN bk USING (avg_logprob)
+        |ORDER BY doc_id""".stripMargin,
+
+    "c46_dsir_weights" -> dsirSql,
 
     "c31_incremental_dedup" ->
       """WITH b AS (SELECT * FROM documents WHERE doc_id % 7 = 0),

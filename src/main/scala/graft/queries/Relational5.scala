@@ -119,6 +119,46 @@ object Relational5 {
                count(o_orderkey) AS n, round(sum(o_totalprice), 4) AS total
         FROM orders_gba
         GROUP BY ALL ORDER BY ALL""")
+    },
+
+    // string collation (Spark 4): per-expression COLLATE UTF8_LCASE
+    // drives case-insensitive equality and substring matching through
+    // the native collation-aware operators — no lower() rewrites on the
+    // data side. The oracle expresses the same semantics via lower()
+    // (DuckDB's collations don't extend to contains()).
+    // the fixture has uppercase p_type ('ECONOMY') and lowercase p_name
+    // ('cold widget'); matching a lowercase literal against the former
+    // and an uppercase needle against the latter is what proves the
+    // comparisons really run case-insensitively
+    "q78_collation" -> { (s, dir) =>
+      t(s, dir, "part").createOrReplaceTempView("part_coll")
+      s.sql("""
+        SELECT p_type, count(*) AS n,
+               CAST(sum(CASE WHEN contains(p_name COLLATE UTF8_LCASE,
+                                           'WIDGET') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_widget
+        FROM part_coll
+        WHERE p_type COLLATE UTF8_LCASE = 'economy'
+        GROUP BY p_type ORDER BY p_type""")
+    },
+
+    // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
+    // the declarative UDF tier — the body inlines into the plan as an
+    // expression (stays in codegen; nothing crosses a JVM boundary),
+    // which is the recommended replacement for trivial Scala UDFs. The
+    // oracle inlines the same arithmetic (q14's proven-exact revenue
+    // expression).
+    "q79_sql_udf" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("li_udf")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+                 p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1.0 - d)""")
+      s.sql("""
+        SELECT l_returnflag,
+               CAST(sum(disc_price(l_extendedprice, l_discount)) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n
+        FROM li_udf
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
     }
   )
 
@@ -142,6 +182,20 @@ object Relational5 {
         |       count(o_orderkey) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders
         |GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    "q78_collation" ->
+      """SELECT p_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN contains(lower(p_name), lower('WIDGET'))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_widget
+        |FROM part
+        |WHERE lower(p_type) = 'economy'
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+
+    "q79_sql_udf" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q74_fuzzy_match" ->
       """WITH br AS (SELECT DISTINCT p_brand FROM part)

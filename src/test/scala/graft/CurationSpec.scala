@@ -303,4 +303,38 @@ class CurationSpec extends AnyFunSuite {
     // both tokens score 1·ln2 — alpha must rank first
     assert(out.toSeq == Seq(("alpha", 1), ("zeta", 2)))
   }
+
+  test("dsirWeights: target-like documents outweigh off-target ones") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta"),   // pure target vocabulary
+      (2L, "gamma delta epsilon zeta"), // disjoint from target
+      (3L, "alpha beta gamma delta")    // mixed
+    ).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") === 1L)
+    val w = Curation.dsirWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("weight"), r.getAs[Long]("n_feats"))).toMap
+    assert(w(1L)._1 > w(3L)._1 && w(3L)._1 > w(2L)._1)
+    // n_feats = unigrams + full bigrams: 4 + 3
+    assert(w.values.forall(_._2 == 7L))
+  }
+
+  test("dsirWeights: identical text gets the identical weight") {
+    val corpus = Seq(
+      (1L, "same exact words"), (2L, "same exact words"),
+      (3L, "other content here")).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") === 1L)
+    val w = Curation.dsirWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight"))
+      .toMap
+    assert(w(1L) == w(2L))
+    assert(w(1L) > w(3L))
+  }
+
+  test("dsirWeights rejects a non-power-of-two bucket count") {
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      Curation.dsirWeights(d, d, "doc_id", "text", buckets = 1000)
+    }
+  }
 }

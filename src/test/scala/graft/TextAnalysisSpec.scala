@@ -142,4 +142,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     // shared trigrams: "the quick brown", "quick brown fox"
     assert(out == Map(1L -> 2L))
   }
+
+  test("perplexityBuckets: hand-computed smoothed score incl. OOV mass") {
+    val target = Seq((10L, "a a b")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexityBuckets(corpus, target, "doc_id", "text")
+      .collect().head
+    // model: c(a)=2 c(b)=1, N=3, V=2, alpha=.5 → denom = 3 + .5*(2+1) = 4.5
+    // p(a) = 2.5/4.5, p(c OOV) = 0.5/4.5
+    val expected = (math.log(2.5 / 4.5) + math.log(0.5 / 4.5)) / 2
+    assert(math.abs(r.getAs[Double]("avg_logprob") - expected) < 1e-6)
+    assert(r.getAs[Long]("n_tokens") == 2L)
+    // a single doc is its own head third
+    assert(r.getAs[String]("bucket") == "head")
+  }
+
+  test("perplexityBuckets: 9 distinct scores split 3/3/3 by frequency rank") {
+    // target word w_i appears i times → p(w_i) strictly increases with i;
+    // doc i = the single token w_i → 9 strictly ordered scores
+    val target = Seq.tabulate(9)(i => (100L + i,
+      Seq.fill(i + 1)(s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq.tabulate(9)(i => (i.toLong, s"w$i")).toDF("doc_id", "text")
+    val buckets = TextAnalysis.perplexityBuckets(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    // highest-frequency words score best → docs 8,7,6 head; 5,4,3 middle
+    assert((6L to 8L).forall(buckets(_) == "head"))
+    assert((3L to 5L).forall(buckets(_) == "middle"))
+    assert((0L to 2L).forall(buckets(_) == "tail"))
+  }
+
+  test("perplexityBuckets: a tie group straddling a boundary falls late") {
+    val target = Seq((10L, "hi hi hi hi hi lo")).toDF("doc_id", "text")
+    // d1 scores high; d2-d4 tie on the identical low score. n=4 →
+    // head cutoff ceil(4/3)=2, middle cutoff ceil(8/3)=3; the tie
+    // group's cumulative count is 4 > 3 → all three land in tail,
+    // and middle is empty (score-homogeneous buckets, CCNet-style)
+    val corpus = Seq((1L, "hi"), (2L, "lo"), (3L, "lo"), (4L, "lo"))
+      .toDF("doc_id", "text")
+    val buckets = TextAnalysis.perplexityBuckets(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    assert(buckets == Map(1L -> "head", 2L -> "tail", 3L -> "tail", 4L -> "tail"))
+  }
 }
