@@ -111,10 +111,10 @@ case class WordChunks(child: Expression, n: Int, step: Int,
       s"word_chunks requires string input, got ${child.dataType.simpleString}")
     else if (n <= 0 || step <= 0) TypeCheckResult.TypeCheckFailure(
       s"word_chunks requires n > 0 and step > 0, got n=$n step=$step")
-    else if (!fullOnly && n != step && step != 1) TypeCheckResult.TypeCheckFailure(
-      "word_chunks without fullOnly supports only n == step (consecutive " +
-        s"spans) or step == 1 (truncated shingles), got n=$n step=$step; " +
-        "general strides are defined for fullOnly = true only")
+    else if (!fullOnly && step > n) TypeCheckResult.TypeCheckFailure(
+      "word_chunks without fullOnly requires step <= n (step > n would " +
+        s"silently skip words between windows), got n=$n step=$step; " +
+        "sampling strides are defined for fullOnly = true only")
     else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =
@@ -137,11 +137,13 @@ object ChunkUtil {
     val words = ws.split(str, -1)
     val len = words.length
     // start positions 0, step, 2·step … — fullOnly admits only windows
-    // of exactly n words; otherwise the count matches the interpreted
-    // forms: ceil(len/step) spans when n == step, max(len-n+1, 1)
-    // truncated shingle starts when step == 1. Other non-fullOnly
-    // (n, step) combos are rejected by WordChunks.checkInputDataTypes —
-    // this formula is only ever evaluated for the two documented modes.
+    // of exactly n words; otherwise (any step <= n — WordChunks
+    // .checkInputDataTypes rejects the rest) the last window truncates
+    // at the end of the string and the count guarantees every word is
+    // covered: ceil(len/step) spans when n == step, max(len-n+1, 1)
+    // truncated shingle starts when step == 1, and for overlapping
+    // strides in between the final start is the smallest multiple of
+    // step whose window reaches the last word.
     val count =
       if (fullOnly) { if (len < n) 0 else (len - n) / step + 1 }
       else (math.max(len - (n - step), step) + step - 1) / step

@@ -380,6 +380,30 @@ object TextAnalysis {
       .select(col(idCol), col("avg_logprob"), col("n_tokens"), col("bucket"))
   }
 
+  /** Sliding-window passage chunking — the retrieval/embedding prep
+    * step: each document becomes overlapping word windows of `window`
+    * words advancing by `stride` (stride < window ⇒ the standard RAG
+    * overlap so no sentence straddles a boundary unseen; stride ==
+    * window ⇒ disjoint spans, the [[graft.operators.Dedup.spanDedup]]
+    * shape). The final window truncates at the document's end and every
+    * word lands in at least one chunk. Output: id, `chunk_idx` (0-based),
+    * `start_word` (= chunk_idx · stride), `chunk` text, `n_words`.
+    *
+    * Scale shape: one codegen pass per document ([[graft.functions.WordChunks]])
+    * + posexplode — embarrassingly parallel, no shuffle; the output is
+    * the relation an embedding batch job or ANN index build consumes. */
+  def chunkPassages(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol), posexplode(graft.functions.ChunkFunctions
+        .word_chunks(col(textCol), window, stride, lowercase = false,
+          fullOnly = false)).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_word"), col("chunk"),
+        size(split(col("chunk"), " ", -1)).as("n_words"))
+  }
+
   /** Top-`k` word collocations by pointwise mutual information:
     * PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over corpus bigram/unigram
     * frequencies, with a minimum pair count to suppress rare-pair noise

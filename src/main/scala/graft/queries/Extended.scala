@@ -61,6 +61,25 @@ object Extended {
       Streams.runToCompletion(s, deduped, "s4_dedup").orderBy("event_type")
     },
 
+    // dropDuplicatesWithinWatermark (Spark 3.5+/4): the dedup KEY no
+    // longer needs the event-time column — state is evicted when the
+    // watermark passes a key's first-seen event time, which is THE api
+    // for at-least-once sources whose retries carry near-but-unequal
+    // timestamps (s4's key must include ts and so would MISS such
+    // retries; the within-watermark variant collapses them —
+    // StreamingSpec pins exactly that divergence). On the doubled
+    // exact-copy replay both dedup, so s10 shares s4's distinct oracle.
+    "s10_dedup_within_wm" -> { (s, dir) =>
+      val ev = Streams.eventStream(s, dir)
+      val doubled = ev.union(ev)
+      val deduped = doubled
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      Streams.runToCompletion(s, deduped, "s10_dedup_wm").orderBy("event_type")
+    },
+
     // watermarked stream-stream inner join (clicks ⋈ purchases within
     // 1 h, same user) — real Structured Streaming, equal to the batch
     // self-join oracle on bounded input
@@ -178,6 +197,14 @@ object Extended {
     "s7_stream_sliding" -> Relational4.oracle("q70_sliding_window"),
 
     "s4_stream_dedup" ->
+      """SELECT event_type, count(1) AS n
+        |FROM (SELECT DISTINCT event_id, event_type FROM events) d
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact-copy duplicates collapse under both dedup APIs → s10 shares
+    // s4's oracle verbatim (the API divergence on unequal-ts retries is
+    // spec-pinned, not oracle-expressible on this fixture)
+    "s10_dedup_within_wm" ->
       """SELECT event_type, count(1) AS n
         |FROM (SELECT DISTINCT event_id, event_type FROM events) d
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

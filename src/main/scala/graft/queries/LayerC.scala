@@ -439,6 +439,14 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // RAG passage chunking: 16-word windows advancing by 8 (overlapping;
+    // the fixture averages ~50 words/doc so most docs yield 5-7 chunks)
+    "c47_chunk_passages" -> { (s, dir) =>
+      TextAnalysis.chunkPassages(docs(s, dir), "doc_id", "text",
+          window = 16, stride = 8)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -1207,6 +1215,23 @@ object LayerC {
         |ORDER BY doc_id""".stripMargin,
 
     "c46_dsir_weights" -> dsirSql,
+
+    // chunk count mirrors ChunkUtil.chunks for (n=16, step=8):
+    // ceil(greatest(len - 8, 8) / 8) starts at 0, 8, 16, …, final
+    // window truncated; n_words re-derived from the single-space-joined
+    // chunk (split -1 keeps empty words, matching Spark's split(_, " ", -1))
+    "c47_chunk_passages" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |sp AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |    CAST(i * 8 AS INTEGER) AS start_word,
+        |    array_to_string(list_slice(ws, i*8 + 1, i*8 + 16), ' ') AS chunk
+        |  FROM w, LATERAL (SELECT unnest(range(
+        |    (greatest(len(ws) - 8, 8) + 7) // 8)) AS i) u)
+        |SELECT doc_id, chunk_idx, start_word, chunk,
+        |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_words
+        |FROM sp ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "c31_incremental_dedup" ->
       """WITH b AS (SELECT * FROM documents WHERE doc_id % 7 = 0),

@@ -6,6 +6,7 @@ import graft.streaming.Streams
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
   private val dir = "/root/testdata/sf0.001"
 
   test("streaming tumbling counts equal the batch-window equivalent") {
@@ -64,6 +65,29 @@ class StreamingSpec extends AnyFunSuite {
       Streams.sessionCounts(Streams.eventStream(spark, dir)), "t_session_inorder").count()
     assert(scattered < inOrder,
       s"expected late-data drops: scattered=$scattered inOrder=$inOrder")
+  }
+
+  test("dropDuplicatesWithinWatermark collapses same-key retries with unequal ts") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_wmdedup").toString
+    // an at-least-once source retry: same event_id, timestamps 5 min
+    // apart — both well inside the 2 h watermark delay
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 100L, 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, 100L, 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 2L, 200L, 2.0))
+      .toDF("ts", "user_id", "event_id", "value")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$work/in")
+    def replay = Streams.replayStream(spark, s"$work/in", rows.schema,
+      maxFilesPerTrigger = 1).withWatermark("ts", "2 hours")
+    val within = Streams.runToCompletionAppend(spark,
+      replay.dropDuplicatesWithinWatermark("event_id"), "t_wm_dedup").count()
+    // the s4-style key MUST include ts (else state never evicts) — and
+    // therefore cannot see the retry as a duplicate
+    val keyed = Streams.runToCompletionAppend(spark,
+      replay.dropDuplicates("event_id", "ts"), "t_ts_dedup").count()
+    assert(within == 2, s"within-watermark dedup kept $within rows, expected 2")
+    assert(keyed == 3, s"(event_id, ts) dedup kept $keyed rows, expected 3")
   }
 
   test("stream-stream join matches batch self-join, across micro-batch boundaries") {

@@ -185,4 +185,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toMap
     assert(buckets == Map(1L -> "head", 2L -> "tail", 3L -> "tail", 4L -> "tail"))
   }
+
+  test("chunkPassages: overlap, truncated tail, full word coverage") {
+    // 7 words, window 4, stride 2 → starts 0,2,4: the last window
+    // truncates to 3 words and word 7 is still covered
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkPassages(df, "doc_id", "text", 4, 2)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4)))
+    assert(out.toSeq == Seq(
+      (0, 0, "w1 w2 w3 w4", 4),
+      (1, 2, "w3 w4 w5 w6", 4),
+      (2, 4, "w5 w6 w7", 3)))
+  }
+
+  test("chunkPassages: stride == window gives disjoint spans; short doc one chunk") {
+    val df = Seq((1L, "a b c d e"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkPassages(df, "doc_id", "text", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(out(1L) == Seq("a b", "c d", "e"))
+    assert(out(2L) == Seq("solo"))
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.chunkPassages(df, "doc_id", "text", 2, 3)
+    }
+  }
 }
