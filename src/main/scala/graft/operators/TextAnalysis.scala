@@ -380,6 +380,65 @@ object TextAnalysis {
       .select(col(idCol), col("avg_logprob"), col("n_tokens"), col("bucket"))
   }
 
+  /** Multinomial Naive Bayes text classification — train AND infer as
+    * pure relational algebra (no mllib, no iteration): class priors and
+    * add-`alpha` word likelihoods come from counting a labeled corpus,
+    * and each document's predicted class is
+    * `argmax_c [ln p(c) + Σ_tokens ln p(w|c)]`. The shape of every
+    * bag-of-words quality/domain/language classifier a curation
+    * pipeline runs at scale — learned from labels, unlike the
+    * [[langId]] heuristic profiles.
+    *
+    * Smoothing: `p(w|c) = (count(w,c) + alpha) / (tokens_c + alpha·V)`
+    * with V = the GLOBAL vocabulary, so unseen (w, c) pairs score the
+    * zero-count mass — the dense (word × class) grid is materialized by
+    * crossing the vocabulary with the class list (model-sized: V·C
+    * rows, never corpus-sized). Ties break toward the lexicographically
+    * smallest class via a single min-of-struct aggregation — no window.
+    *
+    * Scale shape: two map-side-combined count aggregations (class
+    * stats, word×class counts) build the model; the scoring stream is
+    * tokens × C rows joined to the broadcast model; one shuffle per
+    * doc-class partial sum, one argmax aggregation per doc. */
+  def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
+                         labelCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"smoothing alpha must be positive, got $alpha")
+    val tok = df
+      .select(col(idCol), col(labelCol).as("_cls"),
+        explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    // class priors and per-class token totals in one aggregation
+    val cls = tok.groupBy("_cls")
+      .agg(countDistinct(col(idCol)).as("_dc"), count(lit(1)).as("_tc"))
+    val nDocs = cls.agg(sum("_dc").as("_nd"))
+    val wc = tok.groupBy("token", "_cls").agg(count(lit(1)).as("_n"))
+    val vocab = wc.select("token").distinct()
+    val v = vocab.agg(count(lit(1)).as("_v"))
+    // dense (word × class) likelihood grid — zero counts included
+    val grid = vocab.crossJoin(cls.select("_cls"))
+      .join(wc, Seq("token", "_cls"), "left")
+      .join(cls, Seq("_cls"))
+      .crossJoin(broadcast(v))
+      .select(col("token"), col("_cls"),
+        log((coalesce(col("_n"), lit(0L)).cast("double") + alpha) /
+          (col("_tc").cast("double") + col("_v").cast("double") * alpha))
+          .as("_lw"))
+    val priors = cls.crossJoin(broadcast(nDocs))
+      .select(col("_cls"),
+        log(col("_dc").cast("double") / col("_nd").cast("double")).as("_lp"))
+    val scored = tok.drop("_cls")
+      .join(grid, Seq("token"))
+      .groupBy(col(idCol), col("_cls"))
+      .agg(sum("_lw").as("_s"))
+      .join(broadcast(priors), Seq("_cls"))
+      .select(col(idCol), col("_cls"), (col("_s") + col("_lp")).as("_score"))
+    scored
+      .groupBy(col(idCol))
+      .agg(min(struct((col("_score") * -1d).as("_neg"), col("_cls"))).as("_best"))
+      .select(col(idCol), col("_best._cls").as("pred"),
+        round(col("_best._neg") * -1d, 6).as("score"))
+  }
+
   /** Sliding-window passage chunking — the retrieval/embedding prep
     * step: each document becomes overlapping word windows of `window`
     * words advancing by `stride` (stride < window ⇒ the standard RAG

@@ -447,6 +447,17 @@ object LayerC {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Naive Bayes classifier trained on the corpus's own lang labels,
+    // applied back to the corpus (training-set fit) — selection by RAW
+    // score (c5 pattern), output rounded
+    "c48_nb_classifier" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.naiveBayesClassify(d, "doc_id", "text", "lang")
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "pred", "score")
+        .orderBy("doc_id")
+    },
+
     // text quality features
     "c8_text_quality" -> { (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
@@ -1232,6 +1243,45 @@ object LayerC {
         |SELECT doc_id, chunk_idx, start_word, chunk,
         |  CAST(len(string_split(chunk, ' ')) AS INTEGER) AS n_words
         |FROM sp ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the smoothing arithmetic mirrors TextAnalysis.naiveBayesClassify
+    // exactly (alpha=0.5, global-vocab denominator, doc-count priors);
+    // argmax by raw score, ties to the smaller class label
+    "c48_nb_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang AS cls,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE token <> ''),
+        |cls AS (SELECT cls, count(DISTINCT doc_id) AS dc, count(1) AS tc
+        |        FROM t2 GROUP BY cls),
+        |nd AS (SELECT sum(dc) AS nd FROM cls),
+        |wc AS (SELECT token, cls, count(1) AS n FROM t2 GROUP BY token, cls),
+        |vocab AS (SELECT DISTINCT token FROM wc),
+        |v AS (SELECT count(1) AS v FROM vocab),
+        |grid AS (
+        |  SELECT vocab.token, c.cls,
+        |    ln((CAST(coalesce(wc.n, 0) AS DOUBLE) + 0.5) /
+        |       (CAST(c.tc AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE))) AS lw
+        |  FROM vocab CROSS JOIN cls c
+        |  LEFT JOIN wc ON wc.token = vocab.token AND wc.cls = c.cls
+        |  CROSS JOIN v),
+        |pri AS (SELECT cls, ln(CAST(dc AS DOUBLE) / CAST(nd AS DOUBLE)) AS lp
+        |        FROM cls CROSS JOIN nd),
+        |sc AS (
+        |  SELECT t2.doc_id, g.cls, sum(g.lw) AS s
+        |  FROM t2 JOIN grid g ON g.token = t2.token
+        |  GROUP BY t2.doc_id, g.cls),
+        |fin AS (
+        |  SELECT sc.doc_id, sc.cls, sc.s + pri.lp AS score
+        |  FROM sc JOIN pri USING (cls)),
+        |best AS (
+        |  SELECT doc_id, cls, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+        |  FROM fin)
+        |SELECT b.doc_id, d.lang, b.cls AS pred, round(b.score, 6) AS score
+        |FROM best b JOIN documents d ON d.doc_id = b.doc_id
+        |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin,
 
     "c31_incremental_dedup" ->
       """WITH b AS (SELECT * FROM documents WHERE doc_id % 7 = 0),

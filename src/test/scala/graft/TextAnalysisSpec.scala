@@ -186,6 +186,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(buckets == Map(1L -> "head", 2L -> "tail", 3L -> "tail", 4L -> "tail"))
   }
 
+  test("naiveBayesClassify: hand-computed smoothed scores and argmax") {
+    val df = Seq(
+      (1L, "A", "x x"), (2L, "B", "y y"), (3L, "A", "x y")
+    ).toDF("id", "cls", "text")
+    val out = TextAnalysis.naiveBayesClassify(df, "id", "text", "cls")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // model: A {x:3, y:1} tc=4, B {y:2} tc=2, V=2, priors 2/3 and 1/3
+    // → p(x|A)=3.5/5, p(y|A)=1.5/5, p(x|B)=0.5/3, p(y|B)=2.5/3
+    assert(out(1L)._1 == "A" && out(2L)._1 == "B" && out(3L)._1 == "A")
+    val d3 = math.log(2.0 / 3) + math.log(3.5 / 5) + math.log(1.5 / 5)
+    assert(math.abs(out(3L)._2 - d3) < 1e-6)
+  }
+
+  test("naiveBayesClassify: exact score ties break to the smaller class") {
+    // fully symmetric corpus: both classes score every doc identically
+    val df = Seq((1L, "b", "x"), (2L, "a", "x")).toDF("id", "cls", "text")
+    val out = TextAnalysis.naiveBayesClassify(df, "id", "text", "cls")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "a"))
+  }
+
   test("chunkPassages: overlap, truncated tail, full word coverage") {
     // 7 words, window 4, stride 2 → starts 0,2,4: the last window
     // truncates to 3 words and word 7 is still covered
