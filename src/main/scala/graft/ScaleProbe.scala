@@ -75,7 +75,7 @@ object ScaleProbe {
     val docsBlown = docsBase.crossJoin(spark.range(10).toDF("copy"))
       .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
         concat(col("text"), lit(" tail"), col("copy")).as("text"),
-        col("source"))
+        col("source"), col("lang"))
       .cache()
     println(s"[probe] docs corpus: ${docsBlown.count()} documents")
     time("repetitionSignals")(
@@ -119,6 +119,19 @@ object ScaleProbe {
           (col("doc_id") - pmod(col("doc_id"), lit(10))).as("cluster_rep")),
         docsBlown.select(col("doc_id"), length(col("text")).as("q")),
         "doc_id", "q"))
+    // round-6 additions: all four are projection/agg shapes whose only
+    // corpus-keyed shuffle is a per-doc (or per-doc-class) sum — 10×
+    // the corpus should cost ~10× the scan, nothing super-linear
+    time("perplexityBuckets vs en slice")(
+      TextAnalysis.perplexityBuckets(docsBlown,
+        docsBlown.filter(col("lang") === "en"), "doc_id", "text"))
+    time("dsirWeights vs en slice (1024 buckets)")(
+      Curation.dsirWeights(docsBlown,
+        docsBlown.filter(col("lang") === "en"), "doc_id", "text"))
+    time("chunkPassages 16/8")(
+      TextAnalysis.chunkPassages(docsBlown, "doc_id", "text", 16, 8))
+    time("naiveBayesClassify on lang labels")(
+      TextAnalysis.naiveBayesClassify(docsBlown, "doc_id", "text", "lang"))
     }
     spark.stop()
   }

@@ -63,4 +63,55 @@ class PropertySpec extends AnyFunSuite {
       assert(out.toSet == texts.toSet)
     }
   }
+
+  test("chunkPassages covers every word; disjoint chunks rebuild the document") {
+    val wS = Gen.chooseNum(1, 6)
+    val cases = samples(Gen.zip(Gen.listOfN(8, text), wS, Gen.chooseNum(1, 6)), 5)
+    cases.foreach { case (texts, w0, s0) =>
+      val (w, s) = (math.max(w0, s0), math.min(w0, s0)) // stride <= window
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val chunks = graft.operators.TextAnalysis.chunkPassages(docs, "id", "text", w, s)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      // every word of every doc appears in at least one of its chunks at
+      // the right position: chunk i starts at word i*s
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val words = t.split("\\s+", -1)
+        val mine = chunks.filter(_._1 == i.toLong).sortBy(_._2)
+        words.indices.foreach { wi =>
+          val containing = mine.filter { case (_, ci, _) =>
+            ci * s <= wi && wi < ci * s + w }
+          assert(containing.nonEmpty, s"word $wi of doc $i uncovered")
+          containing.foreach { case (_, ci, chunk) =>
+            assert(chunk.split(" ", -1)(wi - ci * s) == words(wi)) }
+        }
+      }
+      // stride == window: concatenating chunks rebuilds the word stream
+      val disjoint = graft.operators.TextAnalysis
+        .chunkPassages(docs, "id", "text", w, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val rebuilt = disjoint.filter(_._1 == i.toLong).sortBy(_._2)
+          .map(_._3).mkString(" ")
+        assert(rebuilt == t.split("\\s+", -1).mkString(" "))
+      }
+    }
+  }
+
+  test("perplexityBuckets: buckets partition the corpus and respect score order") {
+    samples(Gen.listOfN(12, text), 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val out = graft.operators.TextAnalysis
+        .perplexityBuckets(docs, docs, "id", "text")
+        .collect().map(r => (r.getAs[Double]("avg_logprob"), r.getAs[String]("bucket")))
+      assert(out.length == texts.length)
+      // order rule: every head score >= every middle score >= every tail
+      def scores(b: String) = out.filter(_._2 == b).map(_._1)
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail"), ("head", "tail")))
+        if (scores(hi).nonEmpty && scores(lo).nonEmpty)
+          assert(scores(hi).min >= scores(lo).max, s"$hi below $lo")
+      // value-threshold rule: equal scores share a bucket
+      out.groupBy(_._1).foreach { case (_, g) =>
+        assert(g.map(_._2).distinct.length == 1) }
+    }
+  }
 }
