@@ -58,4 +58,36 @@ object Sampling {
       .filter(col(scoreCol) >= col("_thr"))
       .drop("_thr")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis A-Res): each row gets key `ln(u)/w` where `u` is a
+    * reproducible uniform in [0, 1) derived from
+    * `mix64(fingerprint64("<seed>:" || id))` and `w` its positive
+    * weight; the k largest keys are exactly a weight-proportional
+    * sample without replacement. The selection step of importance
+    * resampling ([[graft.operators.Curation.dsirWeights]] produces the
+    * weights; this draws the sample) — deterministic across runs AND
+    * engines, unlike `rand()`-based sampling.
+    *
+    * The uniform is `signed_hash / 2⁶⁴ + 0.5`: int64→double conversion
+    * then exact power-of-two scaling, so any engine that reproduces the
+    * hash reproduces `u` bit-for-bit (the DuckDB oracle does). Rows
+    * with non-positive weight are excluded (zero weight = never
+    * sampled; A-Res keys are undefined there).
+    *
+    * Scale shape: key assignment is a narrow projection; top-k compiles
+    * to TakeOrderedAndProject — per-partition partial top-k, never a
+    * global sort of the corpus. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    import graft.functions.TextFunctions.{fingerprint64, mix64}
+    val u = mix64(fingerprint64(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .cast("double") / 1.8446744073709552E19 + 0.5
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        (log(u) / col(weightCol).cast("double")).as("skey"))
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -447,6 +447,16 @@ object LayerC {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // deterministic weighted sampling without replacement (A-Res keys
+    // from the seeded mix64∘fingerprint64 uniform; weight = n_chars) —
+    // selection by RAW key, output rounded
+    "c49_weighted_sample" -> { (s, dir) =>
+      graft.operators.Sampling.weightedSample(docs(s, dir), "doc_id",
+          "n_chars", k = 100, seed = 7L)
+        .withColumn("skey", round(col("skey"), 6))
+        .orderBy(col("skey").desc, col("doc_id"))
+    },
+
     // Naive Bayes classifier trained on the corpus's own lang labels,
     // applied back to the corpus (training-set fit) — selection by RAW
     // score (c5 pattern), output rounded
@@ -600,6 +610,51 @@ object LayerC {
        |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
        |            THEN u - $P ELSE u END AS BIGINT) AS shuffle_key
        |FROM mx ORDER BY shuffle_key, doc_id""".stripMargin
+  }
+
+  /** DuckDB replica of `Sampling.weightedSample` (Efraimidis–Spirakis
+    * A-Res): the [[detShuffleSql]] HUGEINT fold + fmix64 chain yields
+    * the signed 64-bit hash, `u = hash/2⁶⁴ + 0.5` reproduces Spark's
+    * int64→double conversion + exact power-of-two scaling bit-for-bit,
+    * and the k largest `ln(u)/w` keys are the sample. */
+  private def aresSql(seed: Long, k: Int): String = {
+    val P = "18446744073709551616::HUGEINT"
+    def mul(m: Long): String = {
+      val hi = m >>> 32
+      val lo = m & 0xffffffffL
+      s"""((v * ${lo}::HUGEINT) % $P +
+         |      ((v * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $P""".stripMargin
+    }
+    val xs = "xor(v, v // 8589934592::HUGEINT)"
+    s"""WITH sk AS (
+       |  SELECT doc_id, n_chars, '$seed:' || CAST(doc_id AS VARCHAR) AS kk
+       |  FROM documents WHERE n_chars > 0),
+       |kr AS (
+       |  SELECT doc_id, n_chars, list_reduce(list_prepend(0::HUGEINT,
+       |    [CAST(('0x' || substring(hex(encode(kk)), 2*i+1, 2)) AS INTEGER)::HUGEINT
+       |     FOR i IN range(length(hex(encode(kk)))//2)]),
+       |    (acc, x) -> (acc * 31 + x) % $P) AS v
+       |  FROM sk),
+       |mx1 AS (SELECT doc_id, n_chars, $xs AS v FROM kr),
+       |mx2 AS (SELECT doc_id, n_chars, ${mul(0xff51afd7ed558ccdL)} AS v FROM mx1),
+       |mx3 AS (SELECT doc_id, n_chars, $xs AS v FROM mx2),
+       |mx4 AS (SELECT doc_id, n_chars, ${mul(0xc4ceb9fe1a85ec53L)} AS v FROM mx3),
+       |mx AS (SELECT doc_id, n_chars, $xs AS u FROM mx4),
+       |sgn AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |              THEN u - $P ELSE u END AS BIGINT) AS h
+       |  FROM mx),
+       |keyed AS (
+       |  SELECT doc_id, n_chars,
+       |    ln(CAST(h AS DOUBLE) / 18446744073709551616.0 + 0.5) /
+       |      CAST(n_chars AS DOUBLE) AS rawkey
+       |  FROM sgn),
+       |sel AS (
+       |  SELECT doc_id, n_chars, round(rawkey, 6) AS skey
+       |  FROM keyed ORDER BY rawkey DESC, doc_id LIMIT $k)
+       |SELECT doc_id, n_chars, skey
+       |FROM sel ORDER BY skey DESC, doc_id""".stripMargin
   }
 
   /** DuckDB replica of `Curation.dsirWeights` with the
@@ -1226,6 +1281,8 @@ object LayerC {
         |ORDER BY doc_id""".stripMargin,
 
     "c46_dsir_weights" -> dsirSql,
+
+    "c49_weighted_sample" -> aresSql(7L, 100),
 
     // chunk count mirrors ChunkUtil.chunks for (n=16, step=8):
     // ceil(greatest(len - 8, 8) / 8) starts at 0, 8, 16, …, final

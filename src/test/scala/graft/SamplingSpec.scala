@@ -81,4 +81,32 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.quantileFilter(df, "score", 1.0)
     }
   }
+
+  test("weightedSample: deterministic, without replacement, weight-responsive") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 100) 100 else 1))
+      .toDF("id", "w")
+    def draw(seed: Long) = Sampling.weightedSample(df, "id", "w", 50, seed)
+      .select("id").as[Long].collect().toSeq
+    val a = draw(7L)
+    // same seed → identical sample (including order); no duplicates
+    assert(a == draw(7L))
+    assert(a.distinct.length == 50)
+    assert(draw(8L) != a, "different seeds should draw different samples")
+    // the 10% of ids carrying 100× weight should dominate the sample
+    // (each heavy id is ~100× likelier than each light one)
+    val heavy = a.count(_ <= 100L)
+    assert(heavy > 25, s"expected heavy-weight majority, got $heavy/50")
+    // zero/negative weights are never sampled
+    val z = Sampling.weightedSample(
+      Seq((1L, 0), (2L, -3), (3L, 5)).toDF("id", "w"), "id", "w", 3, 1L)
+      .select("id").as[Long].collect().toSeq
+    assert(z == Seq(3L))
+  }
+
+  test("weightedSample plans as TakeOrderedAndProject, not a global sort") {
+    val df = (1L to 100L).map(i => (i, 1)).toDF("id", "w")
+    val plan = Sampling.weightedSample(df, "id", "w", 5, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
