@@ -396,22 +396,28 @@ object TextAnalysis {
     * rows, never corpus-sized). Ties break toward the lexicographically
     * smallest class via a single min-of-struct aggregation — no window.
     *
-    * Scale shape: two map-side-combined count aggregations (class
-    * stats, word×class counts) build the model; the scoring stream is
-    * tokens × C rows joined to the broadcast model; one shuffle per
-    * doc-class partial sum, one argmax aggregation per doc. */
+    * Scale shape: the corpus explodes ONCE into a per-(doc, class,
+    * token) count base; class stats, word×class counts, the vocabulary,
+    * and the scoring stream all derive from that aggregation (the c35
+    * discipline — never re-explode what an aggregate already holds).
+    * Scoring joins one grid row per DISTINCT (doc, token) pair and
+    * weights by the occurrence count; one shuffle per doc-class partial
+    * sum, one argmax aggregation per doc. */
   def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
                          labelCol: String, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0, s"smoothing alpha must be positive, got $alpha")
-    val tok = df
+    // the ONE corpus explode: per-(doc, class, token) occurrence counts
+    val base = df
       .select(col(idCol), col(labelCol).as("_cls"),
         explode(split(lower(col(textCol)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
-    // class priors and per-class token totals in one aggregation
-    val cls = tok.groupBy("_cls")
-      .agg(countDistinct(col(idCol)).as("_dc"), count(lit(1)).as("_tc"))
+      .groupBy(col(idCol), col("_cls"), col("token"))
+      .agg(count(lit(1)).as("_k"))
+    val wc = base.groupBy("token", "_cls").agg(sum("_k").as("_n"))
+    // class priors and per-class token totals from the model aggregates
+    val cls = base.groupBy("_cls")
+      .agg(countDistinct(col(idCol)).as("_dc"), sum("_k").as("_tc"))
     val nDocs = cls.agg(sum("_dc").as("_nd"))
-    val wc = tok.groupBy("token", "_cls").agg(count(lit(1)).as("_n"))
     val vocab = wc.select("token").distinct()
     val v = vocab.agg(count(lit(1)).as("_v"))
     // dense (word × class) likelihood grid — zero counts included
@@ -426,10 +432,10 @@ object TextAnalysis {
     val priors = cls.crossJoin(broadcast(nDocs))
       .select(col("_cls"),
         log(col("_dc").cast("double") / col("_nd").cast("double")).as("_lp"))
-    val scored = tok.drop("_cls")
+    val scored = base.drop("_cls")
       .join(grid, Seq("token"))
       .groupBy(col(idCol), col("_cls"))
-      .agg(sum("_lw").as("_s"))
+      .agg(sum(col("_lw") * col("_k").cast("double")).as("_s"))
       .join(broadcast(priors), Seq("_cls"))
       .select(col(idCol), col("_cls"), (col("_s") + col("_lp")).as("_score"))
     scored

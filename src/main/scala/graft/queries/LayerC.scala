@@ -1310,10 +1310,12 @@ object LayerC {
         |    unnest(string_split_regex(lower(text), '\s+')) AS token
         |  FROM documents),
         |t2 AS (SELECT * FROM tok WHERE token <> ''),
-        |cls AS (SELECT cls, count(DISTINCT doc_id) AS dc, count(1) AS tc
-        |        FROM t2 GROUP BY cls),
+        |base AS (SELECT doc_id, cls, token, count(1) AS k
+        |         FROM t2 GROUP BY doc_id, cls, token),
+        |cls AS (SELECT cls, count(DISTINCT doc_id) AS dc, sum(k) AS tc
+        |        FROM base GROUP BY cls),
         |nd AS (SELECT sum(dc) AS nd FROM cls),
-        |wc AS (SELECT token, cls, count(1) AS n FROM t2 GROUP BY token, cls),
+        |wc AS (SELECT token, cls, sum(k) AS n FROM base GROUP BY token, cls),
         |vocab AS (SELECT DISTINCT token FROM wc),
         |v AS (SELECT count(1) AS v FROM vocab),
         |grid AS (
@@ -1326,9 +1328,9 @@ object LayerC {
         |pri AS (SELECT cls, ln(CAST(dc AS DOUBLE) / CAST(nd AS DOUBLE)) AS lp
         |        FROM cls CROSS JOIN nd),
         |sc AS (
-        |  SELECT t2.doc_id, g.cls, sum(g.lw) AS s
-        |  FROM t2 JOIN grid g ON g.token = t2.token
-        |  GROUP BY t2.doc_id, g.cls),
+        |  SELECT base.doc_id, g.cls, sum(g.lw * CAST(base.k AS DOUBLE)) AS s
+        |  FROM base JOIN grid g ON g.token = base.token
+        |  GROUP BY base.doc_id, g.cls),
         |fin AS (
         |  SELECT sc.doc_id, sc.cls, sc.s + pri.lp AS score
         |  FROM sc JOIN pri USING (cls)),
