@@ -86,4 +86,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"unexpected data shuffle:\n$p")
   }
+
+  test("passage chunking is shuffle-free: one codegen pass + explode (c47)") {
+    // the OPERATOR, not the query (whose orderBy adds a range exchange):
+    // no exchange of any kind — chunking is embarrassingly parallel
+    val p = graft.operators.TextAnalysis.chunkPassages(
+        graft.Tables.load(spark, dir, "documents"), "doc_id", "text", 16, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking introduced a shuffle:\n$p")
+    assert(p.contains("Generate posexplode"), s"no posexplode generate:\n$p")
+    // the whole operator is ONE whole-stage-codegen span over a
+    // 2-column pruned scan
+    assert(p.contains("*(1) Generate"), s"explode fell out of codegen:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to (id, text):\n$p")
+  }
+
+  test("model-sized relations broadcast, corpus never sort-merges (c45, c46, c48)") {
+    // CCNet buckets / DSIR ratios / NB grid+priors are all bounded by
+    // (vocab|buckets|V×C) — every join against the corpus-sized stream
+    // must be broadcast or shuffled-hash, never a sort-merge of the corpus
+    for (n <- Seq("c45_ccnet_buckets", "c46_dsir_weights", "c48_nb_classifier")) {
+      val p = plan(n)
+      assert(!p.contains("SortMergeJoin"), s"$n sort-merges:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$n never broadcasts its model relation:\n$p")
+    }
+  }
 }
