@@ -56,7 +56,15 @@ object Bench {
     val isStreaming = (n: String) => n.matches("s\\d+_.*")
     val reps = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (isStreaming(name)) (name, runOnce(name, fn))
+      // streaming gets ONE unmeasured warmup too (round 6): the first
+      // execution of a streaming query pays state-store + micro-batch
+      // machinery JIT on top of the fault tax (measured: the s* suite
+      // runs 33.3 s cold, 20.8 s on the immediate second pass); the
+      // warmed run is the honest harness-latency number, same rationale
+      // as the batch warmup
+      if (isStreaming(name)) {
+        if (runOnce(name, fn) < 0) (name, -1.0) else (name, runOnce(name, fn))
+      }
       else {
         // unmeasured warmup rep: absorbs first-touch page faults and
         // JIT/janino compilation of this query's generated code
