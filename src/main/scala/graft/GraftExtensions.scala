@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CharNgrams, DotProduct, Fingerprint64, Mix64, WordChunks, WordShingles}
+import graft.functions.{AdcScore, CharNgrams, DotProduct, Fingerprint64, MaxAbs, Mix64, QuantizeInt8, WordChunks, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the graft custom
   * expressions as SQL functions, so `spark.sql("SELECT dot_product(a,b)")`
@@ -56,7 +56,16 @@ object GraftExtensions {
       "char_ngrams(s, n, lowercase) - code-point character n-grams",
       (children: Seq[Expression]) =>
         CharNgrams(children.head,
-          intLit(children(1), "char_ngrams"), boolLit(children(2), "char_ngrams"))))
+          intLit(children(1), "char_ngrams"), boolLit(children(2), "char_ngrams"))),
+    ("max_abs", "max_abs(v) - largest |x| over an array<double>",
+      (children: Seq[Expression]) => MaxAbs(children.head)),
+    ("quantize_int8",
+      "quantize_int8(v, scale) - symmetric int8 quantization of array<double>",
+      (children: Seq[Expression]) => QuantizeInt8(children(0), children(1))),
+    ("adc_score",
+      "adc_score(codes, lut, ksub) - asymmetric-distance PQ code scoring",
+      (children: Seq[Expression]) =>
+        AdcScore(children(0), children(1), intLit(children(2), "adc_score"))))
 
   /** Register the same functions on an already-running session (temp
     * functions in the session registry). `spark.sql.extensions=

@@ -51,6 +51,15 @@ class StatefulExtensionsSpec extends AnyFunSuite {
       "char_ngrams('Höi', 2, true) AS c").collect().head
     assert(r2.getSeq[String](0) == Seq("a b", "c d"))
     assert(r2.getSeq[String](1) == Seq("hö", "öi")) // code points, not bytes
+    val r3 = spark.sql(
+      "SELECT max_abs(array(1.0d, -3.0d, 2.0d)) AS m, " +
+      "quantize_int8(array(0.0d, -3.0d, 1.5d), 2.0d) AS q, " +
+      // codes [0,1], ksub=2 → lut[0*2+0] + lut[1*2+1] = 10 + 40
+      "adc_score(array(0, 1), array(10.0d, 20.0d, 30.0d, 40.0d), 2) AS a")
+      .collect().head
+    assert(r3.getDouble(0) == 3.0)
+    assert(r3.getSeq[Int](1) == Seq(0, -6, 3)) // round(x * scaleFactor)
+    assert(r3.getDouble(2) == 50.0)
   }
 
   test("saltedJoin equals the plain join") {
