@@ -66,6 +66,30 @@ class SourcesSpec extends AnyFunSuite {
     // them raises AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE by design.
   }
 
+  test("parquet schema evolution: mergeSchema unions writer generations") {
+    val work = Files.createTempDirectory("graft_evolve").toString
+    // generation 1 writes (id, name); generation 2 adds a column — the
+    // standard additive-evolution case a long-lived dataset accumulates
+    Seq((1, "a"), (2, "b")).toDF("id", "name")
+      .write.mode("append").parquet(s"$work/t")
+    Seq((3, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(s"$work/t")
+    val merged = Sources.read(spark, SourceSpec("parquet", s"$work/t",
+      options = Map("mergeSchema" -> "true")))
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"),
+        Option(r.getAs[java.lang.Double]("score")))).toSeq
+    // old-generation rows surface the new column as NULL
+    assert(rows == Seq((1, "a", None), (2, "b", None), (3, "c", Some(9.5))))
+    // without mergeSchema the footer-sampled schema may miss the new
+    // column — the read still succeeds (that's the default trade, not
+    // an error); asserting column COUNT pins that the merged read is
+    // the one that widened
+    val plain = Sources.read(spark, SourceSpec("parquet", s"$work/t"))
+    assert(plain.columns.length <= merged.columns.length)
+  }
+
   test("text source round-trips raw lines; binaryFile reads payload + metadata") {
     val work = Files.createTempDirectory("graft_txt").toString
     // text: one string column named `value`, newline-delimited — the raw
