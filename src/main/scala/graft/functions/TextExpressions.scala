@@ -98,4 +98,13 @@ object TextFunctions {
 
   def mix64(c: Column): Column =
     GraftColumnBridge.column(Mix64(GraftColumnBridge.expression(c)))
+
+  /** The engine-replicable seeded order/sample key
+    * `mix64(fingerprint64("<seed>:" || id))` — single-sourced so the
+    * shuffle operator, the sampler, and the DuckDB oracle replicas can
+    * never drift apart on the recipe. */
+  def seededKey(id: Column, seed: Long): Column = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    mix64(fingerprint64(concat(lit(s"$seed:"), id.cast("string"))))
+  }
 }

@@ -82,9 +82,8 @@ object Curation {
     * per epoch. */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: Long,
                            numPartitions: Int = 0): DataFrame = {
-    import graft.functions.TextFunctions.{fingerprint64, mix64}
     val keyed = df.withColumn("shuffle_key",
-      mix64(fingerprint64(concat(lit(s"$seed:"), col(idCol).cast("string")))))
+      graft.functions.TextFunctions.seededKey(col(idCol), seed))
     val parted =
       if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("shuffle_key"))
       else keyed.repartitionByRange(col("shuffle_key"))
@@ -148,12 +147,15 @@ object Curation {
     * defaults to xxhash64 (production); the oracle passes
     * `mix64 ∘ fingerprint64`, the engine-replicable hash (c3 pattern).
     *
-    * Scale shape: feature explosion is a narrow projection; both
-    * distributions are map-side-combined aggregations bounded by
-    * `buckets` rows; totals come off the model aggregates (never a
-    * second corpus scan); the log-ratio table (≤ `buckets` rows)
-    * broadcast-joins back to the per-document feature stream; the only
-    * corpus-keyed shuffle is the final per-document sum. */
+    * Scale shape: the corpus explodes ONCE into a per-(doc, bucket)
+    * count base (the c35/NB single-explode discipline); the raw bucket
+    * distribution derives from that aggregate — its exchange is
+    * syntactically shared with the scoring stream's, so ReuseExchange
+    * dedupes the corpus pass — and scoring weights each distinct
+    * (doc, bucket) row by its count. The target distribution is its
+    * own (typically far smaller) pass; both models are bounded by
+    * `buckets` rows; the log-ratio table broadcast-joins back; the
+    * only corpus-keyed shuffle is the base aggregation. */
   def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
                   textCol: String, buckets: Int = 1024, alpha: Double = 0.5,
                   featureHash: Column => Column = xxhash64(_)): DataFrame = {
@@ -171,7 +173,10 @@ object Curation {
     }
     def bucketed(df: DataFrame) = df.withColumn("_b",
       pmod(featureHash(col("_f")), lit(buckets.toLong))).drop("_f")
-    val raw = bucketed(feats(corpus)).groupBy("_b").agg(count(lit(1)).as("_rc"))
+    // the ONE corpus explode: per-(doc, bucket) feature counts
+    val base = bucketed(feats(corpus, col(idCol)))
+      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_k"))
+    val raw = base.groupBy("_b").agg(sum("_k").as("_rc"))
     val tgt = bucketed(feats(target)).groupBy("_b").agg(count(lit(1)).as("_tc"))
     val totals = raw.agg(sum("_rc").as("_traw"))
       .crossJoin(tgt.agg(sum("_tc").as("_ttgt")))
@@ -183,9 +188,10 @@ object Curation {
             (col("_ttgt").cast("double") + alpha * buckets)) -
           log((col("_rc").cast("double") + alpha) /
             (col("_traw").cast("double") + alpha * buckets))).as("_lr"))
-    bucketed(feats(corpus, col(idCol)))
+    base
       .join(broadcast(ratio), Seq("_b"))
       .groupBy(col(idCol))
-      .agg(round(sum("_lr"), 6).as("weight"), count(lit(1)).as("n_feats"))
+      .agg(round(sum(col("_lr") * col("_k").cast("double")), 6).as("weight"),
+        sum("_k").as("n_feats"))
   }
 }

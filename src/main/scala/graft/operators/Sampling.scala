@@ -81,8 +81,7 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, seed: Long): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
-    import graft.functions.TextFunctions.{fingerprint64, mix64}
-    val u = mix64(fingerprint64(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+    val u = graft.functions.TextFunctions.seededKey(col(idCol), seed)
       .cast("double") / 1.8446744073709552E19 + 0.5
     df.filter(col(weightCol) > 0)
       .select(col(idCol), col(weightCol),

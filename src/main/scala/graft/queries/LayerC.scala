@@ -579,71 +579,71 @@ object LayerC {
     * for hamming ≤ 3 (pigeonhole), so the Spark band-join result equals
     * the plain quadratic filter. Constants derive from Mix64's at
     * compile time — they cannot drift apart silently. */
-  /** DuckDB replica of `mix64(fingerprint64("<seed>:" || doc_id))` —
-    * the c39 deterministic-shuffle key. Same HUGEINT Karp–Rabin fold +
-    * fmix64 chain as [[simhashSql]], applied to the seed-prefixed id
-    * string instead of corpus words; the final signed conversion makes
-    * ORDER BY compare exactly like Spark's BIGINT sort. */
-  private def detShuffleSql(seed: Long): String = {
-    val P = "18446744073709551616::HUGEINT"
+  /** 2⁶⁴ as a DuckDB HUGEINT literal — the modulus of every hash
+    * replica below. */
+  private val P64 = "18446744073709551616::HUGEINT"
+
+  /** The ONE copy of the HUGEINT Karp–Rabin fold + murmur3 fmix64
+    * chain every hash-replica oracle builds on (c3 word hash, c39
+    * shuffle key, c46 feature buckets, c49 sample uniform): emits CTEs
+    * `kr, mx1..mx4, <out>` where `<out>` exposes `carries` plus the
+    * UNSIGNED mix64 result `u` (HUGEINT in [0, 2⁶⁴)). Xorshifts are
+    * `xor` + floor-division; each 64×64 wrapping multiply is split
+    * into 32-bit halves (a full product would overflow HUGEINT's 127
+    * value bits). Constants mirror [[graft.functions.Mix64]] — one
+    * copy, so the replicas cannot drift apart. `src` must expose
+    * `carries` and the string column `keyCol`. */
+  private def fmix64ChainSql(src: String, keyCol: String,
+                             carries: Seq[String], out: String): String = {
     def mul(k: Long): String = {
       val hi = k >>> 32
       val lo = k & 0xffffffffL
-      s"""((v * ${lo}::HUGEINT) % $P +
-         |      ((v * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $P""".stripMargin
+      s"""((v * ${lo}::HUGEINT) % $P64 +
+         |      ((v * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $P64""".stripMargin
     }
     val xs = "xor(v, v // 8589934592::HUGEINT)"
-    s"""WITH sk AS (
-       |  SELECT doc_id, '$seed:' || CAST(doc_id AS VARCHAR) AS k FROM documents),
-       |kr AS (
-       |  SELECT doc_id, list_reduce(list_prepend(0::HUGEINT,
-       |    [CAST(('0x' || substring(hex(encode(k)), 2*i+1, 2)) AS INTEGER)::HUGEINT
-       |     FOR i IN range(length(hex(encode(k)))//2)]),
-       |    (acc, x) -> (acc * 31 + x) % $P) AS v
-       |  FROM sk),
-       |mx1 AS (SELECT doc_id, $xs AS v FROM kr),
-       |mx2 AS (SELECT doc_id, ${mul(0xff51afd7ed558ccdL)} AS v FROM mx1),
-       |mx3 AS (SELECT doc_id, $xs AS v FROM mx2),
-       |mx4 AS (SELECT doc_id, ${mul(0xc4ceb9fe1a85ec53L)} AS v FROM mx3),
-       |mx AS (SELECT doc_id, $xs AS u FROM mx4)
-       |SELECT doc_id,
-       |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-       |            THEN u - $P ELSE u END AS BIGINT) AS shuffle_key
-       |FROM mx ORDER BY shuffle_key, doc_id""".stripMargin
+    val c = carries.map(_ + ", ").mkString
+    s"""kr AS (
+       |  SELECT ${c}list_reduce(list_prepend(0::HUGEINT,
+       |    [CAST(('0x' || substring(hex(encode($keyCol)), 2*i+1, 2)) AS INTEGER)::HUGEINT
+       |     FOR i IN range(length(hex(encode($keyCol)))//2)]),
+       |    (acc, x) -> (acc * 31 + x) % $P64) AS v
+       |  FROM $src),
+       |mx1 AS (SELECT $c$xs AS v FROM kr),
+       |mx2 AS (SELECT $c${mul(0xff51afd7ed558ccdL)} AS v FROM mx1),
+       |mx3 AS (SELECT $c$xs AS v FROM mx2),
+       |mx4 AS (SELECT $c${mul(0xc4ceb9fe1a85ec53L)} AS v FROM mx3),
+       |$out AS (SELECT $c$xs AS u FROM mx4)""".stripMargin
   }
+
+  /** Signed-BIGINT view of the chain's unsigned `u` — how Spark's
+    * mix64 output compares and sorts. */
+  private val signedU: String =
+    s"CAST(CASE WHEN u >= 9223372036854775808::HUGEINT THEN u - $P64 ELSE u END AS BIGINT)"
+
+  /** DuckDB replica of `mix64(fingerprint64("<seed>:" || doc_id))` —
+    * the c39 deterministic-shuffle key ([[graft.functions.TextFunctions.seededKey]]),
+    * via the shared [[fmix64ChainSql]]; the final signed conversion
+    * makes ORDER BY compare exactly like Spark's BIGINT sort. */
+  private def detShuffleSql(seed: Long): String =
+    s"""WITH sk AS (
+       |  SELECT doc_id, '$seed:' || CAST(doc_id AS VARCHAR) AS kk FROM documents),
+       |${fmix64ChainSql("sk", "kk", Seq("doc_id"), "mx")}
+       |SELECT doc_id, $signedU AS shuffle_key
+       |FROM mx ORDER BY shuffle_key, doc_id""".stripMargin
 
   /** DuckDB replica of `Sampling.weightedSample` (Efraimidis–Spirakis
     * A-Res): the [[detShuffleSql]] HUGEINT fold + fmix64 chain yields
     * the signed 64-bit hash, `u = hash/2⁶⁴ + 0.5` reproduces Spark's
     * int64→double conversion + exact power-of-two scaling bit-for-bit,
     * and the k largest `ln(u)/w` keys are the sample. */
-  private def aresSql(seed: Long, k: Int): String = {
-    val P = "18446744073709551616::HUGEINT"
-    def mul(m: Long): String = {
-      val hi = m >>> 32
-      val lo = m & 0xffffffffL
-      s"""((v * ${lo}::HUGEINT) % $P +
-         |      ((v * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $P""".stripMargin
-    }
-    val xs = "xor(v, v // 8589934592::HUGEINT)"
+  private def aresSql(seed: Long, k: Int): String =
     s"""WITH sk AS (
        |  SELECT doc_id, n_chars, '$seed:' || CAST(doc_id AS VARCHAR) AS kk
        |  FROM documents WHERE n_chars > 0),
-       |kr AS (
-       |  SELECT doc_id, n_chars, list_reduce(list_prepend(0::HUGEINT,
-       |    [CAST(('0x' || substring(hex(encode(kk)), 2*i+1, 2)) AS INTEGER)::HUGEINT
-       |     FOR i IN range(length(hex(encode(kk)))//2)]),
-       |    (acc, x) -> (acc * 31 + x) % $P) AS v
-       |  FROM sk),
-       |mx1 AS (SELECT doc_id, n_chars, $xs AS v FROM kr),
-       |mx2 AS (SELECT doc_id, n_chars, ${mul(0xff51afd7ed558ccdL)} AS v FROM mx1),
-       |mx3 AS (SELECT doc_id, n_chars, $xs AS v FROM mx2),
-       |mx4 AS (SELECT doc_id, n_chars, ${mul(0xc4ceb9fe1a85ec53L)} AS v FROM mx3),
-       |mx AS (SELECT doc_id, n_chars, $xs AS u FROM mx4),
+       |${fmix64ChainSql("sk", "kk", Seq("doc_id", "n_chars"), "mx")},
        |sgn AS (
-       |  SELECT doc_id, n_chars,
-       |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-       |              THEN u - $P ELSE u END AS BIGINT) AS h
+       |  SELECT doc_id, n_chars, $signedU AS h
        |  FROM mx),
        |keyed AS (
        |  SELECT doc_id, n_chars,
@@ -655,7 +655,6 @@ object LayerC {
        |  FROM keyed ORDER BY rawkey DESC, doc_id LIMIT $k)
        |SELECT doc_id, n_chars, skey
        |FROM sel ORDER BY skey DESC, doc_id""".stripMargin
-  }
 
   /** DuckDB replica of `Curation.dsirWeights` with the
     * `mix64 ∘ fingerprint64` feature hash: hashed unigram+bigram
@@ -664,14 +663,6 @@ object LayerC {
     * `pmod` because 1024 divides 2⁶⁴), then the smoothed
     * target-vs-raw log-likelihood-ratio sum per document. */
   private val dsirSql: String = {
-    val P = "18446744073709551616::HUGEINT"
-    def mul(k: Long): String = {
-      val hi = k >>> 32
-      val lo = k & 0xffffffffL
-      s"""((v * ${lo}::HUGEINT) % $P +
-         |      ((v * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $P""".stripMargin
-    }
-    val xs = "xor(v, v // 8589934592::HUGEINT)"
     s"""WITH w AS (
        |  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS ws
        |  FROM documents),
@@ -684,19 +675,11 @@ object LayerC {
        |  FROM w WHERE len(ws) >= 2),
        |feats AS (SELECT * FROM uf2 UNION ALL SELECT * FROM bf),
        |df AS (SELECT DISTINCT f FROM feats),
-       |kr AS (
-       |  SELECT f, list_reduce(list_prepend(0::HUGEINT,
-       |    [CAST(('0x' || substring(hex(encode(f)), 2*i+1, 2)) AS INTEGER)::HUGEINT
-       |     FOR i IN range(length(hex(encode(f)))//2)]),
-       |    (acc, x) -> (acc * 31 + x) % $P) AS v
-       |  FROM df),
-       |mx1 AS (SELECT f, $xs AS v FROM kr),
-       |mx2 AS (SELECT f, ${mul(0xff51afd7ed558ccdL)} AS v FROM mx1),
-       |mx3 AS (SELECT f, $xs AS v FROM mx2),
-       |mx4 AS (SELECT f, ${mul(0xc4ceb9fe1a85ec53L)} AS v FROM mx3),
-       |fb AS (SELECT f, CAST(($xs) % 1024::HUGEINT AS BIGINT) AS b FROM mx4),
+       |${fmix64ChainSql("df", "f", Seq("f"), "mx")},
+       |fb AS (SELECT f, CAST(u % 1024::HUGEINT AS BIGINT) AS b FROM mx),
        |fe AS (SELECT doc_id, lang, b FROM feats JOIN fb USING (f)),
-       |raw AS (SELECT b, count(1) AS rc FROM fe GROUP BY b),
+       |base AS (SELECT doc_id, b, count(1) AS k FROM fe GROUP BY doc_id, b),
+       |raw AS (SELECT b, sum(k) AS rc FROM base GROUP BY b),
        |tgt AS (SELECT b, count(1) AS tc FROM fe WHERE lang = 'en' GROUP BY b),
        |tot AS (SELECT (SELECT sum(rc) FROM raw) AS traw,
        |               (SELECT sum(tc) FROM tgt) AS ttgt),
@@ -707,35 +690,19 @@ object LayerC {
        |    ln((CAST(rc AS DOUBLE) + 0.5) /
        |       (CAST(traw AS DOUBLE) + 0.5 * 1024)) AS lr
        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
-       |SELECT doc_id, round(sum(lr), 6) AS weight, count(1) AS n_feats
-       |FROM fe JOIN ratio USING (b)
+       |SELECT doc_id, round(sum(lr * CAST(k AS DOUBLE)), 6) AS weight,
+       |  CAST(sum(k) AS BIGINT) AS n_feats
+       |FROM base JOIN ratio USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private val simhashSql: String = {
-    val P = "18446744073709551616::HUGEINT"
-    def mul(k: Long): String = {
-      val hi = k >>> 32
-      val lo = k & 0xffffffffL
-      s"""((v * ${lo}::HUGEINT) % $P +
-         |      ((v * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $P""".stripMargin
-    }
-    val xs = "xor(v, v // 8589934592::HUGEINT)"
     s"""WITH wx AS (
        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
        |  FROM documents),
        |dw AS (SELECT DISTINCT w FROM wx),
-       |kr AS (
-       |  SELECT w, list_reduce(list_prepend(0::HUGEINT,
-       |    [CAST(('0x' || substring(hex(encode(w)), 2*i+1, 2)) AS INTEGER)::HUGEINT
-       |     FOR i IN range(length(hex(encode(w)))//2)]),
-       |    (acc, x) -> (acc * 31 + x) % $P) AS v
-       |  FROM dw),
-       |mx1 AS (SELECT w, $xs AS v FROM kr),
-       |mx2 AS (SELECT w, ${mul(0xff51afd7ed558ccdL)} AS v FROM mx1),
-       |mx3 AS (SELECT w, $xs AS v FROM mx2),
-       |mx4 AS (SELECT w, ${mul(0xc4ceb9fe1a85ec53L)} AS v FROM mx3),
-       |mx AS (SELECT w, $xs AS h FROM mx4),
+       |${fmix64ChainSql("dw", "w", Seq("w"), "mxh")},
+       |mx AS (SELECT w, u AS h FROM mxh),
        |dc AS (SELECT doc_id, w, count(1) AS n FROM wx GROUP BY doc_id, w),
        |bits AS (
        |  SELECT doc_id, i, sum(CASE WHEN (h // CAST(power(2, i) AS HUGEINT)) % 2 = 1
@@ -748,8 +715,7 @@ object LayerC {
        |                          ELSE 0::HUGEINT END) AS u
        |  FROM bits GROUP BY doc_id),
        |sig AS (
-       |  SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-       |                           THEN u - $P ELSE u END AS BIGINT) AS sig
+       |  SELECT doc_id, $signedU AS sig
        |  FROM us)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
