@@ -658,7 +658,7 @@ object LayerC {
 
   /** DuckDB replica of `Curation.dsirWeights` with the
     * `mix64 ∘ fingerprint64` feature hash: hashed unigram+bigram
-    * features (the [[simhashSql]] HUGEINT fold applied to DISTINCT
+    * features (the shared [[fmix64ChainSql]] chain applied to DISTINCT
     * features), bucket = unsigned value mod 1024 (== Spark's signed
     * `pmod` because 1024 divides 2⁶⁴), then the smoothed
     * target-vs-raw log-likelihood-ratio sum per document. */
