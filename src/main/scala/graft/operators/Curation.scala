@@ -147,15 +147,12 @@ object Curation {
     * defaults to xxhash64 (production); the oracle passes
     * `mix64 ∘ fingerprint64`, the engine-replicable hash (c3 pattern).
     *
-    * Scale shape: the corpus explodes ONCE into a per-(doc, bucket)
-    * count base (the c35/NB single-explode discipline); the raw bucket
-    * distribution derives from that aggregate — its exchange is
-    * syntactically shared with the scoring stream's, so ReuseExchange
-    * dedupes the corpus pass — and scoring weights each distinct
-    * (doc, bucket) row by its count. The target distribution is its
-    * own (typically far smaller) pass; both models are bounded by
-    * `buckets` rows; the log-ratio table broadcast-joins back; the
-    * only corpus-keyed shuffle is the base aggregation. */
+    * Scale shape: feature explosion is a narrow projection; both
+    * distributions are map-side-combined aggregations bounded by
+    * `buckets` rows; totals come off the model aggregates (never a
+    * second corpus scan); the log-ratio table (≤ `buckets` rows)
+    * broadcast-joins back to the per-document feature stream; the only
+    * corpus-keyed shuffle is the final per-document sum. */
   def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
                   textCol: String, buckets: Int = 1024, alpha: Double = 0.5,
                   featureHash: Column => Column = xxhash64(_)): DataFrame = {
@@ -173,10 +170,7 @@ object Curation {
     }
     def bucketed(df: DataFrame) = df.withColumn("_b",
       pmod(featureHash(col("_f")), lit(buckets.toLong))).drop("_f")
-    // the ONE corpus explode: per-(doc, bucket) feature counts
-    val base = bucketed(feats(corpus, col(idCol)))
-      .groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_k"))
-    val raw = base.groupBy("_b").agg(sum("_k").as("_rc"))
+    val raw = bucketed(feats(corpus)).groupBy("_b").agg(count(lit(1)).as("_rc"))
     val tgt = bucketed(feats(target)).groupBy("_b").agg(count(lit(1)).as("_tc"))
     val totals = raw.agg(sum("_rc").as("_traw"))
       .crossJoin(tgt.agg(sum("_tc").as("_ttgt")))
@@ -188,10 +182,9 @@ object Curation {
             (col("_ttgt").cast("double") + alpha * buckets)) -
           log((col("_rc").cast("double") + alpha) /
             (col("_traw").cast("double") + alpha * buckets))).as("_lr"))
-    base
+    bucketed(feats(corpus, col(idCol)))
       .join(broadcast(ratio), Seq("_b"))
       .groupBy(col(idCol))
-      .agg(round(sum(col("_lr") * col("_k").cast("double")), 6).as("weight"),
-        sum("_k").as("n_feats"))
+      .agg(round(sum("_lr"), 6).as("weight"), count(lit(1)).as("n_feats"))
   }
 }

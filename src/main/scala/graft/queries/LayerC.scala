@@ -678,8 +678,7 @@ object LayerC {
        |${fmix64ChainSql("df", "f", Seq("f"), "mx")},
        |fb AS (SELECT f, CAST(u % 1024::HUGEINT AS BIGINT) AS b FROM mx),
        |fe AS (SELECT doc_id, lang, b FROM feats JOIN fb USING (f)),
-       |base AS (SELECT doc_id, b, count(1) AS k FROM fe GROUP BY doc_id, b),
-       |raw AS (SELECT b, sum(k) AS rc FROM base GROUP BY b),
+       |raw AS (SELECT b, count(1) AS rc FROM fe GROUP BY b),
        |tgt AS (SELECT b, count(1) AS tc FROM fe WHERE lang = 'en' GROUP BY b),
        |tot AS (SELECT (SELECT sum(rc) FROM raw) AS traw,
        |               (SELECT sum(tc) FROM tgt) AS ttgt),
@@ -690,9 +689,8 @@ object LayerC {
        |    ln((CAST(rc AS DOUBLE) + 0.5) /
        |       (CAST(traw AS DOUBLE) + 0.5 * 1024)) AS lr
        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
-       |SELECT doc_id, round(sum(lr * CAST(k AS DOUBLE)), 6) AS weight,
-       |  CAST(sum(k) AS BIGINT) AS n_feats
-       |FROM base JOIN ratio USING (b)
+       |SELECT doc_id, round(sum(lr), 6) AS weight, count(1) AS n_feats
+       |FROM fe JOIN ratio USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
