@@ -142,6 +142,60 @@ object Relational5 {
         GROUP BY p_type ORDER BY p_type""")
     },
 
+    // schema-evolution union: unionByName(allowMissingColumns) aligns
+    // columns by NAME (not position) and null-fills columns one side
+    // lacks — the API for unioning snapshots whose schemas drifted
+    // (positional UNION would silently mis-bind or reject). DuckDB's
+    // UNION ALL BY NAME is the same semantics, so the statement shape
+    // is shared, not just the result.
+    "q80_union_by_name" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 480000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").as("price"))
+      // column order permuted AND price absent — both axes of drift
+      val lo = o.filter(col("o_totalprice") < 5000)
+        .select(col("o_orderpriority"), col("o_orderkey"))
+      hi.unionByName(lo, allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    },
+
+    // higher-order array functions (lambda tier): transform / filter /
+    // exists / forall / aggregate stay whole-stage-codegen'd — per-row
+    // array loops with NO explode, NO shuffle, NO UDF. The oracle
+    // replays the same per-document reductions relationally
+    // (unnest + GROUP BY), pinning that the lambda forms equal their
+    // first-order relational meaning.
+    "q81_higher_order" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          expr("aggregate(w, 0, (a, x) -> a + length(x))").as("total_chars"),
+          expr("size(filter(w, x -> length(x) > 4))").as("n_long"),
+          expr("exists(w, x -> x = 'data')").as("has_data"),
+          expr("forall(w, x -> length(x) > 0)").as("all_nonempty"),
+          expr("array_max(transform(w, x -> length(x)))").as("max_len"))
+        .orderBy("doc_id")
+    },
+
+    // correlated LATERAL subquery join (Spark 4 decorrelation): top-2
+    // customers per nation where the per-group LIMIT lives INSIDE the
+    // lateral subquery — the SQL-standard spelling of grouped top-k
+    // (q11/q22 are the window/aggregate spellings; this pins the
+    // decorrelated plan computes the same relation). DuckDB runs the
+    // identical statement.
+    "q82_lateral_topk" -> { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("nation_lat")
+      t(s, dir, "customer").createOrReplaceTempView("cust_lat")
+      s.sql("""
+        SELECT n_name, c_name, c_acctbal
+        FROM nation_lat, LATERAL (
+          SELECT c_name, c_acctbal FROM cust_lat
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2)
+        ORDER BY n_name, c_acctbal DESC, c_name""")
+    },
+
     // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
     // the declarative UDF tier — the body inlines into the plan as an
     // expression (stays in codegen; nothing crosses a JVM boundary),
@@ -228,6 +282,34 @@ object Relational5 {
         |FROM j
         |WHERE CAST(json_extract_string(js, '$.meta.k') AS INTEGER) > 95
         |ORDER BY event_id""".stripMargin,
+
+    "q80_union_by_name" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice AS price
+        |FROM orders WHERE o_totalprice > 480000
+        |UNION ALL BY NAME
+        |SELECT o_orderpriority, o_orderkey
+        |FROM orders WHERE o_totalprice < 5000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q81_higher_order" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS x
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(sum(len(x)) AS INTEGER) AS total_chars,
+        |  CAST(sum(CASE WHEN len(x) > 4 THEN 1 ELSE 0 END) AS INTEGER) AS n_long,
+        |  bool_or(x = 'data') AS has_data,
+        |  bool_and(len(x) > 0) AS all_nonempty,
+        |  CAST(max(len(x)) AS INTEGER) AS max_len
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q82_lateral_topk" ->
+      """SELECT n_name, c_name, c_acctbal
+        |FROM nation JOIN LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) ON true
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
 
     "q73_regr_stats" ->
       """SELECT l_returnflag,
