@@ -457,6 +457,19 @@ object LayerC {
         .orderBy(col("skey").desc, col("doc_id"))
     },
 
+    // Z-order (Morton) layout key over (value, user_id): exact min/max
+    // bounds pass → 16×16 bucket grid → bit-interleaved sort key. The
+    // operator also range-partitions + sorts on the key (the layout
+    // itself — partition-range disjointness pinned in PartitioningSpec);
+    // the oracle replays the bucket arithmetic and the unrolled
+    // interleave bit-exactly
+    "c50_zorder_layout" -> { (s, dir) =>
+      graft.operators.Layout.zorder(
+          graft.Tables.load(s, dir, "events"), "value", "user_id", bits = 4)
+        .select("event_id", "zx", "zy", "zorder")
+        .orderBy("event_id")
+    },
+
     // Naive Bayes classifier trained on the corpus's own lang labels,
     // applied back to the corpus (training-set fit) — selection by RAW
     // score (c5 pattern), output rounded
@@ -1247,6 +1260,28 @@ object LayerC {
     "c46_dsir_weights" -> dsirSql,
 
     "c49_weighted_sample" -> aresSql(7L, 100),
+
+    // bucket arithmetic replayed with the same association order as
+    // Layout.bucket — ((x - lo) * 16) / (hi - lo), floor, clamp — and
+    // the 4-bit Morton interleave unrolled to shift/mask/scale terms
+    "c50_zorder_layout" ->
+      """WITH b AS (
+        |  SELECT CAST(min(value) AS DOUBLE) AS xlo, CAST(max(value) AS DOUBLE) AS xhi,
+        |         CAST(min(user_id) AS DOUBLE) AS ylo, CAST(max(user_id) AS DOUBLE) AS yhi
+        |  FROM events),
+        |bk AS (
+        |  SELECT event_id,
+        |    CASE WHEN xhi <= xlo THEN 0 ELSE
+        |      least(greatest(CAST(floor((CAST(value AS DOUBLE) - xlo) * 16 / (xhi - xlo)) AS INTEGER), 0), 15) END AS zx,
+        |    CASE WHEN yhi <= ylo THEN 0 ELSE
+        |      least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - ylo) * 16 / (yhi - ylo)) AS INTEGER), 0), 15) END AS zy
+        |  FROM events CROSS JOIN b)
+        |SELECT event_id, zx, zy,
+        |  ((zx >> 0) & 1) * 1 + ((zy >> 0) & 1) * 2
+        |  + ((zx >> 1) & 1) * 4 + ((zy >> 1) & 1) * 8
+        |  + ((zx >> 2) & 1) * 16 + ((zy >> 2) & 1) * 32
+        |  + ((zx >> 3) & 1) * 64 + ((zy >> 3) & 1) * 128 AS zorder
+        |FROM bk ORDER BY event_id""".stripMargin,
 
     // chunk count mirrors ChunkUtil.chunks for (n=16, step=8):
     // ceil(greatest(len - 8, 8) / 8) starts at 0, 8, 16, …, final
