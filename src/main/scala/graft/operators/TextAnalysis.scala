@@ -279,6 +279,39 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Per-shard token-distribution drift: KL(P_shard ‖ P_corpus) of the
+    * unigram word distribution of each shard (source, dump, crawl
+    * snapshot, …) against the whole corpus — the monitoring statistic
+    * that catches a mis-crawled or template-polluted slice before it
+    * trains. KL is finite without smoothing because every shard's
+    * support is contained in the corpus support by construction.
+    *
+    * Scale shape: ONE corpus explode into a map-side-combined
+    * (shard, word) count; everything downstream derives from that
+    * aggregate — per-shard totals (model-sized, broadcast), global word
+    * counts (vocab-sized, equi-joined on the word key), and the scalar
+    * corpus total (1-row broadcast). The corpus is never re-scanned and
+    * never shuffled wider than (shard, word, count). */
+  def shardKlDrift(df: DataFrame, shardCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(shardCol).as("_shard"),
+        explode(split(lower(col(textCol)), "\\s+")).as("_w"))
+      .filter(col("_w") =!= "")
+    val sw = words.groupBy("_shard", "_w").agg(count(lit(1)).as("_n"))
+    val shardTot = sw.groupBy("_shard").agg(sum("_n").as("_tot"))
+    val global = sw.groupBy("_w").agg(sum("_n").as("_gn"))
+    val globalTot = global.agg(sum("_gn").as("_gtot"))
+    val ps = col("_n") / col("_tot")
+    val pg = col("_gn") / col("_gtot")
+    sw.join(broadcast(shardTot), "_shard")
+      .join(global, "_w")
+      .crossJoin(broadcast(globalTot))
+      .groupBy("_shard", "_tot")
+      .agg(round(sum(ps * log(ps / pg)), 6).as("kl"))
+      .select(col("_shard").as(shardCol), col("_tot").as("n_tokens"),
+        col("kl"))
+  }
+
   /** Per-document bigram language-model score with add-k smoothing:
     * ln((c(prev,cur) + k) / (c(prev) + k·V)) averaged over the
     * document's bigrams, where counts come from the corpus itself and V

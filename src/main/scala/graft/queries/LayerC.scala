@@ -470,6 +470,13 @@ object LayerC {
         .orderBy("event_id")
     },
 
+    // per-source unigram-distribution drift vs the whole corpus
+    // (KL divergence) — the shard-health monitoring statistic
+    "c51_shard_kl_drift" -> { (s, dir) =>
+      TextAnalysis.shardKlDrift(docs(s, dir), "source", "text")
+        .orderBy("source")
+    },
+
     // Naive Bayes classifier trained on the corpus's own lang labels,
     // applied back to the corpus (training-set fit) — selection by RAW
     // score (c5 pattern), output rounded
@@ -1260,6 +1267,24 @@ object LayerC {
     "c46_dsir_weights" -> dsirSql,
 
     "c49_weighted_sample" -> aresSql(7L, 100),
+
+    // same tokenization as c20/c22 (regex-split lowered text, empties
+    // dropped); the KL term mirrors Spark's association order
+    // (n/tot) * ln((n/tot) / (gn/gtot)) so the doubles agree bit-for-bit
+    // before the rounded sum
+    "c51_shard_kl_drift" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |sw AS (SELECT source, w, count(1) AS n FROM w WHERE w <> '' GROUP BY source, w),
+        |st AS (SELECT source, sum(n) AS tot FROM sw GROUP BY source),
+        |g  AS (SELECT w, sum(n) AS gn FROM sw GROUP BY w),
+        |gt AS (SELECT sum(gn) AS gtot FROM g)
+        |SELECT source, CAST(tot AS BIGINT) AS n_tokens,
+        |  round(sum((n / tot) * ln((n / tot) / (gn / gtot))), 6) AS kl
+        |FROM sw JOIN st USING (source) JOIN g USING (w) CROSS JOIN gt
+        |GROUP BY source, tot
+        |ORDER BY source""".stripMargin,
 
     // bucket arithmetic replayed with the same association order as
     // Layout.bucket — ((x - lo) * 16) / (hi - lo), floor, clamp — and

@@ -231,4 +231,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.chunkPassages(df, "doc_id", "text", 2, 3)
     }
   }
+
+  test("shardKlDrift: hand-computed KL against the pooled corpus") {
+    import spark.implicits._
+    // shard A: a a b  (P_A = a:2/3, b:1/3)   shard B: b c  (P_B = 1/2, 1/2)
+    // corpus: a:2 b:2 c:1, total 5 (P_g = a:2/5, b:2/5, c:1/5)
+    val df = Seq(("A", "a a b"), ("B", "b c")).toDF("source", "text")
+    val out = TextAnalysis.shardKlDrift(df, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val klA = 2.0 / 3 * math.log((2.0 / 3) / (2.0 / 5)) +
+      1.0 / 3 * math.log((1.0 / 3) / (2.0 / 5))
+    val klB = 1.0 / 2 * math.log((1.0 / 2) / (2.0 / 5)) +
+      1.0 / 2 * math.log((1.0 / 2) / (1.0 / 5))
+    assert(out("A")._1 == 3L && out("B")._1 == 2L)
+    assert(math.abs(out("A")._2 - klA) < 1e-6)
+    assert(math.abs(out("B")._2 - klB) < 1e-6)
+    // KL is non-negative, and a single-shard corpus has zero drift
+    out.values.foreach { case (_, kl) => assert(kl >= 0.0) }
+    val solo = TextAnalysis.shardKlDrift(
+      Seq(("A", "x y z x")).toDF("source", "text"), "source", "text")
+      .collect()
+    assert(solo.length == 1 && solo.head.getDouble(2) == 0.0)
+  }
 }
