@@ -584,6 +584,50 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** BM25 document ranking for a bag-of-terms query — the lexical
+    * retrieval baseline every RAG stack pairs with vector search.
+    * Okapi BM25 with the Lucene idf floor:
+    * idf = ln(1 + (N − df + 0.5) / (df + 0.5)) (always positive), and
+    * per-term weight idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * Selection is top-`k` docs by RAW summed score (ties → id asc);
+    * the output score is rounded to 6 dp.
+    *
+    * Scale shape: ONE corpus explode; document length `dl` and the
+    * query-term tf both aggregate map-side off it (tf is pre-filtered
+    * to the query terms — a broadcast-tiny IN list — BEFORE the
+    * shuffle, so the (doc, term) relation is query-sized, not
+    * vocab-sized). df re-aggregates that tiny relation; N/avgdl is a
+    * 1-row broadcast. Top-k is TakeOrderedAndProject — no global sort. */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tokens = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("_t"))
+      .filter(col("_t") =!= "")
+    val dl = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("_dl"))
+    // avgdl as exact-integer sum / count (not avg()) so the double is
+    // reproducible across engines regardless of accumulation order
+    val nAvg = dl.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sdl"))
+      .select(col("_n"),
+        (col("_sdl").cast("double") / col("_n").cast("double")).as("_avgdl"))
+    val tf = tokens.filter(col("_t").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val idf = log(lit(1.0) +
+      (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+    val w = idf * ((col("_tf") * lit(k1 + 1.0)) /
+      (col("_tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("_dl") / col("_avgdl")))))
+    tf.join(dl, idCol)
+      .join(broadcast(dfreq), "_t")
+      .crossJoin(broadcast(nAvg))
+      .groupBy(col(idCol))
+      .agg(sum(w).as("_raw"))
+      .orderBy(col("_raw").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("_raw"), 6).as("bm25"))
+  }
+
   /** Top-`k` keywords per document by TF-IDF: tf = in-document token
     * count, idf = ln(N / document-frequency), deterministic rank
     * (raw score desc, token asc). The classic keyword-extraction /

@@ -477,6 +477,15 @@ object LayerC {
         .orderBy("source")
     },
 
+    // BM25 lexical retrieval: top-20 documents for a 3-term query —
+    // the keyword-search half of hybrid (lexical + vector) RAG
+    // retrieval. Selection by RAW score (c5 pattern), output rounded.
+    "c52_bm25_rank" -> { (s, dir) =>
+      TextAnalysis.bm25Rank(docs(s, dir), "doc_id", "text",
+          Seq("vector", "hash", "stream"), k = 20)
+        .orderBy(desc("bm25"), asc("doc_id"))
+    },
+
     // Naive Bayes classifier trained on the corpus's own lang labels,
     // applied back to the corpus (training-set fit) — selection by RAW
     // score (c5 pattern), output rounded
@@ -1285,6 +1294,34 @@ object LayerC {
         |FROM sw JOIN st USING (source) JOIN g USING (w) CROSS JOIN gt
         |GROUP BY source, tot
         |ORDER BY source""".stripMargin,
+
+    // same tokenization as c30; Lucene-floor idf and the BM25 weight
+    // mirror Spark's association order term-for-term (2.2 == 1.2 + 1.0
+    // bit-exactly; 0.25/0.75/0.5 are exact binary fractions); avgdl is
+    // exact-integer sum/count on both engines. Selection by RAW summed
+    // score, presentation by the rounded value (the c5 pattern).
+    "c52_bm25_rank" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE t <> ''),
+        |dl AS (SELECT doc_id, count(1) AS dl FROM t2 GROUP BY doc_id),
+        |na AS (SELECT count(1) AS n,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avgdl
+        |       FROM dl),
+        |tf AS (SELECT doc_id, t, count(1) AS tf FROM t2
+        |       WHERE t IN ('vector', 'hash', 'stream') GROUP BY doc_id, t),
+        |df AS (SELECT t, count(1) AS dfreq FROM tf GROUP BY t),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5)) *
+        |        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))) AS raw
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (t) CROSS JOIN na
+        |  GROUP BY tf.doc_id),
+        |top AS (SELECT doc_id, raw FROM sc
+        |        ORDER BY raw DESC, doc_id ASC LIMIT 20)
+        |SELECT doc_id, round(raw, 6) AS bm25 FROM top
+        |ORDER BY bm25 DESC, doc_id ASC""".stripMargin,
 
     // bucket arithmetic replayed with the same association order as
     // Layout.bucket — ((x - lo) * 16) / (hi - lo), floor, clamp — and

@@ -232,6 +232,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25Rank: hand-computed Okapi scores, absent-term docs dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a c"),      // dl=4, tf(a)=2
+      (2L, "a a a a b b"),  // dl=6, tf(a)=4
+      (3L, "c c d"),        // dl=3, tf(d)=1
+      (4L, "e e e")         // no query term → absent from output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(df, "doc_id", "text", Seq("a", "d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val avgdl = 16.0 / 4
+    def w(tf: Long, dl: Long, n: Long, dfq: Long): Double =
+      math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5)) *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(out(1L) - w(2, 4, 4, 2)) < 1e-6)
+    assert(math.abs(out(2L) - w(4, 6, 4, 2)) < 1e-6)
+    assert(math.abs(out(3L) - w(1, 3, 4, 1)) < 1e-6)
+    // k truncates by raw score desc, id asc
+    val top1 = TextAnalysis.bm25Rank(df, "doc_id", "text", Seq("a", "d"), k = 1)
+      .collect()
+    assert(top1.length == 1 &&
+      top1.head.getLong(0) == out.maxBy { case (id, s) => (s, -id) }._1)
+  }
+
   test("shardKlDrift: hand-computed KL against the pooled corpus") {
     import spark.implicits._
     // shard A: a a b  (P_A = a:2/3, b:1/3)   shard B: b c  (P_B = 1/2, 1/2)
