@@ -79,6 +79,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Reciprocal Rank Fusion: combine N rankings of the same id space
+    * into one — the standard hybrid-retrieval combiner (lexical BM25 +
+    * vector kNN; Cormack et al., SIGIR 2009). Each list contributes
+    * 1/(kConst + rank) for the ids it ranked; ids missing from a list
+    * simply contribute nothing (no penalty term). Output: top-`topK`
+    * ids by fused score with the number of lists that voted
+    * (`n_lists`), score rounded to 6 dp, selection by RAW sum.
+    *
+    * Scale shape: the inputs are top-N rankings — model-sized by
+    * construction, not corpus-sized — so this is a union of tiny
+    * relations, one aggregation on the 8-byte id, and a
+    * TakeOrderedAndProject. With ≤2 lists per id the two-term double
+    * sum is order-independent (IEEE addition is commutative), so the
+    * fused score is deterministic regardless of task scheduling. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kConst: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(kConst.toDouble) + col(rankCol))).as("_c")))
+      .reduce(_.unionAll(_))
+    contribs.groupBy(col(idCol))
+      .agg(sum(col("_c")).as("_raw"), count(lit(1)).as("n_lists"))
+      .orderBy(col("_raw").desc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), round(col("_raw"), 6).as("rrf"), col("n_lists"))
+  }
+
   /** Deterministic gaussian hyperplanes: nBits × dim, seed-fixed. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

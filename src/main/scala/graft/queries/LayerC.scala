@@ -486,6 +486,24 @@ object LayerC {
         .orderBy(desc("bm25"), asc("doc_id"))
     },
 
+    // Reciprocal Rank Fusion of lexical (BM25 top-50) and vector
+    // (cosine kNN of doc 0, top-50) rankings — hybrid retrieval's
+    // standard combiner. The rank windows are over 50-row model-sized
+    // relations (declared exception to the no-global-window rule).
+    "c53_rrf_fusion" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25Rank(docs(s, dir), "doc_id", "text",
+          Seq("vector", "hash", "stream"), k = 50)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(desc("bm25"), asc("doc_id"))).as("rank"))
+      val e = embs(s, dir)
+      val vec = Similarity.bruteForceKnn(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", 50)
+        .select(col("nn_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), "doc_id", "rank")
+        .orderBy(desc("rrf"), asc("doc_id"))
+    },
+
     // Naive Bayes classifier trained on the corpus's own lang labels,
     // applied back to the corpus (training-set fit) — selection by RAW
     // score (c5 pattern), output rounded
@@ -1322,6 +1340,51 @@ object LayerC {
         |        ORDER BY raw DESC, doc_id ASC LIMIT 20)
         |SELECT doc_id, round(raw, 6) AS bm25 FROM top
         |ORDER BY bm25 DESC, doc_id ASC""".stripMargin,
+
+    // fuses the c52 BM25 ranking (k = 50) with the cosine-kNN ranking
+    // for query vector 0. Both rank windows order by the same keys as
+    // the Spark side (rounded bm25 / raw cosine, id tiebreak); the
+    // two-term 1/(60+rank) sum is IEEE-commutative so the fused double
+    // is engine-order-independent.
+    "c53_rrf_fusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE t <> ''),
+        |dl AS (SELECT doc_id, count(1) AS dl FROM t2 GROUP BY doc_id),
+        |na AS (SELECT count(1) AS n,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avgdl
+        |       FROM dl),
+        |tf AS (SELECT doc_id, t, count(1) AS tf FROM t2
+        |       WHERE t IN ('vector', 'hash', 'stream') GROUP BY doc_id, t),
+        |df AS (SELECT t, count(1) AS dfreq FROM tf GROUP BY t),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5)) *
+        |        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))) AS raw
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (t) CROSS JOIN na
+        |  GROUP BY tf.doc_id),
+        |lex AS (SELECT doc_id, round(raw, 6) AS bm25 FROM sc
+        |        ORDER BY raw DESC, doc_id ASC LIMIT 50),
+        |lexr AS (SELECT doc_id, CAST(row_number() OVER
+        |           (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank
+        |         FROM lex),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |knn AS (SELECT c.vec_id AS doc_id,
+        |          list_cosine_similarity(q.e, c.e) AS rc
+        |        FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id <> 0),
+        |vr AS (SELECT doc_id, CAST(row_number() OVER
+        |         (ORDER BY rc DESC, doc_id ASC) AS INTEGER) AS rank
+        |       FROM knn),
+        |vecr AS (SELECT doc_id, rank FROM vr WHERE rank <= 50),
+        |u AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM lexr
+        |      UNION ALL
+        |      SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM vecr),
+        |f AS (SELECT doc_id, sum(c) AS raw, count(1) AS n_lists
+        |      FROM u GROUP BY doc_id),
+        |top AS (SELECT * FROM f ORDER BY raw DESC, doc_id ASC LIMIT 20)
+        |SELECT doc_id, round(raw, 6) AS rrf, n_lists FROM top
+        |ORDER BY rrf DESC, doc_id ASC""".stripMargin,
 
     // bucket arithmetic replayed with the same association order as
     // Layout.bucket — ((x - lo) * 16) / (hi - lo), floor, clamp — and

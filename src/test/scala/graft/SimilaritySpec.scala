@@ -229,6 +229,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))  // 2 dropped as dup of 1; zero row survives
   }
 
+  test("rrfFuse: hand-computed fusion, one-list ids kept, topK cut") {
+    import org.apache.spark.sql.functions._
+    // list A ranks 10,11,12; list B ranks 11,10 — 10 and 11 fuse the
+    // same rank multiset {1,2} (equal scores → id-asc tie-break);
+    // 12 trails with a single vote
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((11L, 1), (10L, 2)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "id", "rank", kConst = 60)
+      .orderBy(desc("rrf"), asc("id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def s(ranks: Int*) = ranks.map(r => 1.0 / (60.0 + r)).sum
+    assert(out.map(_._1).toSeq == Seq(10L, 11L, 12L))
+    assert(math.abs(out(0)._2 - s(1, 2)) < 1e-6)
+    assert(math.abs(out(1)._2 - s(2, 1)) < 1e-6)
+    assert(math.abs(out(2)._2 - s(3)) < 1e-6)   // only list A voted
+    assert(out.map(_._3).toSeq == Seq(2L, 2L, 1L))
+    // topK truncates by fused score (tie → id asc keeps 10)
+    assert(Similarity.rrfFuse(Seq(a, b), "id", "rank", topK = 1)
+      .collect().head.getLong(0) == 10L)
+  }
+
   test("cosine of opposite vectors is -1") {
     import org.apache.spark.sql.functions._
     val df = vecs.filter($"vec_id".isin(1L, 4L))
