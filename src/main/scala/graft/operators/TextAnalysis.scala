@@ -584,6 +584,32 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Per-document Shannon entropy of the character distribution — the
+    * gibberish / binary-spill / encoding-mojibake detector: natural
+    * prose sits in a narrow entropy band, while base64 blobs, repeated
+    * padding, and truncated binary fall far above or below it. Written
+    * as Σ p·ln(1/p) = Σ (c/n)·ln(n/c), so every term is non-negative
+    * and no unary minus appears (one fewer cross-engine rewrite risk).
+    * Output: total chars, distinct chars, entropy (6 dp).
+    *
+    * Scale shape: one per-character explode into a map-side-combined
+    * (doc, char) count, one per-doc re-aggregation — embarrassingly
+    * parallel, no corpus-wide state at all. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df
+      .select(col(idCol), explode(split(col(textCol), "")).as("_ch"))
+      .filter(col("_ch") =!= "")
+    val cnt = chars.groupBy(col(idCol), col("_ch")).agg(count(lit(1)).as("_c"))
+    val tot = cnt.groupBy(col(idCol))
+      .agg(sum(col("_c")).as("_n"), count(lit(1)).as("n_distinct"))
+    cnt.join(tot, idCol)
+      .groupBy(col(idCol), col("_n"), col("n_distinct"))
+      .agg(round(sum((col("_c") / col("_n")) * log(col("_n") / col("_c"))), 6)
+        .as("entropy"))
+      .select(col(idCol), col("_n").as("n_chars"), col("n_distinct"),
+        col("entropy"))
+  }
+
   /** BM25 document ranking for a bag-of-terms query — the lexical
     * retrieval baseline every RAG stack pairs with vector search.
     * Okapi BM25 with the Lucene idf floor:

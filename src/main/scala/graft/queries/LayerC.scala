@@ -504,6 +504,13 @@ object LayerC {
         .orderBy(desc("rrf"), asc("doc_id"))
     },
 
+    // per-document character-distribution Shannon entropy — the
+    // gibberish / base64-blob / mojibake detector in the quality tier
+    "c54_char_entropy" -> { (s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Naive Bayes classifier trained on the corpus's own lang labels,
     // applied back to the corpus (training-set fit) — selection by RAW
     // score (c5 pattern), output rounded
@@ -1340,6 +1347,24 @@ object LayerC {
         |        ORDER BY raw DESC, doc_id ASC LIMIT 20)
         |SELECT doc_id, round(raw, 6) AS bm25 FROM top
         |ORDER BY bm25 DESC, doc_id ASC""".stripMargin,
+
+    // per-char split (both engines yield chars, no empties after the
+    // shared filter); entropy as sum((c/n)·ln(n/c)) — minus-free,
+    // term association mirrored; BIGINT/BIGINT division is true
+    // division on both engines
+    "c54_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |c2 AS (SELECT * FROM ch WHERE ch <> ''),
+        |cnt AS (SELECT doc_id, ch, count(1) AS c FROM c2 GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, sum(c) AS n, count(1) AS n_distinct
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars, n_distinct,
+        |  round(sum((c / n) * ln(n / c)), 6) AS entropy
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY doc_id, n, n_distinct
+        |ORDER BY doc_id""".stripMargin,
 
     // fuses the c52 BM25 ranking (k = 50) with the cosine-kNN ranking
     // for query vector 0. Both rank windows order by the same keys as

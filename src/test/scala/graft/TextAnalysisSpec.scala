@@ -257,6 +257,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       top1.head.getLong(0) == out.maxBy { case (id, s) => (s, -id) }._1)
   }
 
+  test("charEntropy: hand-computed entropy, uniform and degenerate cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaa"),   // degenerate: one symbol → H = 0
+      (2L, "abab"),   // uniform over 2 symbols → H = ln 2
+      (3L, "aab")     // 2/3, 1/3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 1L, 0.0)))
+    assert(out(2L)._1 == 4L && out(2L)._2 == 2L)
+    assert(math.abs(out(2L)._3 - math.log(2)) < 1e-6)
+    val h3 = 2.0 / 3 * math.log(3.0 / 2) + 1.0 / 3 * math.log(3.0)
+    assert(out(3L)._1 == 3L && out(3L)._2 == 2L)
+    assert(math.abs(out(3L)._3 - h3) < 1e-6)
+  }
+
   test("shardKlDrift: hand-computed KL against the pooled corpus") {
     import spark.implicits._
     // shard A: a a b  (P_A = a:2/3, b:1/3)   shard B: b c  (P_B = 1/2, 1/2)
