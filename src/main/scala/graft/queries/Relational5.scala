@@ -196,6 +196,44 @@ object Relational5 {
         ORDER BY n_name, c_acctbal DESC, c_name""")
     },
 
+    // IGNORE NULLS window fill: LOCF (last observation carried forward)
+    // and its backward twin — the time-series gap-fill every sensor /
+    // metrics pipeline runs. Nulls are planted deterministically
+    // (event_id % 5) so both engines fill the same gaps; q44's
+    // first/last windows do NOT exercise null-skipping — this is the
+    // ignore-nulls tier.
+    "q83_fill_forward" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("v",
+          when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("ffill", last(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("bfill", first(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .select("event_id", "user_id", "v", "ffill", "bfill")
+        .orderBy("event_id")
+    },
+
+    // SCD type-2 interval build: each per-customer order opens a
+    // validity interval closed by the next one (lead), the open
+    // interval marked current — the dimension-history pattern the
+    // reference's JDBC targets would hold as a versioned table.
+    "q84_scd2_intervals" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"),
+          col("o_orderpriority").as("prio"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+
     // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
     // the declarative UDF tier — the body inlines into the plan as an
     // expression (stays in codegen; nothing crosses a JVM boundary),
@@ -310,6 +348,30 @@ object Relational5 {
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) ON true
         |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
+
+    "q83_fill_forward" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id, v,
+        |  last_value(v IGNORE NULLS) OVER (wf
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+        |  first_value(v IGNORE NULLS) OVER (wf
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+        |FROM m
+        |WINDOW wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
+
+    "q84_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |  o_orderpriority AS prio,
+        |  lead(o_orderdate, 1) OVER w AS valid_to,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
 
     "q73_regr_stats" ->
       """SELECT l_returnflag,
