@@ -234,6 +234,46 @@ object Relational5 {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     },
 
+    // Ordered funnel analysis: view → click-after-view →
+    // purchase-after-click, each stage's timestamp strictly after the
+    // previous stage's — the product-analytics conversion query.
+    // Each stage is one filtered min-aggregation joined to the prior
+    // stage (no windows, no self-cross); output is the 3-row summary.
+    "q85_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      val stage = (n: Int, nm: String, d: DataFrame) =>
+        d.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("stage"), lit(nm).as("event"), col("n_users"))
+      stage(1, "view", v).unionAll(stage(2, "click", c))
+        .unionAll(stage(3, "purchase", p))
+        .orderBy("stage")
+    },
+
+    // Weekly cohort retention: users grouped by first-activity week,
+    // counted per (cohort, weeks-since-cohort) cell — the
+    // retention-matrix query. Week arithmetic stays on Monday-truncated
+    // dates so offsets are exact multiples of 7 days on both engines.
+    "q86_cohort_retention" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("int")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    },
+
     // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
     // the declarative UDF tier — the body inlines into the plan as an
     // expression (stays in codegen; nothing crosses a JVM boundary),
@@ -372,6 +412,37 @@ object Relational5 {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "q85_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |      GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS event, count(1) AS n_users FROM v
+        |UNION ALL
+        |SELECT 2 AS stage, 'click' AS event, count(1) AS n_users FROM c
+        |UNION ALL
+        |SELECT 3 AS stage, 'purchase' AS event, count(1) AS n_users FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "q86_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |co AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+        |SELECT cohort_wk,
+        |  CAST(datediff('day', cohort_wk, wk) / 7 AS INTEGER) AS week_offset,
+        |  count(1) AS n_users
+        |FROM a JOIN co USING (user_id)
+        |GROUP BY cohort_wk, week_offset
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
 
     "q73_regr_stats" ->
       """SELECT l_returnflag,
