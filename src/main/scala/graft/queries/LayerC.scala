@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
 
 /** Layer C — the LLM-training-data-pipeline operators (SURVEY.md §2.3):
   * dedup (exact / MinHash / SimHash / n-gram Jaccard), similarity search
@@ -509,6 +509,21 @@ object LayerC {
     "c54_char_entropy" -> { (s, dir) =>
       TextAnalysis.charEntropy(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // BFS hop distances from customer c1 over the bipartite
+    // customer–supplier trade graph (distinct (cust, supp) pairs from
+    // orders ⋈ lineitem) — graph traversal one rung above c23's
+    // connected components
+    "c55_bfs_hops" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      Graph.bfsHops(e, "src", "dst", "c1", maxHops = 3)
+        .orderBy("hops", "node")
     },
 
     // Naive Bayes classifier trained on the corpus's own lang labels,
@@ -1365,6 +1380,24 @@ object LayerC {
         |FROM cnt JOIN tot USING (doc_id)
         |GROUP BY doc_id, n, n_distinct
         |ORDER BY doc_id""".stripMargin,
+
+    // the recursive CTE re-walks every path but min(hop) collapses to
+    // the same first-reach levels BFS assigns; the hop < 3 guard bounds
+    // the recursion to the Spark side's maxHops
+    "c55_bfs_hops" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |bfs AS (
+        |  SELECT 'c1' AS node, 0 AS hop
+        |  UNION ALL
+        |  SELECT und.b AS node, bfs.hop + 1 AS hop
+        |  FROM bfs JOIN und ON und.a = bfs.node
+        |  WHERE bfs.hop < 3)
+        |SELECT node, CAST(min(hop) AS INTEGER) AS hops
+        |FROM bfs GROUP BY node
+        |ORDER BY hops, node""".stripMargin,
 
     // fuses the c52 BM25 ranking (k = 50) with the cosine-kNN ranking
     // for query vector 0. Both rank windows order by the same keys as
