@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Profiling
 
 /** Round-4/5 SQL-surface additions: bitwise/boolean aggregates, the
   * linear-regression aggregate family, fuzzy matching, recursive CTEs,
@@ -274,6 +275,17 @@ object Relational5 {
         .orderBy("cohort_wk", "week_offset")
     },
 
+    // one-pass per-column table profile (null rate / cardinality /
+    // range) — the source-onboarding data-quality check. Double
+    // columns are excluded from the oracle-checked profile because
+    // engines render doubles differently; their stats live in q41.
+    "q87_profile" -> { (s, dir) =>
+      Profiling.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"))
+        .orderBy("col_name")
+    },
+
     // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
     // the declarative UDF tier — the body inlines into the plan as an
     // expression (stays in codegen; nothing crosses a JVM boundary),
@@ -430,6 +442,37 @@ object Relational5 {
         |UNION ALL
         |SELECT 3 AS stage, 'purchase' AS event, count(1) AS n_users FROM p
         |ORDER BY stage""".stripMargin,
+
+    "q87_profile" ->
+      """SELECT 'o_custkey' AS col_name, count(1) AS n_rows,
+        |  count(1) - count(o_custkey) AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(1), count(1) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate),
+        |  CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', count(1), count(1) - count(o_orderkey),
+        |  count(DISTINCT o_orderkey),
+        |  CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(1), count(1) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR),
+        |  CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(1), count(1) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR),
+        |  CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
 
     "q86_cohort_retention" ->
       """WITH a AS (
