@@ -187,4 +187,51 @@ object Curation {
       .groupBy(col(idCol))
       .agg(round(sum("_lr"), 6).as("weight"), count(lit(1)).as("n_feats"))
   }
+
+  /** Greedy token-budget selection: keep the highest-`qualityCol`
+    * documents, in (quality desc, id asc) order, until `budget` tokens
+    * are taken — a document is kept iff the tokens of all
+    * strictly-better documents total < budget (so the budget-crossing
+    * document is included, then selection stops). The final
+    * corpus-assembly step after scoring: "best N tokens", not
+    * "best N documents".
+    *
+    * Scale shape: the naive form is one GLOBAL running-sum window —
+    * a single-task sort at 100 TB. Instead: bucket quality into
+    * `nBins` ranges over its exact min/max (bucketing is monotone, so
+    * (bin desc, quality desc, id) IS the global order), aggregate
+    * per-bin token totals (nBins rows), prefix-sum those on a
+    * broadcast-sized relation, and run the running sum as a window
+    * partitioned BY BIN — every partition is corpus/nBins sized,
+    * nothing global. Raise nBins until the largest bin fits a task. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokenCol: String,
+                        qualityCol: String, budget: Long,
+                        nBins: Int = 16): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val bounds = df.agg(min(col(qualityCol)).cast("double").as("_qlo"),
+      max(col(qualityCol)).cast("double").as("_qhi"))
+    val binned = df.crossJoin(broadcast(bounds))
+      .withColumn("_bin",
+        when(col("_qhi") <= col("_qlo"), lit(0)).otherwise(
+          least(greatest(floor((col(qualityCol) - col("_qlo")) * nBins /
+            (col("_qhi") - col("_qlo"))).cast("int"), lit(0)),
+            lit(nBins - 1))))
+      .drop("_qlo", "_qhi")
+    val wBins = Window.orderBy(col("_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // nBins rows — the only "global" window is over this broadcast-sized
+    // relation, never the corpus
+    val binPrefix = binned.groupBy("_bin")
+      .agg(sum(col(tokenCol)).as("_bt"))
+      .withColumn("_above", coalesce(sum(col("_bt")).over(wBins), lit(0L)))
+      .select("_bin", "_above")
+    val wRow = Window.partitionBy("_bin")
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned.join(broadcast(binPrefix), "_bin")
+      .withColumn("tokens_before",
+        col("_above") + coalesce(sum(col(tokenCol)).over(wRow), lit(0L)))
+      .filter(col("tokens_before") < budget)
+      .drop("_bin", "_above")
+  }
 }

@@ -526,6 +526,23 @@ object LayerC {
         .orderBy("hops", "node")
     },
 
+    // greedy token-budget selection: best-quality docs (type-token
+    // ratio) until 25k tokens — the "best N tokens" corpus-assembly
+    // cut. tokens_before is strictly increasing along the selection
+    // order, so it doubles as the presentation key.
+    "c56_token_budget" -> { (s, dir) =>
+      val base = docs(s, dir)
+        .withColumn("_w", split(lower(col("text")), "\\s+"))
+        .select(col("doc_id"),
+          size(col("_w")).cast("long").as("n_tokens"),
+          (size(array_distinct(col("_w"))) / size(col("_w"))).as("ttr"))
+      graft.operators.Curation
+        .tokenBudgetSelect(base, "doc_id", "n_tokens", "ttr", budget = 25000L)
+        .select(col("doc_id"), col("n_tokens"), round(col("ttr"), 6).as("ttr"),
+          col("tokens_before"))
+        .orderBy("tokens_before")
+    },
+
     // Naive Bayes classifier trained on the corpus's own lang labels,
     // applied back to the corpus (training-set fit) — selection by RAW
     // score (c5 pattern), output rounded
@@ -1380,6 +1397,29 @@ object LayerC {
         |FROM cnt JOIN tot USING (doc_id)
         |GROUP BY doc_id, n, n_distinct
         |ORDER BY doc_id""".stripMargin,
+
+    // the oracle states the SAME selection rule as one global running
+    // sum (the semantics the binned implementation refines): keep while
+    // the strictly-better prefix is under budget. c24's split/list
+    // machinery pins the word-array parity.
+    "c56_token_budget" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    len(list_distinct(string_split_regex(lower(text), '\s+'))) /
+        |      len(string_split_regex(lower(text), '\s+')) AS ttr
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens, ttr,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY ttr DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tokens_before
+        |  FROM base)
+        |SELECT doc_id, n_tokens, round(ttr, 6) AS ttr,
+        |  CAST(tokens_before AS BIGINT) AS tokens_before
+        |FROM r WHERE tokens_before < 25000
+        |ORDER BY tokens_before""".stripMargin,
 
     // the recursive CTE re-walks every path but min(hop) collapses to
     // the same first-reach levels BFS assigns; the hop < 3 guard bounds

@@ -337,4 +337,51 @@ class CurationSpec extends AnyFunSuite {
       Curation.dsirWeights(d, d, "doc_id", "text", buckets = 1000)
     }
   }
+
+  test("tokenBudgetSelect: greedy by quality, crossing doc kept, then stop") {
+    import spark.implicits._
+    // quality order: d1 (0.9, 100 tok), d2 (0.8, 100), d3 (0.7, 100), ...
+    val df = Seq(
+      (1L, 100L, 0.9), (2L, 100L, 0.8), (3L, 100L, 0.7), (4L, 100L, 0.6)
+    ).toDF("doc_id", "n_tokens", "q")
+    // budget 250: d1 (before=0), d2 (before=100), d3 (before=200 < 250,
+    // crosses) kept; d4 (before=300) dropped
+    val out = Curation.tokenBudgetSelect(df, "doc_id", "n_tokens", "q", 250L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("tokens_before")).toMap
+    assert(out == Map(1L -> 0L, 2L -> 100L, 3L -> 200L))
+  }
+
+  test("tokenBudgetSelect: binned selection equals the global running sum") {
+    import spark.implicits._
+    // 200 docs, adversarial ties in quality, varying token counts
+    val df = (1L to 200L)
+      .map(i => (i, 10L + i % 7, (i % 13).toDouble / 13.0))
+      .toDF("doc_id", "n_tokens", "q")
+    for (bins <- Seq(2, 4, 16)) {
+      val got = Curation
+        .tokenBudgetSelect(df, "doc_id", "n_tokens", "q", 1000L, nBins = bins)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("tokens_before")).toMap
+      // reference: plain in-memory greedy scan in (q desc, id asc) order
+      var acc = 0L
+      val want = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, _, q) => (-q, id) }
+        .flatMap { case (id, tok, _) =>
+          val before = acc; acc += tok
+          if (before < 1000L) Some(id -> before) else None
+        }.toMap
+      assert(got == want, s"nBins=$bins diverged from the global rule")
+    }
+  }
+
+  test("tokenBudgetSelect: constant quality degenerates to id order") {
+    import spark.implicits._
+    val df = Seq((3L, 5L, 1.0), (1L, 5L, 1.0), (2L, 5L, 1.0))
+      .toDF("doc_id", "n_tokens", "q")
+    val out = Curation.tokenBudgetSelect(df, "doc_id", "n_tokens", "q", 10L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(1L, 2L))
+  }
 }
