@@ -49,4 +49,58 @@ object Graph {
     }
     visited
   }
+
+  /** PageRank by bounded power iteration: `iters` rounds of
+    * PR'(v) = (1-d)/N + d * Σ_{u→v} PR(u)/outdeg(u), starting from the
+    * uniform 1/N vector. With `undirected = true` the edge list is
+    * symmetrized first, which guarantees every node has an out-edge —
+    * no dangling mass exists, so the classic formula above is exact and
+    * total rank stays 1 every round. Returns (node, rank) for EVERY
+    * node; `rank` is mean-normalized (multiplied by N, so 1.0 = the
+    * uniform score) — callers compare importance ratios, and the O(1)
+    * scale keeps downstream rounding meaningful at any graph size.
+    *
+    * Scale shape: the contribution relation (src, dst, 1/outdeg) is
+    * built ONCE (one aggregation + one join) and localCheckpoint'ed;
+    * each iteration is then a single equi-join of the rank vector
+    * (node-sized, not edge-sized) against it plus one map-side-combined
+    * sum by dst — the canonical BSP step, shuffle keyed on the node id.
+    * Nothing is collected to the driver; the loop is a bounded `iters`
+    * (the [[bfsHops]] / dupClusters precedent), each rank vector
+    * localCheckpoint'ed so lineage stays flat. Node count N is computed
+    * once and folded in as a literal. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85,
+               undirected: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"unreasonable iters $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val raw = edges
+      .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
+    val dir = (if (undirected)
+      raw.unionAll(raw.select(col("b").as("a"), col("a").as("b"))) else raw)
+      .distinct()
+    val nodes = dir.select(col("a").as("node"))
+      .unionAll(dir.select(col("b").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    // (a, b, w = 1/outdeg(a)): the per-edge share of a's rank
+    val contrib = dir
+      .join(dir.groupBy("a").agg(count(lit(1)).as("_deg")), "a")
+      .select(col("a"), col("b"), (lit(1.0) / col("_deg")).as("w"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = contrib
+        .join(ranks, contrib("a") === ranks("node"))
+        .groupBy(col("b").as("node"))
+        .agg(sum(col("rank") * col("w")).as("_in"))
+      // left join keeps isolated / in-edge-free nodes at pure teleport
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("_in"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), (col("rank") * n).as("rank"))
+  }
 }

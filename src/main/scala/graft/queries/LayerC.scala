@@ -543,6 +543,21 @@ object LayerC {
         .orderBy("tokens_before")
     },
 
+    // PageRank over the symmetrized customer–supplier trade graph —
+    // importance by recursive connectivity, the weighting rung above
+    // c55's reachability. Mean-normalized (1.0 = uniform) so rounding
+    // stays meaningful at any N; every node emitted, no float-ranked cut.
+    "c57_pagerank" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      Graph.pageRank(e, "src", "dst", iters = 5)
+        .select(col("node"), round(col("rank"), 6).as("pr"))
+        .orderBy("node")
+    },
+
     // Naive Bayes classifier trained on the corpus's own lang labels,
     // applied back to the corpus (training-set fit) — selection by RAW
     // score (c5 pattern), output rounded
@@ -880,6 +895,38 @@ object LayerC {
        |  CAST(sum(nsym) AS BIGINT) AS n_symbols
        |FROM docw JOIN vs USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unrolled PageRank oracle (the bpeChainSql precedent): r0 is the
+    * uniform vector, each r_i one join+sum step of the same formula the
+    * Spark loop runs. Float literals are cast to DOUBLE so DuckDB does
+    * IEEE arithmetic, not DECIMAL; the round(6) on the O(1) scaled
+    * output absorbs summation-order ulps on both engines. */
+  private def pageRankSql(iters: Int, damping: Double = 0.85): String = {
+    val d = s"CAST($damping AS DOUBLE)"
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node,
+         |    (1 - $d)/nn.n + $d * coalesce(s.i, 0) AS pr
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT c.b AS node, sum(r.pr * c.w) AS i
+         |    FROM c JOIN r${i - 1} r ON c.a = r.node GROUP BY c.b) s
+         |  ON s.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |nodes AS (SELECT DISTINCT a AS node FROM und),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |deg AS (SELECT a, count(*) AS dg FROM und GROUP BY a),
+       |c AS (SELECT und.a, und.b, CAST(1.0 AS DOUBLE)/deg.dg AS w
+       |      FROM und JOIN deg USING (a)),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE)/nn.n AS pr
+       |       FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT r$iters.node, round(r$iters.pr * nn.n, 6) AS pr
+       |FROM r$iters CROSS JOIN nn ORDER BY node""".stripMargin
   }
 
   private val ngramJaccardSql =
@@ -1420,6 +1467,10 @@ object LayerC {
         |  CAST(tokens_before AS BIGINT) AS tokens_before
         |FROM r WHERE tokens_before < 25000
         |ORDER BY tokens_before""".stripMargin,
+
+    // unrolled power iteration — r0..r5 CTEs state the identical
+    // join+sum step the Spark loop runs (see pageRankSql)
+    "c57_pagerank" -> pageRankSql(5),
 
     // the recursive CTE re-walks every path but min(hop) collapses to
     // the same first-reach levels BFS assigns; the hop < 3 guard bounds

@@ -36,4 +36,35 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(out == Map("zzz" -> 0))
   }
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+    df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("pageRank: undirected star, two hand-computed iterations") {
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("src", "dst")
+    // N=4, d=0.85, r0=0.25 each; r1(h)=0.0375+0.85*0.75=0.675,
+    // r1(l)=0.0375+0.85*(0.25/3); r2(h)=0.0375+0.85*3*r1(l)=0.31375,
+    // r2(l)=0.0375+0.85*(0.675/3)=0.22875; mean-normalized *4
+    val out = ranksOf(Graph.pageRank(star, "src", "dst", iters = 2))
+    assert(math.abs(out("h") - 1.255) < 1e-9)
+    for (l <- Seq("l1", "l2", "l3")) assert(math.abs(out(l) - 0.915) < 1e-9)
+  }
+
+  test("pageRank: symmetric pair is uniform; total mass is conserved") {
+    val out = ranksOf(Graph.pageRank(Seq(("a", "b")).toDF("src", "dst"),
+      "src", "dst", iters = 5))
+    assert(out.values.forall(v => math.abs(v - 1.0) < 1e-12))
+    // undirected ⇒ no dangling mass: mean-normalized ranks sum to N
+    val big = ranksOf(Graph.pageRank(edges, "src", "dst", iters = 5))
+    assert(math.abs(big.values.sum - big.size) < 1e-9)
+  }
+
+  test("pageRank: directed mode keeps edge direction (dangling sink)") {
+    // a -> b only: b never sends rank back; after 1 iter
+    // r1(a)=0.075 (pure teleport), r1(b)=0.075+0.85*0.5=0.5; *2
+    val out = ranksOf(Graph.pageRank(Seq(("a", "b")).toDF("src", "dst"),
+      "src", "dst", iters = 1, undirected = false))
+    assert(math.abs(out("a") - 0.15) < 1e-12)
+    assert(math.abs(out("b") - 1.0) < 1e-12)
+  }
 }
