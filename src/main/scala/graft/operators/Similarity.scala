@@ -79,6 +79,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor in
+    * `queries`, the top-`k` corpus neighbors whose exact cosine lies in
+    * [lo, hi) — close enough to be informative negatives, strictly
+    * below the near-duplicate band (≥ hi) that marks positives, above
+    * the uninformative floor (< lo). This is the pair miner behind
+    * DPR/SimCSE-style embedding training batches.
+    *
+    * Scale shape: identical to [[bruteForceKnn]] (broadcast corpus,
+    * one per-pair scoring pass, per-anchor rank window over the
+    * band-filtered — hence small — candidate set). The band is a
+    * per-pair predicate on the exact cosine, so it composes unchanged
+    * over any candidate tier ([[annKnn]]/[[ivfKnn]]) when the corpus
+    * outgrows a broadcast. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, s"empty band [$lo, $hi)")
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neg_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val q = queries.select(col(idCol).as("anchor_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cosine"), asc("neg_id"))
+    q.join(broadcast(c), col("anchor_id") =!= col("neg_id"))
+      .select(col("anchor_id"), col("neg_id"),
+        cosineOrNull(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Reciprocal Rank Fusion: combine N rankings of the same id space
     * into one — the standard hybrid-retrieval combiner (lexical BM25 +
     * vector kNN; Cormack et al., SIGIR 2009). Each list contributes

@@ -77,6 +77,19 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
+    // hard-negative mining: per anchor, top-5 neighbors inside the
+    // cosine band [0.1, 0.35) — informative negatives for contrastive
+    // training, with the near-dup band above 0.35 excluded as positives
+    // (the fixture's anchor cosines top out at ~0.39, so both cut-offs
+    // bite). Selection by RAW cosine (c5 pattern), output rounded.
+    "c58_hard_negatives" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, lo = 0.1, hi = 0.35)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("anchor_id", "rank")
+    },
+
     // approximate top-20 pairs via SRP-LSH buckets (scale path of c5).
     // Run at EXHAUSTIVE parameters — 48 tables × 4 pinned bits reach
     // total recall on the near-orthogonal fixture (deterministic:
@@ -1151,6 +1164,24 @@ object LayerC {
     "c5_cosine_topk" -> oracleC5,
 
     "c6_knn" -> knnOracleSql,
+
+    // knnOracleSql with the hard-negative band predicate on the RAW
+    // cosine — both engines compute the same sequential dot/norm
+    // doubles, so the band compares identical values
+    "c58_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS anchor_id, c.vec_id AS neg_id,
+        |    list_cosine_similarity(q.e, c.e) AS raw_cos
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT anchor_id, neg_id, raw_cos,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY raw_cos DESC, neg_id ASC) AS INTEGER) AS rank
+        |  FROM s WHERE raw_cos >= 0.1 AND raw_cos < 0.35)
+        |SELECT anchor_id, neg_id, round(raw_cos, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY anchor_id, rank""".stripMargin,
 
     "c24_repetition" ->
       """WITH w AS (

@@ -286,6 +286,58 @@ object Relational5 {
         .orderBy("col_name")
     },
 
+    // Last-touch marketing attribution: each purchase's value goes to
+    // the most recent strictly-prior NON-purchase event of the same
+    // user within a 7-day lookback, else 'direct' — q83's IGNORE NULLS
+    // carry-forward made conditional (nulled purchase rows are skipped
+    // by the window, so purchases never attribute to each other).
+    // One user-keyed window + one small grouped rollup; no self-join.
+    "q88_attribution" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val touchTs = when(col("event_type") =!= "purchase", col("ts"))
+      t(s, dir, "events")
+        .withColumn("touch_type", last(touch, ignoreNulls = true).over(w))
+        .withColumn("touch_ts", last(touchTs, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("touch_ts").isNull ||
+              col("touch_ts") < col("ts") - expr("INTERVAL 7 DAYS"),
+            lit("direct")).otherwise(col("touch_type")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 4).as("revenue"))
+        .orderBy("channel")
+    },
+
+    // Robust outlier detection: per-group median + MAD (median absolute
+    // deviation), rows beyond 3·MAD counted — the robust tier above
+    // q41's mean/stddev moments, which a single spike can drag. Two
+    // grouped exact medians + broadcast joins of the group-count-sized
+    // stats back to the data; both engines interpolate even-N medians
+    // identically so the 3·MAD threshold compares the same doubles.
+    "q89_mad_outliers" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .join(med, "event_type").join(mad, "event_type")
+        .select(col("event_type"), col("n"), col("n_outliers"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+        .orderBy("event_type")
+    },
+
     // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
     // the declarative UDF tier — the body inlines into the plan as an
     // expression (stays in codegen; nothing crosses a JVM boundary),
@@ -473,6 +525,41 @@ object Relational5 {
         |  CAST(max(o_orderstatus) AS VARCHAR)
         |FROM orders
         |ORDER BY col_name""".stripMargin,
+
+    "q88_attribution" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN ts END IGNORE NULLS)
+        |      OVER w AS touch_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_ts IS NULL OR touch_ts < ts - INTERVAL 7 DAY
+        |            THEN 'direct' ELSE touch_type END AS channel,
+        |  count(1) AS n_purchases, round(sum(value), 4) AS revenue
+        |FROM m WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q89_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1),
+        |s AS (
+        |  SELECT d.event_type, count(1) AS n,
+        |    CAST(sum(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_outliers
+        |  FROM d JOIN mad USING (event_type) GROUP BY d.event_type)
+        |SELECT s.event_type, s.n, s.n_outliers,
+        |  round(med.med, 6) AS med, round(mad.mad, 6) AS mad
+        |FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q86_cohort_retention" ->
       """WITH a AS (

@@ -250,6 +250,31 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().head.getLong(0) == 10L)
   }
 
+  test("hardNegatives: band excludes positives and floor, ranks within band") {
+    // anchor (1,0); corpus cosines = first component: dup 1.0 and 0.9
+    // are positives (>= hi), -0.3 is below the floor, 0.5/0.2 are the
+    // band's hard negatives in that order
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0)), (11L, Seq(0.9, math.sqrt(1 - 0.81))),
+      (12L, Seq(0.5, math.sqrt(0.75))), (13L, Seq(0.2, math.sqrt(0.96))),
+      (14L, Seq(-0.3, math.sqrt(0.91)))
+    ).toDF("vec_id", "embedding")
+    val anchors = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(corpus, anchors, "vec_id", "embedding",
+        k = 5, lo = 0.0, hi = 0.8)
+      .collect().map(r => (r.getAs[Long]("neg_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("cosine")))
+    assert(out.map(t => t._1 -> t._2).toSeq == Seq(12L -> 1, 13L -> 2))
+    assert(math.abs(out(0)._3 - 0.5) < 1e-9 && math.abs(out(1)._3 - 0.2) < 1e-9)
+    // k cuts the band, highest-cosine negatives first
+    val k1 = Similarity.hardNegatives(corpus, anchors, "vec_id", "embedding",
+      k = 1, lo = 0.0, hi = 0.8).collect()
+    assert(k1.map(_.getAs[Long]("neg_id")).toSeq == Seq(12L))
+    assertThrows[IllegalArgumentException] {
+      Similarity.hardNegatives(corpus, anchors, "vec_id", "embedding", 5, 0.5, 0.5)
+    }
+  }
+
   test("cosine of opposite vectors is -1") {
     import org.apache.spark.sql.functions._
     val df = vecs.filter($"vec_id".isin(1L, 4L))
