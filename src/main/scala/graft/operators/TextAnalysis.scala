@@ -746,4 +746,30 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
+
+  /** N-gram novelty: per document, the fraction of its distinct word
+    * `n`-grams that no EARLIER document (smaller `idCol`) contains —
+    * the marginal-content score a crawl-ordered ingest uses to measure
+    * what each document actually adds beyond near-copies of what came
+    * before. A verbatim duplicate scores 0; fully fresh text scores 1.
+    * Output: (id, n_shingles, n_novel, novelty), docs with no n-gram
+    * (< n words) absent — same convention as the c4 shingle family.
+    *
+    * Scale shape: ONE explode of the corpus into distinct-per-doc
+    * shingles ([[Dedup.shingles]] dedups inside the codegen
+    * expression), a min-id aggregation per shingle (map-side combined),
+    * and an equi-join back on the shingle key — no pairwise
+    * comparisons, no windows; cost is corpus-shingle-sized, the same
+    * shape c20's vocabulary build already carries. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(graft.operators.Dedup.shingles(col(textCol), shingleN)).as("_s"))
+    val firstSeen = sh.groupBy("_s").agg(min(col(idCol)).as("_first"))
+    sh.join(firstSeen, "_s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel") / col("n_shingles"))
+  }
 }

@@ -90,6 +90,15 @@ object LayerC {
         .orderBy("anchor_id", "rank")
     },
 
+    // n-gram novelty: per doc, fraction of its distinct trigrams no
+    // earlier doc contains — the marginal-content score of crawl-order
+    // ingest (dup ⇒ 0, fresh ⇒ 1). One explode + min-id agg + join.
+    "c59_ngram_novelty" -> { (s, dir) =>
+      TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text", shingleN = 3)
+        .withColumn("novelty", round(col("novelty"), 6))
+        .orderBy("doc_id")
+    },
+
     // approximate top-20 pairs via SRP-LSH buckets (scale path of c5).
     // Run at EXHAUSTIVE parameters — 48 tables × 4 pinned bits reach
     // total recall on the near-orthogonal fixture (deterministic:
@@ -1164,6 +1173,20 @@ object LayerC {
     "c5_cosine_topk" -> oracleC5,
 
     "c6_knn" -> knnOracleSql,
+
+    // c4's shingle CTE (exact trigram parity) + min-doc first-seen —
+    // the same relations the Spark explode/agg/join builds
+    "c59_ngram_novelty" ->
+      s"""WITH $shingleCteSql,
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
+         |SELECT ex.doc_id, count(1) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(1), 6) AS novelty
+         |FROM ex JOIN f USING (g)
+         |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin,
 
     // knnOracleSql with the hard-negative band predicate on the RAW
     // cosine — both engines compute the same sequential dot/norm

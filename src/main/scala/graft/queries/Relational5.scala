@@ -338,6 +338,34 @@ object Relational5 {
         .orderBy("event_type")
     },
 
+    // Welch two-sample t-test between event cohorts — the A/B
+    // experiment readout (unequal variances, so Welch not Student).
+    // One grouped pass for (n, mean, var) then closed-form t and
+    // Welch–Satterthwaite df on the 1×1 joined stats; rounding absorbs
+    // the engines' different streaming-variance summation orders
+    // (the q41 precedent).
+    "q90_ab_ttest" -> { (s, dir) =>
+      val ag = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"), avg("value").as("m"),
+          var_samp("value").as("v"))
+      val a = ag.filter(col("event_type") === "click")
+        .select(col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+      val b = ag.filter(col("event_type") === "view")
+        .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+      a.crossJoin(b)
+        .withColumn("se2", col("va") / col("na") + col("vb") / col("nb"))
+        .select(col("na").cast("long").as("n_click"),
+          col("nb").cast("long").as("n_view"),
+          round(col("ma"), 6).as("mean_click"),
+          round(col("mb"), 6).as("mean_view"),
+          round((col("ma") - col("mb")) / sqrt(col("se2")), 6).as("t_stat"),
+          round(pow(col("se2"), 2) /
+            (pow(col("va") / col("na"), 2) / (col("na") - 1) +
+             pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 4).as("welch_df"))
+    },
+
     // SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN):
     // the declarative UDF tier — the body inlines into the plan as an
     // expression (stays in codegen; nothing crosses a JVM boundary),
@@ -560,6 +588,23 @@ object Relational5 {
         |  round(med.med, 6) AS med, round(mad.mad, 6) AS mad
         |FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "q90_ab_ttest" ->
+      """WITH ag AS (
+        |  SELECT event_type, CAST(count(1) AS DOUBLE) AS n,
+        |    avg(value) AS m, var_samp(value) AS v
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |a AS (SELECT n AS na, m AS ma, v AS va FROM ag
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT n AS nb, m AS mb, v AS vb FROM ag
+        |      WHERE event_type = 'view'),
+        |j AS (SELECT *, va/na + vb/nb AS se2 FROM a CROSS JOIN b)
+        |SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view,
+        |  round(ma, 6) AS mean_click, round(mb, 6) AS mean_view,
+        |  round((ma - mb)/sqrt(se2), 6) AS t_stat,
+        |  round(pow(se2, 2) / (pow(va/na, 2)/(na - 1) +
+        |        pow(vb/nb, 2)/(nb - 1)), 4) AS welch_df
+        |FROM j""".stripMargin,
 
     "q86_cohort_retention" ->
       """WITH a AS (

@@ -296,4 +296,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect()
     assert(solo.length == 1 && solo.head.getDouble(2) == 0.0)
   }
+
+  test("ngramNovelty: dup scores 0, fresh 1, partial overlap its fraction") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),       // {a b c, b c d} — both first here: 1.0
+      (2L, "a b c d"),       // verbatim dup of 1: 0.0
+      (3L, "a b c x y z"),   // {a b c}(seen) + 3 fresh of 4: 0.75
+      (4L, "hi there")       // < 3 words ⇒ one truncated shingle, fresh
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(d, "doc_id", "text", shingleN = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((4L, 3L, 0.75)))
+    assert(out(4L) == ((1L, 1L, 1.0)))
+  }
 }
