@@ -757,19 +757,25 @@ object TextAnalysis {
     *
     * Scale shape: ONE explode of the corpus into distinct-per-doc
     * shingles ([[Dedup.shingles]] dedups inside the codegen
-    * expression), a min-id aggregation per shingle (map-side combined),
-    * and an equi-join back on the shingle key — no pairwise
-    * comparisons, no windows; cost is corpus-shingle-sized, the same
-    * shape c20's vocabulary build already carries. */
+    * expression), then two independent map-side-combined aggregations
+    * of it — per-doc shingle counts, and min-id per shingle re-rolled
+    * into per-doc novel counts — joined on the 8-byte doc id. The
+    * shingle STRING is never a join key (a shingle's min-id aggregation
+    * fully absorbs it), so no corpus-shingle-sized string-keyed join
+    * exists at any size; cost is c20's vocabulary shape. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3): DataFrame = {
     val sh = df.select(col(idCol),
       explode(graft.operators.Dedup.shingles(col(textCol), shingleN)).as("_s"))
-    val firstSeen = sh.groupBy("_s").agg(min(col(idCol)).as("_first"))
-    sh.join(firstSeen, "_s")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("_first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    val perDoc = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    // a shingle is novel exactly for the doc holding its min id — so
+    // novel-per-doc is an aggregation OF the first-seen aggregation,
+    // and the shingle text never needs to travel back to the corpus
+    val novel = sh.groupBy("_s").agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_novel"))
+    perDoc.join(novel, Seq(idCol), "left")
+      .withColumn("n_novel", coalesce(col("_novel"), lit(0L))).drop("_novel")
       .withColumn("novelty", col("n_novel") / col("n_shingles"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"), col("novelty"))
   }
 }

@@ -113,4 +113,21 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$n never broadcasts its model relation:\n$p")
     }
   }
+
+  test("ngram novelty never joins on the shingle string (c59)") {
+    // the min-id aggregation must absorb the shingle text; the only
+    // join is the doc-keyed stitch of two doc-sized aggregates
+    val p = plan("c59_ngram_novelty")
+    assert(!"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[_s".r
+      .findFirstIn(p).isDefined, s"c59 joins on the shingle string:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"c59 aggregations are not map-side combined:\n$p")
+  }
+
+  test("hard negatives broadcast the corpus, one scoring pass (c58)") {
+    val p = plan("c58_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"c58 never broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"c58 sort-merges:\n$p")
+  }
 }
