@@ -69,4 +69,44 @@ object Layout {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     z.repartitionByRange(parts, col("zorder")).sortWithinPartitions("zorder")
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes`-sized files — the lake-maintenance pass that
+    * keeps a 100 TB table from drowning its scans in per-file open
+    * cost and its driver in listing metadata. The output file count is
+    * ceil(input bytes / target), computed from the ACTUAL file listing
+    * (metadata-scale work), not guessed.
+    *
+    * Scale shape: with no `sortCols`, the rewrite is a `coalesce` —
+    * merging partitions moves NO data between executors (no shuffle;
+    * each output task reads a set of input files and streams them
+    * out); file sizes then mirror the merged inputs, which is the
+    * right trade for pure compaction. With `sortCols`, the rewrite is
+    * a range-partition + in-partition sort (one shuffle) so the
+    * compacted files also carry narrow min/max stats on the sort key —
+    * compaction and re-clustering in a single pass ([[zorder]] is the
+    * 2-D version). Returns a 1-row summary (files/bytes before,
+    * files target). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     inDir: String, outDir: String,
+                     targetFileBytes: Long = 128L << 20,
+                     sortCols: Seq[String] = Nil): DataFrame = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.coalesce(nOut)
+    out.write.mode("overwrite").parquet(outDir)
+    import spark.implicits._
+    Seq((files.length.toLong, totalBytes, nOut.toLong))
+      .toDF("files_before", "bytes_before", "files_target")
+  }
 }

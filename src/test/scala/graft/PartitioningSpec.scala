@@ -91,4 +91,50 @@ class PartitioningSpec extends AnyFunSuite {
       .select("event_id", "zx", "zy", "zorder").collect().toSet
     assert(a == b)
   }
+
+  test("compactParquet: many small files merge to the computed target, no row lost") {
+    import graft.operators.Layout
+    val base = Files.createTempDirectory("compact").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val src = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    src.repartition(24).write.parquet(in)
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val nIn = parquetFiles(in).length
+    assert(nIn == 24)
+    val bytes = parquetFiles(in).map(_.length).sum
+    val target = bytes / 3  // expect ceil(3.x) = 3 or 4 output files
+    val summary = Layout.compactParquet(spark, in, out, target).collect().head
+    assert(summary.getAs[Long]("files_before") == nIn.toLong)
+    assert(summary.getAs[Long]("bytes_before") == bytes)
+    val expect = math.ceil(bytes.toDouble / target).toLong
+    assert(summary.getAs[Long]("files_target") == expect)
+    // coalesce yields exactly the target count when inputs >= target
+    assert(parquetFiles(out).length.toLong == expect)
+    assert(spark.read.parquet(out).collect().toSet == src.collect().toSet)
+  }
+
+  test("compactParquet with sortCols: compacted files carry disjoint key ranges") {
+    import graft.operators.Layout
+    val base = Files.createTempDirectory("compactsort").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+      .repartition(16).write.parquet(in)
+    val bytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    Layout.compactParquet(spark, in, out, bytes / 2, sortCols = Seq("o_orderkey"))
+    // per-file [min,max] of the sort key must not overlap across files
+    val ranges = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("o_orderkey"), max("o_orderkey")).collect().head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"file ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+  }
 }
