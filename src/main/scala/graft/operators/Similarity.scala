@@ -109,6 +109,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Inter-domain similarity matrix: the per-`groupCol` embedding
+    * centroid (element-wise mean), then the cosine between every
+    * centroid pair — the domain map a mixture planner reads to decide
+    * which sources overlap (near-parallel centroids ⇒ redundant
+    * domains) and which add diversity. Output: (group_a, group_b,
+    * cosine) for group_a < group_b.
+    *
+    * Scale shape: ONE posexplode of the corpus into (group, dim,
+    * value) — corpus×dim rows but map-side-combined immediately into
+    * the (groups × dim)-sized mean relation; centroid assembly sorts
+    * the DIM-sized struct array per group, and the pairwise cosine
+    * runs on the group-count-sized relation (model-sized by
+    * construction, like [[rrfFuse]]'s inputs). The corpus itself is
+    * touched exactly once. */
+  def centroidSimilarity(df: DataFrame, groupCol: String,
+                         vecCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("_g"),
+      posexplode(col(vecCol).cast("array<double>")))
+    val cent = v.groupBy(col("_g"), col("pos")).agg(avg(col("col")).as("_m"))
+      .groupBy(col("_g"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("_m")))).as("_sm"))
+      .select(col("_g"), expr("transform(_sm, s -> s._m)").as("_mv"))
+      .withColumn("_n", l2norm(col("_mv")))
+    val a = cent.select(col("_g").as("group_a"), col("_mv").as("va"), col("_n").as("na"))
+    val b = cent.select(col("_g").as("group_b"), col("_mv").as("vb"), col("_n").as("nb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        cosineOrNull(dot(col("va"), col("vb")), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+  }
+
   /** Reciprocal Rank Fusion: combine N rankings of the same id space
     * into one — the standard hybrid-retrieval combiner (lexical BM25 +
     * vector kNN; Cormack et al., SIGIR 2009). Each list contributes

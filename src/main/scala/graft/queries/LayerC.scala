@@ -90,6 +90,16 @@ object LayerC {
         .orderBy("anchor_id", "rank")
     },
 
+    // inter-domain similarity matrix: per-label embedding centroid,
+    // cosine between every centroid pair — the domain-overlap map a
+    // mixture planner reads. 45 pairs from 10 labels; corpus touched
+    // once (posexplode → map-side-combined means).
+    "c60_domain_similarity" -> { (s, dir) =>
+      Similarity.centroidSimilarity(embs(s, dir), "label", "embedding")
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("group_a", "group_b")
+    },
+
     // n-gram novelty: per doc, fraction of its distinct trigrams no
     // earlier doc contains — the marginal-content score of crawl-order
     // ingest (dup ⇒ 0, fresh ⇒ 1). One explode + min-id agg + join.
@@ -1173,6 +1183,21 @@ object LayerC {
     "c5_cosine_topk" -> oracleC5,
 
     "c6_knn" -> knnOracleSql,
+
+    // per-dim means via a 1..64 dim relation (e[dim] is 1-indexed in
+    // DuckDB, posexplode 0-indexed in Spark — each engine's assembly is
+    // internally consistent); round(6) absorbs mean-summation order
+    "c60_domain_similarity" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+        |d AS (SELECT unnest(range(1, 65)) AS dim),
+        |cm AS (SELECT label, dim, avg(e[dim]) AS m
+        |       FROM v CROSS JOIN d GROUP BY 1, 2),
+        |cent AS (SELECT label, list(m ORDER BY dim) AS mv FROM cm
+        |         GROUP BY label)
+        |SELECT a.label AS group_a, b.label AS group_b,
+        |  round(list_cosine_similarity(a.mv, b.mv), 6) AS cosine
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY group_a, group_b""".stripMargin,
 
     // c4's shingle CTE (exact trigram parity) + min-doc first-seen —
     // the same relations the Spark explode/agg/join builds

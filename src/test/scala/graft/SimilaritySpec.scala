@@ -275,6 +275,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("centroidSimilarity: hand-computed centroid cosines, a<b pairs only") {
+    val df = Seq(
+      ("A", Seq(1.0, 0.0)), ("A", Seq(1.0, 0.0)),   // centroid (1, 0)
+      ("B", Seq(0.0, 1.0)), ("B", Seq(0.0, 2.0)),   // centroid (0, 1.5)
+      ("C", Seq(1.0, 1.0)), ("C", Seq(1.0, 1.0))    // centroid (1, 1)
+    ).toDF("label", "embedding")
+    val out = Similarity.centroidSimilarity(df, "label", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("cosine"))
+      .toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(math.abs(out(("A", "B"))) < 1e-12)
+    assert(math.abs(out(("A", "C")) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(out(("B", "C")) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
   test("cosine of opposite vectors is -1") {
     import org.apache.spark.sql.functions._
     val df = vecs.filter($"vec_id".isin(1L, 4L))
