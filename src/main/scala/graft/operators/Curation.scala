@@ -90,6 +90,30 @@ object Curation {
     parted.sortWithinPartitions(col("shuffle_key"), col(idCol))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: shard =
+    * argmax over s ∈ [0, nShards) of mix64(fingerprint64("seed:s:id"))
+    * — consistent hashing without a ring. The property `id % n` lacks:
+    * growing to n+1 shards either keeps a row's shard or moves it to
+    * the NEW shard (every per-shard hash is unchanged; only the added
+    * candidate can win), so a reshard relocates ~1/(n+1) of the data
+    * instead of nearly all of it.
+    *
+    * Scale shape: a pure projection — the nShards hashes and their
+    * argmax (array_max over (hash, shard) structs, signed-long compare,
+    * shard id as deterministic tie-break) all run inside whole-stage
+    * codegen; no shuffle, no explode, no state. */
+  def rendezvousShard(id: Column, nShards: Int, seed: Long): Column = {
+    require(nShards >= 1 && nShards <= 4096, s"unreasonable nShards $nShards")
+    val entries = (0 until nShards).map { sh =>
+      struct(
+        graft.functions.TextFunctions.mix64(graft.functions.TextFunctions
+          .fingerprint64(concat(lit(s"$seed:$sh:"), id.cast("string"))))
+          .as("h"),
+        lit(sh).as("shard"))
+    }
+    array_max(array(entries: _*)).getField("shard")
+  }
+
   /** Curriculum interleave: order training examples so quality deciles
     * are consumed round-robin (position r of decile 1, then r of decile
     * 2, …) — every context-window-sized slice of the stream sees the

@@ -90,6 +90,16 @@ object LayerC {
         .orderBy("anchor_id", "rank")
     },
 
+    // rendezvous (HRW) shard assignment: argmax-of-hash consistent
+    // sharding — growing the shard count relocates only ~1/(n+1) of
+    // rows, vs nearly all under id % n. Pure codegen projection.
+    "c61_rendezvous_shards" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.operators.Curation.rendezvousShard(col("doc_id"), nShards = 4,
+          seed = 7).as("shard"))
+        .orderBy("doc_id")
+    },
+
     // inter-domain similarity matrix: per-label embedding centroid,
     // cosine between every centroid pair — the domain-overlap map a
     // mixture planner reads. 45 pairs from 10 labels; corpus touched
@@ -765,6 +775,25 @@ object LayerC {
        |SELECT doc_id, $signedU AS shuffle_key
        |FROM mx ORDER BY shuffle_key, doc_id""".stripMargin
 
+  /** DuckDB replica of `Curation.rendezvousShard`: the per-(doc, shard)
+    * key "seed:s:id" through the shared [[fmix64ChainSql]], signed
+    * compare (how Spark's struct max orders the hash field), shard id
+    * as tie-break. */
+  private def rendezvousSql(seed: Long, nShards: Int): String =
+    s"""WITH ks AS (
+       |  SELECT doc_id, s,
+       |    '$seed:' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS kk
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(range(0, $nShards)) AS s)),
+       |${fmix64ChainSql("ks", "kk", Seq("doc_id", "s"), "mx")},
+       |r AS (
+       |  SELECT doc_id, s,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY $signedU DESC, s ASC) AS rn
+       |  FROM mx)
+       |SELECT doc_id, CAST(s AS INTEGER) AS shard
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** DuckDB replica of `Sampling.weightedSample` (Efraimidis–Spirakis
     * A-Res): the [[detShuffleSql]] HUGEINT fold + fmix64 chain yields
     * the signed 64-bit hash, `u = hash/2⁶⁴ + 0.5` reproduces Spark's
@@ -1183,6 +1212,8 @@ object LayerC {
     "c5_cosine_topk" -> oracleC5,
 
     "c6_knn" -> knnOracleSql,
+
+    "c61_rendezvous_shards" -> rendezvousSql(7, 4),
 
     // per-dim means via a 1..64 dim relation (e[dim] is 1-indexed in
     // DuckDB, posexplode 0-indexed in Spark — each engine's assembly is

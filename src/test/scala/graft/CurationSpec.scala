@@ -376,6 +376,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("rendezvousShard: adding a shard only moves rows TO the new shard") {
+    import spark.implicits._
+    val ids = (1L to 1000L).toDF("id")
+    val both = ids.select(col("id"),
+      Curation.rendezvousShard(col("id"), 4, seed = 7).as("s4"),
+      Curation.rendezvousShard(col("id"), 5, seed = 7).as("s5"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    // the defining rendezvous property: a row keeps its shard unless
+    // the NEW shard's hash wins — no lateral moves between old shards
+    assert(both.forall { case (a, b) => b == a || b == 4 })
+    val moved = both.count { case (a, b) => b != a }.toDouble / both.length
+    assert(moved > 0.1 && moved < 0.35, s"moved fraction $moved not ~1/5")
+    // balance: each of the 4 shards holds a reasonable share
+    val byShard = both.groupBy(_._1).view.mapValues(_.length)
+    assert(byShard.size == 4 && byShard.values.forall(n => n > 150 && n < 350))
+    // seed changes the assignment
+    val other = ids.select(Curation.rendezvousShard(col("id"), 4, seed = 8).as("s"))
+      .collect().map(_.getInt(0))
+    assert(other.toSeq != both.map(_._1).toSeq)
+  }
+
   test("tokenBudgetSelect: constant quality degenerates to id order") {
     import spark.implicits._
     val df = Seq((3L, 5L, 1.0), (1L, 5L, 1.0), (2L, 5L, 1.0))
