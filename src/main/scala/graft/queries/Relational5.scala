@@ -338,6 +338,27 @@ object Relational5 {
         .orderBy("event_type")
     },
 
+    // Explicit NULLS FIRST / NULLS LAST ordering: Spark defaults nulls
+    // FIRST on ASC, DuckDB defaults nulls LAST — this query pins the
+    // explicit forms on planted nulls where the defaults would diverge.
+    // Both segments are TakeOrderedAndProject (no global sort survives
+    // the limit); selection is what proves the placement: ASC NULLS
+    // FIRST admits only nulls into its top-10, DESC NULLS LAST none.
+    "q91_nulls_ordering" -> { (s, dir) =>
+      val m = t(s, dir, "events").select(col("event_id"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
+          .as("v"))
+      val nf = m.orderBy(col("v").asc_nulls_first, col("event_id").asc)
+        .limit(10)
+        .select(lit("asc_nulls_first").as("mode"), col("event_id"),
+          round(col("v"), 6).as("v"))
+      val nl = m.orderBy(col("v").desc_nulls_last, col("event_id").asc)
+        .limit(10)
+        .select(lit("desc_nulls_last").as("mode"), col("event_id"),
+          round(col("v"), 6).as("v"))
+      nf.unionAll(nl).orderBy("mode", "event_id")
+    },
+
     // Welch two-sample t-test between event cohorts — the A/B
     // experiment readout (unequal variances, so Welch not Student).
     // One grouped pass for (n, mean, var) then closed-form t and
@@ -588,6 +609,20 @@ object Relational5 {
         |  round(med.med, 6) AS med, round(mad.mad, 6) AS mad
         |FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "q91_nulls_ordering" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |nf AS (
+        |  SELECT 'asc_nulls_first' AS mode, event_id, round(v, 6) AS v
+        |  FROM m ORDER BY v ASC NULLS FIRST, event_id LIMIT 10),
+        |nl AS (
+        |  SELECT 'desc_nulls_last' AS mode, event_id, round(v, 6) AS v
+        |  FROM m ORDER BY v DESC NULLS LAST, event_id LIMIT 10)
+        |SELECT * FROM nf UNION ALL SELECT * FROM nl
+        |ORDER BY mode, event_id""".stripMargin,
 
     "q90_ab_ttest" ->
       """WITH ag AS (

@@ -168,4 +168,24 @@ class EtlSpec extends AnyFunSuite {
     assert(readBack.count() == 13421)
     assert(readBack.columns.forall(c => c == c.toUpperCase))
   }
+
+  test("Dataset.observe: accounting metrics ride the write, no second pass") {
+    // the reference's row accounting (EtlRunner parity) as Spark-native
+    // observed metrics: aggregates accumulate DURING the action instead
+    // of re-scanning the source for a count
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation("etl_metrics")
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val expected = src.count()
+    src.observe(obs, count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice")).as("total"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_filled"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_rows") == expected)
+    assert(m("n_filled").asInstanceOf[Long] > 0L
+      && m("n_filled").asInstanceOf[Long] < expected)
+    assert(m("total").asInstanceOf[Double] > 0.0)
+  }
 }
