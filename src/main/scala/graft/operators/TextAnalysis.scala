@@ -747,6 +747,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Source-overlap matrix: pairwise Jaccard similarity of the DISTINCT
+    * word-`n`-gram sets of each `groupCol` (source/shard) — the lexical
+    * twin of [[Similarity.centroidSimilarity]]'s embedding view, and
+    * the corpus-governance readout that flags two "different" crawls
+    * sharing most of their text. Output: (group_a, group_b, n_common,
+    * jaccard) for group_a < group_b.
+    *
+    * Scale shape: distinct (group, shingle) pairs, then per-shingle
+    * SORTED GROUP SETS (bounded by the group count, not the corpus)
+    * expanded to ordered pairs inside a codegen transform — the
+    * quadratic term is per-shingle C(groups, 2), never a
+    * corpus-shingle-keyed self-join; pair counts and group sizes are
+    * map-side-combined aggregations joined on the group-count-sized
+    * relation. */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+                    shingleN: Int = 3): DataFrame = {
+    val ss = df.select(col(groupCol).as("_g"),
+      explode(graft.operators.Dedup.shingles(col(textCol), shingleN)).as("_s"))
+      .distinct()
+    val sizes = ss.groupBy("_g").agg(count(lit(1)).as("_n"))
+    val pairs = ss.groupBy("_s")
+      .agg(sort_array(collect_set(col("_g"))).as("_gs"))
+      .select(explode(expr(
+        """flatten(transform(_gs, (x, i) ->
+          |  transform(slice(_gs, i + 2, size(_gs)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("_p"))
+      .groupBy(col("_p.a").as("group_a"), col("_p.b").as("group_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("_g").as("group_a"), col("_n").as("_na")), "group_a")
+      .join(sizes.select(col("_g").as("group_b"), col("_n").as("_nb")), "group_b")
+      .select(col("group_a"), col("group_b"), col("n_common"),
+        (col("n_common") / (col("_na") + col("_nb") - col("n_common")))
+          .as("jaccard"))
+  }
+
   /** N-gram novelty: per document, the fraction of its distinct word
     * `n`-grams that no EARLIER document (smaller `idCol`) contains —
     * the marginal-content score a crawl-ordered ingest uses to measure

@@ -90,6 +90,15 @@ object LayerC {
         .orderBy("anchor_id", "rank")
     },
 
+    // source-overlap matrix: pairwise trigram-set Jaccard between
+    // sources — the lexical twin of c60's embedding domain map; flags
+    // crawls that share most of their text. 190 pairs from 20 sources.
+    "c62_source_overlap" -> { (s, dir) =>
+      TextAnalysis.sourceOverlap(docs(s, dir), "source", "text", shingleN = 3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("group_a", "group_b")
+    },
+
     // rendezvous (HRW) shard assignment: argmax-of-hash consistent
     // sharding — growing the shard count relocates only ~1/(n+1) of
     // rows, vs nearly all under id % n. Pure codegen projection.
@@ -1214,6 +1223,28 @@ object LayerC {
     "c6_knn" -> knnOracleSql,
 
     "c61_rendezvous_shards" -> rendezvousSql(7, 4),
+
+    // c4's shingle CTE joined to sources; the oracle may self-join on
+    // the shingle (DuckDB, small data) — the Spark side expands bounded
+    // per-shingle source sets instead, same result
+    "c62_source_overlap" ->
+      s"""WITH $shingleCteSql,
+         |ssx AS (
+         |  SELECT d.source AS g, unnest(sh.s) AS sgl
+         |  FROM sh JOIN documents d USING (doc_id)),
+         |ss AS (SELECT DISTINCT g, sgl FROM ssx),
+         |sizes AS (SELECT g, count(1) AS n FROM ss GROUP BY g),
+         |pairs AS (
+         |  SELECT a.g AS source_a, b.g AS source_b, count(1) AS n_common
+         |  FROM ss a JOIN ss b ON a.sgl = b.sgl AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT p.source_a AS group_a, p.source_b AS group_b, p.n_common,
+         |  round(CAST(p.n_common AS DOUBLE) /
+         |        (sa.n + sb.n - p.n_common), 6) AS jaccard
+         |FROM pairs p
+         |JOIN sizes sa ON sa.g = p.source_a
+         |JOIN sizes sb ON sb.g = p.source_b
+         |ORDER BY group_a, group_b""".stripMargin,
 
     // per-dim means via a 1..64 dim relation (e[dim] is 1-indexed in
     // DuckDB, posexplode 0-indexed in Spark — each engine's assembly is

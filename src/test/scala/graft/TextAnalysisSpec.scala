@@ -297,6 +297,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(solo.length == 1 && solo.head.getDouble(2) == 0.0)
   }
 
+  test("sourceOverlap: per-source union of shingles, hand-computed Jaccard") {
+    import spark.implicits._
+    val d = Seq(
+      ("A", "w1 w2 w3 w4"),  // A: {w1 w2 w3, w2 w3 w4}
+      ("A", "w1 w2 w3"),     // dup shingle within A — counted once
+      ("B", "w2 w3 w4 w5"),  // B: {w2 w3 w4, w3 w4 w5}
+      ("C", "x y z")         // C: disjoint from both
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceOverlap(d, "source", "text", shingleN = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))))
+      .toMap
+    // only the overlapping pair appears; |A|=2, |B|=2, common=1 → 1/3
+    assert(out.keySet == Set(("A", "B")))
+    assert(out(("A", "B"))._1 == 1L)
+    assert(math.abs(out(("A", "B"))._2 - 1.0 / 3.0) < 1e-12)
+  }
+
   test("ngramNovelty: dup scores 0, fresh 1, partial overlap its fraction") {
     import spark.implicits._
     val d = Seq(
