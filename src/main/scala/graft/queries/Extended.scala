@@ -80,6 +80,15 @@ object Extended {
       Streams.runToCompletion(s, deduped, "s10_dedup_wm").orderBy("event_type")
     },
 
+    // stream-stream LEFT SEMI join: clicks that converted within 1 h,
+    // each emitted once on first match — no watermark-cutoff term in
+    // the oracle (matched rows emit immediately; see clickPurchaseSemiJoin)
+    "s11_stream_semi_join" -> { (s, dir) =>
+      Streams.runToCompletionAppend(s,
+          Streams.clickPurchaseSemiJoin(Streams.eventStream(s, dir)), "s11_semi")
+        .orderBy("user_id", "click_id")
+    },
+
     // watermarked stream-stream inner join (clicks ⋈ purchases within
     // 1 h, same user) — real Structured Streaming, equal to the batch
     // self-join oracle on bounded input
@@ -213,6 +222,16 @@ object Extended {
       """SELECT c_mktsegment, count(1) AS n
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // semi = DISTINCT matched left rows; no cutoff term (unlike s8) —
+    // matched rows emit on arrival, unmatched rows never emit
+    "s11_stream_semi_join" ->
+      """SELECT DISTINCT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2""".stripMargin,
 
     "s5_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

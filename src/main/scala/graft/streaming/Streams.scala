@@ -132,6 +132,32 @@ object Streams {
               col("click_ts"), col("purchase_ts"))
   }
 
+  /** Watermarked stream-stream LEFT SEMI join: clicks that led to a
+    * purchase within 1 h, emitted ONCE on first match — the
+    * "did-it-convert" filter without duplicating a click per purchase.
+    * Same state bounds as the inner [[clickPurchaseJoin]] (click state
+    * evicts at click_ts + 1 h past watermark); matched rows emit
+    * immediately, so unlike the left-outer twin no result waits on the
+    * watermark — the batch equivalence is exactly DISTINCT matched
+    * clicks with no cutoff term. */
+  def clickPurchaseSemiJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_semi")
+  }
+
   /** Replayed verification runs execute several tiny micro-batches into
     * a memory sink; their wall time is per-batch HARNESS overhead, not
     * plan cost, and it scales with the shuffle partition count (each

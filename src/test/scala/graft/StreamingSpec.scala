@@ -126,6 +126,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("semi stream join equals batch distinct-matched clicks, once each") {
+    val ev = Tables.load(spark, dir, "events")
+      .select("ts", "user_id", "event_id", "event_type")
+    val streamed = Streams.runToCompletionAppend(spark,
+      Streams.clickPurchaseSemiJoin(Streams.eventStream(spark, dir)),
+      "t_semi")
+      .orderBy("user_id", "click_id").collect()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_semi")
+      .orderBy("user_id", "click_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+    // once each: a click with several purchases in-window must not repeat
+    val ids = streamed.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("left-outer stream join: null rows emit only past the watermark horizon") {
     import java.nio.file.Files
     import java.sql.Timestamp
