@@ -429,6 +429,89 @@ object Multimodal {
       }(enc)
   }
 
+  /** Average-hash (aHash) perceptual fingerprint: area-average the luma
+    * onto an 8×8 grid, set bit `cy*8+cx` iff that cell's luma exceeds
+    * the grid mean. Re-encodes and format changes of the same pixels
+    * land within a few hamming bits; unrelated images average ~32 —
+    * the standard first-tier image-dedup signature (pHash's cheaper
+    * sibling; same banding machinery as text SimHash applies). */
+  def averageHash(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](64)
+    val counts = new Array[Int](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        sums(cy * 8 + cx) += 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        counts(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0; var mean = 0.0
+    while (i < 64) {
+      sums(i) = if (counts(i) > 0) sums(i) / counts(i) else 0.0
+      mean += sums(i); i += 1
+    }
+    mean /= 64
+    var hash = 0L; i = 0
+    while (i < 64) { if (sums(i) > mean) hash |= (1L << i); i += 1 }
+    hash
+  }
+
+  /** (doc_id, ahash) for every decodable image payload — the iterator
+    * `mapPartitions` decode (the declared exception), hash math above. */
+  def imageHashes(withBinary: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary
+      .filter(col("meta.mime").startsWith("image/"))
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]]("payload"))
+            .map(img => Row(r.getLong(0), averageHash(img)))
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate image pairs by aHash hamming distance ≤
+    * `maxHamming`: split the 64-bit hash into `nBands` bands, equi-join
+    * on (band index, band value), then exact `bit_count(xor)` verify —
+    * the text-SimHash blocking shape (Dedup c3) on image signatures.
+    * Pigeonhole: with 8 bands any pair within hamming ≤ 7 shares at
+    * least one clean band, so recall is total for maxHamming ≤ 7.
+    * Scale shape: the join key is an 8-byte (band, value) pair, pairs
+    * are deduped on ids before the popcount, no quadratic term outside
+    * genuine bucket collisions. */
+  def hashNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
+                       maxHamming: Int, nBands: Int = 8): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(maxHamming >= 0 && maxHamming <= 64, s"bad maxHamming $maxHamming")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = hashed.select(col(idCol).as("_id"), col(hashCol).as("_h"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bv")
+    val a = banded.select(col("_band"), col("_bv"),
+      col("_id").as("id_a"), col("_h").as("ha"))
+    val b = banded.select(col("_band"), col("_bv"),
+      col("_id").as("id_b"), col("_h").as("hb"))
+    a.join(b, Seq("_band", "_bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ha ^ hb)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Linear stride byte-sampling to ~`budget` bytes: every k-th byte,
     * single pass (the non-decodable-payload fallback for resize). */
   def strideSample(payload: Array[Byte], budget: Int): Array[Byte] = {

@@ -181,6 +181,15 @@ object Extended {
              min(col("height")).as("frame_h"),
              sum(length(col("frame_payload"))).as("sampled_bytes"))
         .orderBy("doc_id")
+    },
+
+    // perceptual image hashing: per-image 64-bit aHash (rows-only —
+    // DuckDB cannot decode JPEG/PNG; the hamming near-dup pair join is
+    // value-pinned in MultimodalSpec with planted re-encodes)
+    "m3_image_phash" -> { (s, dir) =>
+      Multimodal.imageHashes(
+          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+        .orderBy("doc_id")
     }
   )
 

@@ -293,4 +293,51 @@ class MultimodalSpec extends AnyFunSuite {
       2, 2).collect().head
     assert(empty.getAs[Array[Byte]]("payload").isEmpty)
   }
+
+  test("averageHash: exact hash of a hand-computable gradient, invariances") {
+    // 8×8 left-to-right gray gradient: column x has luma x*255/7; the
+    // grid mean is 127.5, so exactly columns 4..7 set their bits →
+    // each row contributes byte 0xF0
+    val grad = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = x * 255 / 7; grad.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(Multimodal.averageHash(grad) == 0xF0F0F0F0F0F0F0F0L)
+    // scale invariance: the same gradient at 4× resolution hashes equal
+    val big = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = (x / 4) * 255 / 7; big.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(Multimodal.averageHash(big) == 0xF0F0F0F0F0F0F0F0L)
+  }
+
+  test("hashNearDupPairs: JPEG re-encode pairs with its source, distinct structures don't") {
+    // structurally distinct images: left-right gradient, top-bottom
+    // gradient, checkerboard — only the lossy JPEG re-encode of the
+    // first should pair up (note the FIXTURE's images are all offset
+    // gradients of one structure, so aHash correctly calls them
+    // near-dups; this test builds its own structures)
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    def build(f: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, gray(f(x, y)))
+      img
+    }
+    val lr = build((x, _) => x * 255 / 15)
+    val tb = build((_, y) => y * 255 / 15)
+    val cb = build((x, y) => if (((x / 4) + (y / 4)) % 2 == 0) 0 else 255)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(lr, "jpg", bos)
+    val lrJpeg = Multimodal.decodeImage(bos.toByteArray).get
+    val rows = Seq(
+      (1L, Multimodal.averageHash(lr)), (2L, Multimodal.averageHash(lrJpeg)),
+      (3L, Multimodal.averageHash(tb)), (4L, Multimodal.averageHash(cb))
+    ).toDF("doc_id", "ahash")
+    val pairs = Multimodal.hashNearDupPairs(rows, "doc_id", "ahash",
+        maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the re-encode pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 <= 7)
+  }
 }
