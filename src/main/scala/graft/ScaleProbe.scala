@@ -16,13 +16,80 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional 2nd arg selects a tier: "vec" | "vec-new" (round-6 ops
-    // only) | "text" | "all" (default)
+    // only) | "text" | "r6b" (late-round-6 graph/text/retrieval ops) |
+    // "all" (default)
     val tier = args.lift(1).getOrElse("all")
-    require(Set("vec", "vec-new", "text", "all")(tier),
-      s"unknown tier '$tier' — expected vec | vec-new | text | all")
+    require(Set("vec", "vec-new", "text", "r6b", "all")(tier),
+      s"unknown tier '$tier' — expected vec | vec-new | text | r6b | all")
     val spark = GraftSession.build("graft-scale-probe")
     val base = Tables.load(spark, sfDir, "embeddings")
-    if (tier != "text") {
+
+    if (tier == "r6b" || tier == "all") {
+      // 10 disjoint copies of the customer–supplier trade graph: per-copy
+      // structure identical, total edges ×10 — probes the per-iteration
+      // join+agg scaling of the BSP loops (frontiers/ranks never cross
+      // copies, so results stay interpretable)
+      val e10 = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+        .crossJoin(spark.range(10).toDF("copy"))
+        .select(concat(lit("c"), col("copy"), lit("_"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("copy"), lit("_"), col("l_suppkey")).as("dst"))
+        .cache()
+      println(s"[probe] graph: ${e10.count()} edges (10x $sfDir)")
+      time("pageRank 5 iters, 10x trade graph")(
+        graft.operators.Graph.pageRank(e10, "src", "dst", iters = 5))
+      time("bfsHops maxHops=3, 10x trade graph")(
+        graft.operators.Graph.bfsHops(e10, "src", "dst", "c0_1", maxHops = 3))
+      e10.unpersist()
+
+      val docs10 = Tables.load(spark, sfDir, "documents")
+        .crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          concat(col("text"), lit(" tail"), col("copy")).as("text"),
+          col("source"), col("lang"))
+        .cache()
+      println(s"[probe] docs corpus: ${docs10.count()} documents")
+      time("ngramNovelty trigrams")(
+        TextAnalysis.ngramNovelty(docs10, "doc_id", "text"))
+      time("sourceOverlap trigram Jaccard matrix")(
+        TextAnalysis.sourceOverlap(docs10, "source", "text"))
+      time("tokenBudgetSelect 10x budget, 16 bins")({
+        val b = docs10.select(col("doc_id"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          (length(col("text")) % 97).cast("double").as("q"))
+        Curation.tokenBudgetSelect(b, "doc_id", "n_tokens", "q", 2500000L)
+      })
+      time("rendezvousShard n=64 (projection)")(
+        docs10.select(col("doc_id"),
+          Curation.rendezvousShard(col("doc_id"), 64, seed = 7).as("shard")))
+      docs10.unpersist()
+
+      val emb10 = base.crossJoin(spark.range(10).toDF("copy"))
+        .select((col("vec_id") * 10 + col("copy")).as("vec_id"), col("label"),
+          transform(col("embedding"), (x, j) =>
+            x + ((pmod(col("copy") * 5 + j, lit(11)) - 5).cast("float") * lit(0.01f)))
+            .as("embedding"))
+        .cache()
+      println(s"[probe] vectors: ${emb10.count()} (10x $sfDir)")
+      time("centroidSimilarity over 10 labels")(
+        Similarity.centroidSimilarity(emb10, "label", "embedding"))
+      time("hardNegatives k=5 band [0.1,0.35), 200 anchors")(
+        Similarity.hardNegatives(emb10, emb10.filter(col("vec_id") < 200),
+          "vec_id", "embedding", 5, 0.1, 0.35))
+      emb10.unpersist()
+
+      // banded hamming pair join on 200k synthetic signatures — the
+      // m3 shape without paying 200k image decodes in a probe
+      val hashes = spark.range(200000).toDF("doc_id")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.seededKey(col("doc_id") % 50000, 3).as("ahash"))
+      time("hashNearDupPairs maxHamming=7, 200k signatures")(
+        graft.multimodal.Multimodal.hashNearDupPairs(hashes, "doc_id", "ahash", 7))
+    }
+
+    if (tier != "text" && tier != "r6b") {
     val newOnly = tier == "vec-new"
     val blown = base.crossJoin(spark.range(10).toDF("copy"))
       .select(
@@ -67,7 +134,7 @@ object ScaleProbe {
         trainFraction = 0.25))
     }
 
-    if (tier != "vec" && tier != "vec-new") {
+    if (tier != "vec" && tier != "vec-new" && tier != "r6b") {
     // text-curation tier (round 3): 10× blow-up of the documents fixture
     // with a copy marker appended so near-dup (not identical) structure
     // is planted by construction
