@@ -89,4 +89,35 @@ object Sampling {
       .orderBy(col("skey").desc, col(idCol))
       .limit(k)
   }
+
+  /** Leakage-free train/val/test split: hash the CLUSTER representative
+    * (from [[Dedup.dupClusters]]), not the document id, against
+    * cumulative fraction cutoffs — so a near-duplicate cluster lands
+    * entirely on one side of every boundary and eval examples never
+    * have train-set twins. The uniform is [[weightedSample]]'s
+    * `seededKey/2⁶⁴ + 0.5` (DuckDB-replicable, unlike xxhash64's
+    * [[hashSplit]] — that one trades replicability for speed where
+    * leakage isn't the concern).
+    *
+    * `clusters` is (idCol, repCol); fractions must sum to 1, cutoffs
+    * compared on the exact double. Adds `split`.
+    *
+    * Scale shape: one narrow projection over the cluster relation —
+    * the hash, the cutoff CASE, nothing else; no join back to the
+    * corpus is required here (callers join on the 8-byte id when they
+    * need the text). */
+  def leakFreeSplit(clusters: DataFrame, idCol: String, repCol: String,
+                    fractions: Seq[(String, Double)], seed: Long): DataFrame = {
+    require(fractions.nonEmpty, "at least one split required")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = graft.functions.TextFunctions.seededKey(col(repCol), seed)
+      .cast("double") / 1.8446744073709552E19 + 0.5
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val pairs = fractions.map(_._1).zip(cuts)
+    val assignment = pairs.init.foldRight(lit(pairs.last._1): Column) {
+      case ((name, cut), acc) => when(u < lit(cut), lit(name)).otherwise(acc)
+    }
+    clusters.select(col(idCol), col(repCol), assignment.as("split"))
+  }
 }

@@ -90,6 +90,19 @@ object LayerC {
         .orderBy("anchor_id", "rank")
     },
 
+    // leakage-free split: near-dup clusters (c23's CC) hashed by their
+    // REPRESENTATIVE against 80/10/10 cutoffs — a cluster never
+    // straddles a split boundary, so eval docs have no train twins
+    "c63_leakfree_split" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        d, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      val clusters = graft.operators.Dedup.dupClusters(pairs, d, "doc_id")
+      graft.operators.Sampling.leakFreeSplit(clusters, "doc_id", "cluster_rep",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11)
+        .orderBy("doc_id")
+    },
+
     // source-overlap matrix: pairwise trigram-set Jaccard between
     // sources — the lexical twin of c60's embedding domain map; flags
     // crawls that share most of their text. 190 pairs from 20 sources.
@@ -1192,6 +1205,40 @@ object LayerC {
          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
          |SELECT node AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // c23's reach/cluster chain, then the aresSql uniform on the
+    // DISTINCT cluster reps, then the same cumulative-cutoff CASE
+    "c63_leakfree_split" ->
+      s"""WITH RECURSIVE $shingleCteSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardExprSql >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+         |clusters AS (
+         |  SELECT node AS doc_id, min(r) AS cluster_rep
+         |  FROM reach GROUP BY node),
+         |reps AS (
+         |  SELECT DISTINCT cluster_rep AS rep,
+         |    '11:' || CAST(cluster_rep AS VARCHAR) AS kk
+         |  FROM clusters),
+         |${fmix64ChainSql("reps", "kk", Seq("rep"), "mx")},
+         |uu AS (
+         |  SELECT rep,
+         |    CAST($signedU AS DOUBLE) / 18446744073709551616.0 + 0.5 AS u
+         |  FROM mx)
+         |SELECT c.doc_id, c.cluster_rep,
+         |  CASE WHEN u < 0.8 THEN 'train'
+         |       WHEN u < 0.9000000000000001 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM clusters c JOIN uu ON uu.rep = c.cluster_rep
+         |ORDER BY c.doc_id""".stripMargin,
+
     "c1_dedup_exact" ->
       """SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d

@@ -109,4 +109,27 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("leakFreeSplit: clusters never straddle a boundary, fractions near weights") {
+    import spark.implicits._
+    // 300 clusters of 3 members each — member ids hash differently from
+    // their rep, so a per-id split WOULD straddle; the rep-keyed split
+    // must not
+    val clusters = (0L until 900L).map(i => (i, i / 3 * 3))
+      .toDF("doc_id", "cluster_rep")
+    val out = Sampling.leakFreeSplit(clusters, "doc_id", "cluster_rep",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 900)
+    val perCluster = out.groupBy(_._2).values
+    assert(perCluster.forall(_.map(_._3).distinct.length == 1),
+      "a cluster straddles a split boundary")
+    val shares = out.groupBy(_._3).view.mapValues(_.length / 900.0)
+    assert(math.abs(shares("train") - 0.8) < 0.08, shares.toMap.toString)
+    assert(shares.getOrElse("val", 0.0) > 0.02 && shares.getOrElse("test", 0.0) > 0.02)
+    assertThrows[IllegalArgumentException] {
+      Sampling.leakFreeSplit(clusters, "doc_id", "cluster_rep",
+        Seq("train" -> 0.5), seed = 1)
+    }
+  }
 }
