@@ -90,6 +90,20 @@ object LayerC {
         .orderBy("anchor_id", "rank")
     },
 
+    // tokenizer fertility by language: BPE symbols-per-word per lang
+    // under the learned 10-merge table — the tokenizer-equity readout
+    // (a lang whose words split into many symbols pays more context
+    // budget per word). Composes c36's training + c37's application.
+    "c64_tokenizer_fertility" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.bpeSegment(d, "doc_id", "text", numMerges = 10)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"), sum("n_symbols").as("n_symbols"),
+          round(sum("n_symbols") / sum("n_words"), 6).as("fertility"))
+        .orderBy("lang")
+    },
+
     // leakage-free split: near-dup clusters (c23's CC) hashed by their
     // REPRESENTATIVE against 80/10/10 cutoffs — a cluster never
     // straddles a split boundary, so eval docs have no train twins
@@ -980,6 +994,27 @@ object LayerC {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Fertility oracle: [[bpeSegmentSql]]'s chain with the final
+    * aggregation keyed by language instead of document. */
+  private def bpeFertilitySql(k: Int): String = {
+    val SS = "chr(1)||chr(1)"
+    val tail =
+      s"""docw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |    FROM documents) t
+         |  WHERE w <> ''),
+         |vs AS (
+         |  SELECT w, len(string_split(substring(seg, 2, length(seg)-2), $SS)) AS nsym
+         |  FROM seg$k)""".stripMargin
+    s"""WITH ${(bpeChainSql(k, resegLast = true) :+ tail).mkString(",\n")}
+       |SELECT d.lang, CAST(count(1) AS BIGINT) AS n_words,
+       |  CAST(sum(nsym) AS BIGINT) AS n_symbols,
+       |  round(CAST(sum(nsym) AS DOUBLE) / count(1), 6) AS fertility
+       |FROM docw JOIN vs USING (w) JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   /** Unrolled PageRank oracle (the bpeChainSql precedent): r0 is the
     * uniform vector, each r_i one join+sum step of the same formula the
     * Spark loop runs. Float literals are cast to DOUBLE so DuckDB does
@@ -1205,6 +1240,8 @@ object LayerC {
          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
          |SELECT node AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "c64_tokenizer_fertility" -> bpeFertilitySql(10),
+
     // c23's reach/cluster chain, then the aresSql uniform on the
     // DISTINCT cluster reps, then the same cumulative-cutoff CASE
     "c63_leakfree_split" ->

@@ -359,6 +359,20 @@ object Relational5 {
       nf.unionAll(nl).orderBy("mode", "event_id")
     },
 
+    // Lateral column aliases (Spark 3.4+/4): a SELECT-list alias reused
+    // by later expressions in the same list — the incremental-derivation
+    // sugar that otherwise forces nested subqueries. Per-row products
+    // are order-free, so no rounding is needed for cross-engine equality.
+    "q92_lateral_alias" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("li_lca")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS disc_price,
+               disc_price * (1 + l_tax) AS charged
+        FROM li_lca WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber""")
+    },
+
     // Welch two-sample t-test between event cohorts — the A/B
     // experiment readout (unequal variances, so Welch not Student).
     // One grouped pass for (n, mean, var) then closed-form t and
@@ -609,6 +623,13 @@ object Relational5 {
         |  round(med.med, 6) AS med, round(mad.mad, 6) AS mad
         |FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "q92_lateral_alias" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS disc_price,
+        |  disc_price * (1 + l_tax) AS charged
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q91_nulls_ordering" ->
       """WITH m AS (
