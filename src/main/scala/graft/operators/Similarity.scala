@@ -140,6 +140,37 @@ object Similarity {
       .filter(col("cosine").isNotNull)
   }
 
+  /** Embedding covariance matrix (upper triangle): cov(i,j) =
+    * E[x_i·x_j] − E[x_i]·E[x_j] — the first step of PCA / whitening /
+    * anisotropy diagnosis over an embedding corpus (the eigensolve on
+    * the d×d result is driver-side model math, the Lloyd's-fit
+    * precedent). Output: (i, j, cov) for 0-based i ≤ j.
+    *
+    * Scale shape: each row expands to its own d(d+1)/2 upper-triangle
+    * products inside ONE codegen transform+explode (no row-keyed
+    * self-join of exploded dimensions), which map-side combines into
+    * the d²-sized average relation — the shuffle is dims²×partitions
+    * rows regardless of corpus size; the d-sized mean relation
+    * broadcast-joins in twice. The FLOPs are the Gram matrix's own —
+    * no algorithm pays less. */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val v = df.select(col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
+    val prods = v.select(explode(expr(
+      """flatten(transform(_v, (xi, i) ->
+        |  transform(slice(_v, i + 1, size(_v) - i),
+        |            (xj, k) -> struct(i AS i, i + k AS j, xi * xj AS p))))"""
+        .stripMargin)).as("_e"))
+      .select(col("_e.i"), col("_e.j"), col("_e.p"))
+      .groupBy("i", "j").agg(avg("p").as("_pavg"))
+    val means = v.select(posexplode(col("_v")).as(Seq("i", "xi")))
+      .groupBy("i").agg(avg("xi").as("_m"))
+    prods
+      .join(broadcast(means.select(col("i"), col("_m").as("_mi"))), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("_m").as("_mj"))), "j")
+      .select(col("i"), col("j"), (col("_pavg") - col("_mi") * col("_mj")).as("cov"))
+  }
+
   /** Reciprocal Rank Fusion: combine N rankings of the same id space
     * into one — the standard hybrid-retrieval combiner (lexical BM25 +
     * vector kNN; Cormack et al., SIGIR 2009). Each list contributes

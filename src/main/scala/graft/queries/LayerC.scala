@@ -90,6 +90,17 @@ object LayerC {
         .orderBy("anchor_id", "rank")
     },
 
+    // embedding covariance matrix (upper triangle, 2080 cells of 64
+    // dims) — the PCA/whitening first step; the d×d eigensolve on this
+    // output is driver-side model math
+    "c65_embedding_cov" -> { (s, dir) =>
+      Similarity.covarianceMatrix(embs(s, dir), "embedding")
+        // + 0.0 collapses IEEE -0.0 to 0.0 (a tiny negative covariance
+        // rounds to the signed zero on one engine but not the other)
+        .withColumn("cov", round(col("cov"), 6) + lit(0.0))
+        .orderBy("i", "j")
+    },
+
     // tokenizer fertility by language: BPE symbols-per-word per lang
     // under the learned 10-merge table — the tokenizer-equity readout
     // (a lang whose words split into many symbols pays more context
@@ -1241,6 +1252,24 @@ object LayerC {
          |SELECT node AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "c64_tokenizer_fertility" -> bpeFertilitySql(10),
+
+    // E[xi*xj] - E[xi]E[xj] over a 1..64 dims relation; 0-based output
+    // indices match posexplode; round(6) absorbs avg summation order
+    "c65_embedding_cov" ->
+      """WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |d AS (SELECT unnest(range(1, 65)) AS k),
+        |pavg AS (
+        |  SELECT di.k AS i, dj.k AS j, avg(e[di.k] * e[dj.k]) AS p
+        |  FROM v CROSS JOIN d di CROSS JOIN d dj
+        |  WHERE di.k <= dj.k GROUP BY 1, 2),
+        |m AS (SELECT d.k AS i, avg(e[d.k]) AS mv
+        |      FROM v CROSS JOIN d GROUP BY 1)
+        |SELECT CAST(pavg.i - 1 AS INTEGER) AS i,
+        |  CAST(pavg.j - 1 AS INTEGER) AS j,
+        |  round(pavg.p - mi.mv * mj.mv, 6) + 0.0 AS cov
+        |FROM pavg JOIN m mi ON mi.i = pavg.i JOIN m mj ON mj.i = pavg.j
+        |ORDER BY i, j""".stripMargin,
 
     // c23's reach/cluster chain, then the aresSql uniform on the
     // DISTINCT cluster reps, then the same cumulative-cutoff CASE

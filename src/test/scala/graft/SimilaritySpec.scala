@@ -291,6 +291,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out(("B", "C")) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("covarianceMatrix: hand-computed 2x2 covariance, upper triangle only") {
+    // vectors (1,0), (0,1), (1,1): means (2/3, 2/3); var = 2/3 - 4/9 =
+    // 2/9 on both dims; cov01 = 1/3 - 4/9 = -1/9
+    val df = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0)).toDF("embedding")
+    val out = Similarity.covarianceMatrix(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((0, 0), (0, 1), (1, 1)))
+    assert(math.abs(out((0, 0)) - 2.0 / 9) < 1e-12)
+    assert(math.abs(out((1, 1)) - 2.0 / 9) < 1e-12)
+    assert(math.abs(out((0, 1)) + 1.0 / 9) < 1e-12)
+  }
+
   test("cosine of opposite vectors is -1") {
     import org.apache.spark.sql.functions._
     val df = vecs.filter($"vec_id".isin(1L, 4L))
