@@ -171,6 +171,92 @@ object Similarity {
       .select(col("i"), col("j"), (col("_pavg") - col("_mi") * col("_mj")).as("cov"))
   }
 
+  /** Cyclic-Jacobi eigensolve of a symmetric matrix — driver-side
+    * model math (d×d for embedding dims d; the Lloyd's-fit precedent).
+    * Returns (eigenvalues, eigenvectors as rows), unsorted. */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]], sweeps: Int = 64)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var s = 0
+    var off = Double.MaxValue
+    while (s < sweeps && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1 / math.sqrt(t * t + 1); val sn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq; a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk; a(q)(k) = sn * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sn * vkq; v(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d, d)((k, i) => v(i)(k)))
+  }
+
+  /** PCA projection: eigensolve the [[covarianceMatrix]] on the driver
+    * (model-sized), then project every centered vector onto the top-`k`
+    * components — dimensionality reduction for storage/ANN-recall
+    * trade-offs and the whitening/anisotropy fix for embedding search.
+    * Components are sign-normalized (first nonzero coordinate
+    * positive) so output is deterministic. Adds `pc` (array of k
+    * doubles).
+    *
+    * Scale shape: covariance + means are the c65 aggregations; the
+    * eigensolve is driver-side d×d; the projection is a narrow codegen
+    * projection against LITERAL component arrays — the corpus is
+    * touched once for stats and once for projection, nothing else. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cells = covarianceMatrix(df, vecCol).collect()
+    val d = cells.map(_.getInt(1)).max + 1
+    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
+    val cov = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      cov(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    }
+    val means = df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg("x").as("m")).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    val (evals, evecs) = jacobiEigen(cov)
+    val top = evals.zipWithIndex.sortBy(-_._1).take(k).map { case (_, i) =>
+      val vec = evecs(i)
+      val lead = vec.find(math.abs(_) > 1e-12).getOrElse(1.0)
+      if (lead < 0) vec.map(-_) else vec
+    }
+    val centered = expr(
+      s"transform($vecCol, (x, i) -> cast(x as double) - element_at(_mu, i + 1))")
+    val comps = top.map { vec =>
+      dot(col("_c"), array(vec.map(lit(_)): _*))
+    }
+    df.withColumn("_mu", array(means.map(lit(_)): _*))
+      .withColumn("_c", centered)
+      .withColumn("pc", array(comps: _*))
+      .drop("_mu", "_c")
+  }
+
   /** Reciprocal Rank Fusion: combine N rankings of the same id space
     * into one — the standard hybrid-retrieval combiner (lexical BM25 +
     * vector kNN; Cormack et al., SIGIR 2009). Each list contributes

@@ -101,6 +101,17 @@ object LayerC {
         .orderBy("i", "j")
     },
 
+    // PCA projection onto the top-2 components (rows-only: the Jacobi
+    // eigensolve's iterated floats have no SQL replica — axis recovery,
+    // orthogonality and variance ordering are value-pinned in
+    // SimilaritySpec)
+    "c66_pca_project" -> { (s, dir) =>
+      Similarity.pcaProject(embs(s, dir), "vec_id", "embedding", k = 2)
+        .select(col("vec_id"), round(element_at(col("pc"), 1), 4).as("pc1"),
+          round(element_at(col("pc"), 2), 4).as("pc2"))
+        .orderBy("vec_id")
+    },
+
     // tokenizer fertility by language: BPE symbols-per-word per lang
     // under the learned 10-merge table — the tokenizer-equity readout
     // (a lang whose words split into many symbols pays more context

@@ -303,6 +303,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out((0, 1)) + 1.0 / 9) < 1e-12)
   }
 
+  test("pcaProject: recovers a planted principal axis; variance ordering holds") {
+    import org.apache.spark.sql.functions._
+    // points t·(0.6, 0.8), t ∈ -2..2: the principal axis is (0.6, 0.8)
+    // (sign-normalized), eigenvalues {2, 0}; centered projection = t
+    val df = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+      .map(t => (t, Seq(t * 0.6, t * 0.8)))
+      .toDF("t", "embedding")
+    val out = Similarity.pcaProject(df, "t", "embedding", k = 2)
+      .select(col("t"), col("pc")).collect()
+      .map(r => r.getDouble(0) -> r.getSeq[Double](1)).toMap
+    for (t <- Seq(-2.0, -1.0, 0.0, 1.0, 2.0)) {
+      assert(math.abs(out(t).head - t) < 1e-9, s"pc1($t) = ${out(t).head}")
+      assert(math.abs(out(t)(1)) < 1e-9, s"pc2($t) should be 0")
+    }
+    // real fixture: explained variance must be ordered and positive
+    val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pcs = Similarity.pcaProject(e, "vec_id", "embedding", k = 2)
+      .select(element_at(col("pc"), 1).as("p1"), element_at(col("pc"), 2).as("p2"))
+      .agg(var_samp(col("p1")).as("v1"), var_samp(col("p2")).as("v2"))
+      .collect().head
+    assert(pcs.getDouble(0) >= pcs.getDouble(1) && pcs.getDouble(1) > 0.0)
+  }
+
   test("cosine of opposite vectors is -1") {
     import org.apache.spark.sql.functions._
     val df = vecs.filter($"vec_id".isin(1L, 4L))
