@@ -359,6 +359,19 @@ object Relational5 {
       nf.unionAll(nl).orderBy("mode", "event_id")
     },
 
+    // Built-in session_window in BATCH (the API twin of q69's manual
+    // gaps-and-islands): sessions close after a 30-minute silence, end
+    // = last event + gap, a gap of EXACTLY 30 min starts a new session
+    // (end-exclusive) — the oracle's >= breaks on the same boundary.
+    "q93_session_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Lateral column aliases (Spark 3.4+/4): a SELECT-list alias reused
     // by later expressions in the same list — the incremental-derivation
     // sugar that otherwise forces nested subqueries. Per-row products
@@ -623,6 +636,25 @@ object Relational5 {
         |  round(med.med, 6) AS med, round(mad.mad, 6) AS mad
         |FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    "q93_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(1) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q92_lateral_alias" ->
       """SELECT l_orderkey, l_linenumber,
