@@ -783,6 +783,53 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** Span-level decontamination: instead of dropping a whole document
+    * that shares an n-gram with the benchmark ([[decontaminate]] flags
+    * at doc granularity), excise only the `spanWords`-word spans that
+    * contain a benchmark `shingleN`-gram and reassemble the rest in
+    * order — surgical removal that keeps the 99% of a long document the
+    * contamination doesn't touch. Output: (id, n_spans, n_kept,
+    * clean_text); a fully-contaminated doc keeps 0 spans and an empty
+    * string (the spanDedup convention).
+    *
+    * Scale shape: the benchmark shingle set is eval-sized → broadcast;
+    * the corpus makes ONE chunking pass (codegen WordChunks) + one
+    * span-shingle explode semi-joined against the broadcast, and the
+    * reassembly is spanDedup's per-doc sorted-struct aggregation — no
+    * corpus-sized join keys wider than (id, span index). */
+  def spanDecontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+                        textCol: String, spanWords: Int = 10,
+                        shingleN: Int = 3): DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive, got $spanWords")
+    val benchShingles = benchmark
+      .select(explode(graft.operators.Dedup.shingles(col(textCol), shingleN)).as("_s"))
+      .distinct()
+    val base = train
+      .select(col(idCol), graft.functions.ChunkFunctions.word_chunks(
+        col(textCol), spanWords, spanWords,
+        lowercase = false, fullOnly = false).as("_spans"))
+      .withColumn("n_spans", size(col("_spans")))
+    val exploded = base.select(col(idCol),
+      posexplode(col("_spans")).as(Seq("_idx", "_span")))
+    val flagged = exploded
+      .select(col(idCol), col("_idx"),
+        explode(graft.operators.Dedup.shingles(col("_span"), shingleN)).as("_s"))
+      .join(broadcast(benchShingles), "_s")
+      .select(col(idCol), col("_idx")).distinct()
+    val rebuilt = exploded
+      .join(flagged, Seq(idCol, "_idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_idx"), col("_span")))),
+          x => x.getField("_span")), " ").as("clean_text"))
+    base.select(col(idCol), col("n_spans"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** N-gram novelty: per document, the fraction of its distinct word
     * `n`-grams that no EARLIER document (smaller `idCol`) contains —
     * the marginal-content score a crawl-ordered ingest uses to measure

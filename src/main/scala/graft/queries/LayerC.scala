@@ -90,6 +90,18 @@ object LayerC {
         .orderBy("anchor_id", "rank")
     },
 
+    // span-level decontamination: excise only the 10-word spans sharing
+    // a trigram with the benchmark slice (c25 flags whole docs; this
+    // keeps the untouched 99% of a long doc)
+    "c67_span_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.spanDecontaminate(
+          d.filter(col("doc_id") % 29 =!= 0),
+          d.filter(col("doc_id") % 29 === 0),
+          "doc_id", "text", spanWords = 10, shingleN = 3)
+        .orderBy("doc_id")
+    },
+
     // embedding covariance matrix (upper triangle, 2080 cells of 64
     // dims) — the PCA/whitening first step; the d×d eigensolve on this
     // output is driver-side model math
@@ -1263,6 +1275,46 @@ object LayerC {
          |SELECT node AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "c64_tokenizer_fertility" -> bpeFertilitySql(10),
+
+    // c27's span chunking over the train slice + c25's benchmark
+    // shingle set + a per-span shingle explode; anti-join spelled as
+    // LEFT JOIN ... IS NULL, reassembly = ordered string_agg
+    "c67_span_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') ws
+        |  FROM documents),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(ws) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(ws, i, least(i + 2, len(ws))), ' '))))
+        |    AS s
+        |  FROM w WHERE doc_id % 29 = 0),
+        |tw AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents
+        |  WHERE doc_id % 29 <> 0),
+        |sp AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(list_slice(ws, i*10 + 1, (i+1)*10), ' ') AS span
+        |  FROM tw, LATERAL (SELECT unnest(range((len(ws) + 9) // 10)) AS i) u),
+        |spsh AS (
+        |  SELECT doc_id, idx, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(sws) - 2, 1) + 1),
+        |    i -> array_to_string(list_slice(sws, i, least(i + 2, len(sws))), ' '))))
+        |    AS s
+        |  FROM (SELECT doc_id, idx, string_split_regex(lower(span), '\s+') AS sws
+        |        FROM sp) x),
+        |flagged AS (SELECT DISTINCT doc_id, idx FROM spsh JOIN bsh USING (s)),
+        |reb AS (
+        |  SELECT sp.doc_id, count(1) AS n_kept,
+        |    string_agg(sp.span, ' ' ORDER BY sp.idx) AS clean_text
+        |  FROM sp LEFT JOIN flagged f ON f.doc_id = sp.doc_id AND f.idx = sp.idx
+        |  WHERE f.doc_id IS NULL
+        |  GROUP BY sp.doc_id)
+        |SELECT tw.doc_id, CAST((len(ws) + 9) // 10 AS INTEGER) AS n_spans,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM tw LEFT JOIN reb ON tw.doc_id = reb.doc_id
+        |ORDER BY tw.doc_id""".stripMargin,
 
     // E[xi*xj] - E[xi]E[xj] over a 1..64 dims relation; 0-based output
     // indices match posexplode; round(6) absorbs avg summation order

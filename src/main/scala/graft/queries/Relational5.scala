@@ -359,6 +359,24 @@ object Relational5 {
       nf.unionAll(nl).orderBy("mode", "event_id")
     },
 
+    // Month-over-month growth: per-month revenue, lag ratio − 1 —
+    // the trend readout every revenue dashboard leads with. One
+    // month-keyed aggregation + one ordered window over the
+    // month-count-sized result (the window input is 80 rows, not the
+    // fact table).
+    "q94_mom_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("month")
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(round(sum("o_totalprice"), 4).as("revenue"), count(lit(1)).as("n"))
+        .withColumn("prev", lag(col("revenue"), 1).over(w))
+        .withColumn("growth",
+          when(col("prev").isNotNull, round(col("revenue") / col("prev") - 1, 6)))
+        .drop("prev")
+        .orderBy("month")
+    },
+
     // Built-in session_window in BATCH (the API twin of q69's manual
     // gaps-and-islands): sessions close after a 30-minute silence, end
     // = last event + gap, a gap of EXACTLY 30 min starts a new session
@@ -636,6 +654,18 @@ object Relational5 {
         |  round(med.med, 6) AS med, round(mad.mad, 6) AS mad
         |FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // the growth ratio divides the ROUNDED revenues (both engines read
+    // the same 4-dp inputs, so the 6-dp ratio cannot straddle a boundary)
+    "q94_mom_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    round(sum(o_totalprice), 4) AS revenue, count(1) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue, n,
+        |  round(revenue / lag(revenue, 1) OVER (ORDER BY month) - 1, 6)
+        |    AS growth
+        |FROM m ORDER BY month""".stripMargin,
 
     "q93_session_window" ->
       """WITH m AS (

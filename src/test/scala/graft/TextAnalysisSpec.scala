@@ -316,6 +316,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(out(("A", "B"))._2 - 1.0 / 3.0) < 1e-12)
   }
 
+  test("spanDecontaminate: excises only the contaminated span, keeps the rest") {
+    import spark.implicits._
+    // 30 words = 3 spans; the benchmark trigram sits wholly in span 1
+    val words = (0 until 30).map {
+      case 14 => "x"; case 15 => "y"; case 16 => "z"; case i => s"w$i"
+    }
+    val train = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((900L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDecontaminate(train, bench, "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Int]("n_spans") == 3 && out.getAs[Long]("n_kept") == 2)
+    val expect = (words.take(10) ++ words.drop(20)).mkString(" ")
+    assert(out.getAs[String]("clean_text") == expect)
+    // pinned behavior: a trigram STRADDLING a span boundary flags
+    // neither span (each span is shingled independently) — callers
+    // needing cross-boundary hits overlap their spans
+    val straddle = (0 until 20).map {
+      case 9 => "x"; case 10 => "y"; case 11 => "z"; case i => s"w$i"
+    }
+    val out2 = TextAnalysis.spanDecontaminate(
+      Seq((1L, straddle.mkString(" "))).toDF("doc_id", "text"),
+      bench, "doc_id", "text").collect().head
+    assert(out2.getAs[Long]("n_kept") == 2)
+    // fully-contaminated doc → 0 spans kept, empty text
+    val out3 = TextAnalysis.spanDecontaminate(
+      Seq((1L, "x y z")).toDF("doc_id", "text"),
+      bench, "doc_id", "text").collect().head
+    assert(out3.getAs[Long]("n_kept") == 0L &&
+      out3.getAs[String]("clean_text") == "")
+  }
+
   test("ngramNovelty: dup scores 0, fresh 1, partial overlap its fraction") {
     import spark.implicits._
     val d = Seq(
