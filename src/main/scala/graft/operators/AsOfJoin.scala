@@ -44,22 +44,39 @@ object AsOfJoin {
     asofImpl(left, right, keys, leftTime, rightTime, payloadCols,
       rightTieBreak, forward = true)
 
+  /** Tolerance-bounded as-of (pandas `merge_asof(tolerance=...)`):
+    * same match as [[asof]]/[[asofForward]], but a match farther than
+    * `tolerance` (an interval literal body, e.g. "1 HOUR") from the
+    * left time yields nulls — stale state is worse than no state.
+    * Same one-shuffle union-window shape: the matched right TIME rides
+    * inside the payload struct, and the tolerance test is a per-row
+    * projection after the window — no second join, no extra shuffle. */
+  def asofWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTime: String, rightTime: String,
+                 payloadCols: Seq[String], rightTieBreak: String,
+                 tolerance: String, forward: Boolean = false): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, payloadCols,
+      rightTieBreak, forward = forward, tolerance = Some(tolerance))
+
   private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTime: String, rightTime: String,
                        payloadCols: Seq[String], rightTieBreak: String,
-                       forward: Boolean): DataFrame = {
+                       forward: Boolean,
+                       tolerance: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     // The payload travels as ONE struct column: a struct of right-side
     // values is non-null even when every field is null, so
     // last(_p, ignoreNulls) atomically picks the latest right ROW —
     // per-column windows would stitch fields from different right rows
     // whenever payloads contain nulls.
+    val structFields = payloadCols.map(c => right.schema(c).copy(name = c)) :+
+      right.schema(rightTime).copy(name = "_rt")
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_tie", lit(null).cast("long"))
       .withColumn("_p", lit(null).cast(
-        org.apache.spark.sql.types.StructType(payloadCols.map(c => right.schema(c).copy(name = c)))))
+        org.apache.spark.sql.types.StructType(structFields)))
     // A right row with an undefined timestamp can never satisfy <= / >=,
     // but if unioned it would sort FIRST (nulls_first) carrying a
     // non-null payload struct — and every matchless left row (and every
@@ -67,7 +84,7 @@ object AsOfJoin {
     val r = right.filter(col(rightTime).isNotNull).select(
       (keys.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side") :+
         col(rightTieBreak).cast("long").as("_tie") :+
-        struct(payloadCols.map(col): _*).as("_p")) ++
+        struct(payloadCols.map(col) :+ col(rightTime).as("_rt"): _*).as("_p")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val unioned = l.unionByName(r)
@@ -84,10 +101,17 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(timeOrd, col("_side").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val windowed = unioned
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++
-        payloadCols.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
+    // the tolerance gate is a pure projection on the carried right time
+    val within = tolerance.map { tol =>
+      val gap = if (forward) col("_asof").getField("_rt") - col("_t")
+                else col("_t") - col("_asof").getField("_rt")
+      gap <= expr(s"INTERVAL $tol")
+    }.getOrElse(lit(true))
+    windowed.select(leftCols.map(col) ++
+      payloadCols.map(c =>
+        when(within, col("_asof").getField(c)).as(s"asof_$c")): _*)
   }
 }

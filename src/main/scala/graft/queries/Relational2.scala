@@ -32,6 +32,21 @@ object Relational2 {
         .orderBy("event_id")
     },
 
+    // tolerance-bounded as-of (pandas merge_asof tolerance): the most
+    // recent signup wins ONLY within 7 days — staler state nulls out
+    "q95_asof_tolerance" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"),
+                col("value").as("signup_value"))
+      AsOfJoin.asofWithin(purchases, signups, Seq("user_id"), "ts", "ts",
+          payloadCols = Seq("signup_value"), rightTieBreak = "signup_id",
+          tolerance = "7 DAYS")
+        .orderBy("event_id")
+    },
+
     // forward as-of: for each purchase, the NEXT signup at or after it
     "q67_asof_forward" -> { (s, dir) =>
       val ev = t(s, dir, "events")
@@ -189,6 +204,26 @@ object Relational2 {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the nearest match is picked FIRST (ts desc, largest-id tie), the
+    // tolerance gate nulls it after — no fallback to a farther row
+    // (pandas merge_asof semantics)
+    "q95_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts, event_id AS signup_id, value AS signup_value
+        |      FROM events WHERE event_type = 'signup'),
+        |j AS (
+        |  SELECT p.event_id, s.signup_value, s.ts AS sts,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY s.ts DESC, s.signup_id DESC) AS rk
+        |  FROM p JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  CASE WHEN p.ts - j.sts <= INTERVAL 7 DAY
+        |       THEN j.signup_value END AS asof_signup_value
+        |FROM p LEFT JOIN (SELECT event_id, signup_value, sts FROM j
+        |                  WHERE rk = 1) j ON p.event_id = j.event_id
         |ORDER BY p.event_id""".stripMargin,
 
     "q67_asof_forward" ->
