@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for the ANN retrieval tiers — the train→persist→serve
+  * loop: [[Similarity.pqTrain]]/[[Similarity.ivfPqTrain]] fit the model
+  * once, [[Similarity.pqEncode]]/[[Similarity.ivfPqEncode]] code the
+  * corpus once, and every later session reloads both and runs only the
+  * cheap search stage ([[Similarity.pqSearch]]/[[Similarity.ivfPqSearch]])
+  * — at 100 TB the encode is the expensive corpus-sized pass, so paying
+  * it per query session would dwarf the queries themselves.
+  *
+  * Layout (two parquet relations under one root, the FAISS
+  * codebook/codes split re-expressed as tables):
+  *  - `<root>/model`: one row per centroid —
+  *    (kind: 'coarse'|'pq', subspace: int, centroid: int,
+  *    vec: array<double>). Model-sized (nCells + m×ksub rows).
+  *  - `<root>/codes`: the coded corpus from the encode stage, written
+  *    verbatim — (nn_id, [_cell,] codes: array<int>, cn: double).
+  *
+  * Doubles round-trip parquet bit-exactly and the encode is a
+  * deterministic function of (model, vector), so a reloaded index
+  * answers IDENTICALLY to the in-memory path — asserted in
+  * SimilaritySpec's round-trip test, not assumed. */
+object AnnIndex {
+
+  /** Persist a PQ or IVF+PQ index: codebooks (+ coarse centroids when
+    * present) and the coded corpus. */
+  def save(spark: SparkSession, root: String,
+           codebooks: Seq[Seq[Seq[Double]]], coded: DataFrame,
+           coarse: Option[Seq[Seq[Double]]] = None): Unit = {
+    import spark.implicits._
+    val pqRows = for {
+      (book, j) <- codebooks.zipWithIndex
+      (cen, c) <- book.zipWithIndex
+    } yield ("pq", j, c, cen)
+    val coarseRows = coarse.toSeq.flatMap(_.zipWithIndex.map {
+      case (cen, c) => ("coarse", 0, c, cen)
+    })
+    (pqRows ++ coarseRows)
+      .toDF("kind", "subspace", "centroid", "vec")
+      // model-sized → one file; repartition(1) keeps the directory tidy
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/model")
+    coded.write.mode(SaveMode.Overwrite).parquet(s"$root/codes")
+  }
+
+  /** Reload the PQ codebooks: codebooks(j)(c) = centroid vector. */
+  def loadCodebooks(spark: SparkSession, root: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(s"$root/model")
+      .filter(col("kind") === "pq")
+      .select("subspace", "centroid", "vec")
+      .collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).toSeq.map(_.getSeq[Double](2))
+    }
+  }
+
+  /** Reload the coarse (IVF) centroids; empty for a flat-PQ index. */
+  def loadCoarse(spark: SparkSession, root: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$root/model")
+      .filter(col("kind") === "coarse")
+      .select("centroid", "vec")
+      .collect()
+      .sortBy(_.getInt(0)).toSeq.map(_.getSeq[Double](1))
+
+  /** Reload the coded corpus — the search stage's scan relation. */
+  def loadCodes(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/codes")
+}

@@ -22,15 +22,26 @@ object Graph {
     * set so no node re-expands — the frontier relation is
     * reachable-set-sized, never path-count-sized. The driver loop runs
     * a bounded `maxHops` iterations (the dupClusters precedent);
-    * frontiers are localCheckpoint'ed so lineage stays flat. */
+    * frontiers are localCheckpoint'ed so lineage stays flat.
+    *
+    * `edgesDistinctDisjoint`: set when `edges` is already duplicate-free
+    * AND no edge appears in both orientations (e.g. a bipartite graph
+    * whose two sides use disjoint key prefixes) — the symmetrized union
+    * is then provably duplicate-free and the post-union `distinct()`
+    * (a full shuffle+dedup of the LARGEST relation in the whole
+    * traversal) is skipped. Correctness without the flag is unchanged;
+    * BFS itself tolerates duplicate edges (the per-level `distinct()`
+    * collapses parallel paths), so the flag only trades one redundant
+    * exchange, never answers. */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
-              start: String, maxHops: Int): DataFrame = {
+              start: String, maxHops: Int,
+              edgesDistinctDisjoint: Boolean = false): DataFrame = {
     require(maxHops >= 0 && maxHops <= 32, s"unreasonable maxHops $maxHops")
-    val und = edges
+    val sym = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
       .unionAll(edges
         .select(col(dstCol).cast("string").as("a"), col(srcCol).cast("string").as("b")))
-      .distinct()
+    val und = (if (edgesDistinctDisjoint) sym else sym.distinct())
       .localCheckpoint()
     import edges.sparkSession.implicits._
     var visited = Seq((start, 0)).toDF("node", "hops").localCheckpoint()

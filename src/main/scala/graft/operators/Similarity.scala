@@ -623,14 +623,35 @@ object Similarity {
             vecCol: String, k: Int, dim: Int = 64, m: Int = 8,
             ksub: Int = 16, rerank: Int = 50, seed: Long = 7L,
             trainFraction: Double = 1.0): DataFrame = {
-    import graft.functions.VectorFunctions.adc_score
-    require(rerank >= k, s"rerank $rerank must be >= k $k")
     val codebooks = pqTrain(corpus, vecCol, dim, m, ksub, seed, trainFraction)
-    val coded = corpus
+    val coded = pqEncode(corpus, idCol, vecCol, codebooks, dim)
+    pqSearch(coded, codebooks, corpus, queries, idCol, vecCol, k, dim, ksub,
+      rerank)
+  }
+
+  /** Encode stage of [[pqKnn]], separable so a serving tier can persist
+    * its output ([[AnnIndex]]): (nn_id, m int codes, norm) — the coded
+    * corpus. A narrow codegen projection, no shuffle; deterministic for
+    * a given codebook, so a persisted encode equals a fresh one. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Seq[Double]]], dim: Int): DataFrame =
+    corpus
       .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
       .withColumn("codes", pqCodes(codebooks, dim)(col("cv")))
       .select("nn_id", "codes", "cn")
+
+  /** Search stage of [[pqKnn]] over an already-encoded corpus — the
+    * serving path: `coded` may come straight from [[pqEncode]] or be
+    * reloaded from parquet ([[AnnIndex.loadCodes]]); `corpus` supplies
+    * the full vectors only for the exact rerank of the top-`rerank`
+    * shortlist. */
+  def pqSearch(coded: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+               corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, dim: Int, ksub: Int,
+               rerank: Int): DataFrame = {
+    import graft.functions.VectorFunctions.adc_score
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
     val qv = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
@@ -743,10 +764,22 @@ object Similarity {
                rerank: Int = 50, seed: Long = 7L,
                trainFraction: Double = 1.0,
                byResidual: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions.adc_score
-    require(rerank >= k, s"rerank $rerank must be >= k $k")
-    val dsub = dim / m
+    val (coarse, codebooks) =
+      ivfPqTrain(corpus, vecCol, dim, nCells, m, ksub, seed, trainFraction,
+        byResidual)
+    val coded = ivfPqEncode(corpus, idCol, vecCol, coarse, codebooks, dim,
+      byResidual)
+    ivfPqSearch(coded, coarse, codebooks, corpus, queries, idCol, vecCol, k,
+      dim, nProbe, ksub, rerank, byResidual)
+  }
+
+  /** Train stage of [[ivfPqKnn]]: coarse quantizer + PQ codebooks, both
+    * driver-side on ONE bounded seeded sample (see [[pqTrain]]).
+    * Returned model is what a serving tier persists ([[AnnIndex]]). */
+  def ivfPqTrain(corpus: DataFrame, vecCol: String, dim: Int, nCells: Int,
+                 m: Int, ksub: Int, seed: Long = 7L,
+                 trainFraction: Double = 1.0, byResidual: Boolean = true)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val pts = trainSample(corpus, vecCol, dim, seed, trainFraction, 10000)
     // seed - 1: the coarse quantizer must not share a subspace fit's seed
     val coarse = lloyds(pts, nCells, seed - 1)
@@ -769,10 +802,24 @@ object Similarity {
         val cen = coarse(nearestCellLocal(p))
         Array.tabulate(dim)(i => p(i) - cen(i))
       }
-    val codebooks = pqCodebooksFromSample(codebookPts, dim, m, ksub, seed)
-    def cellDists(vc: Column): Column = array(coarse.map { cen =>
+    (coarse, pqCodebooksFromSample(codebookPts, dim, m, ksub, seed))
+  }
+
+  /** ||c||² − 2 v·c per coarse cell — argmin over it is the nearest
+    * cell (the ||v||² constant cancels). */
+  private def coarseCellDists(coarse: Seq[Seq[Double]])(vc: Column): Column =
+    array(coarse.map { cen =>
       lit(cen.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(cen))
     }: _*)
+
+  /** Encode stage of [[ivfPqKnn]], separable for persistence: each row
+    * becomes (nn_id, coarse cell, m int codes, norm). Deterministic for
+    * a given model, so a persisted encode equals a fresh one. */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                  coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+                  dim: Int, byResidual: Boolean = true): DataFrame = {
+    val m = codebooks.length
+    val dsub = dim / m
     // residual encode: per (j, cb) the cell-dependent correction
     // 2·(c_j·cb) rides as element_at(<nCells literal doubles>, _cell+1)
     def residualCodes(vc: Column, cellCol: Column): Column = {
@@ -792,14 +839,29 @@ object Similarity {
       .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
       .withColumn("_cell", {
-        val d = cellDists(col("cv"))
+        val d = coarseCellDists(coarse)(col("cv"))
         (array_position(d, array_min(d)) - 1).cast("int")
       })
-    val coded = (if (byResidual)
+    (if (byResidual)
         cellAssigned.withColumn("codes", residualCodes(col("cv"), col("_cell")))
       else
         cellAssigned.withColumn("codes", pqCodes(codebooks, dim)(col("cv"))))
       .select("nn_id", "_cell", "codes", "cn")
+  }
+
+  /** Search stage of [[ivfPqKnn]] over an already-encoded corpus — the
+    * serving path (`coded` may be reloaded from parquet via
+    * [[AnnIndex.loadCodes]]); `corpus` supplies full vectors only for
+    * the exact rerank. */
+  def ivfPqSearch(coded: DataFrame, coarse: Seq[Seq[Double]],
+                  codebooks: Seq[Seq[Seq[Double]]], corpus: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                  dim: Int, nProbe: Int, ksub: Int, rerank: Int,
+                  byResidual: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.adc_score
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    def cellDists(vc: Column): Column = coarseCellDists(coarse)(vc)
     val qv = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))

@@ -296,6 +296,29 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
+    // the train→persist→serve loop c42 stops short of: fit the PQ
+    // model, encode the corpus, WRITE codebooks + codes to parquet
+    // (AnnIndex), reload both from disk, and answer from the reloaded
+    // index — unbounded rerank makes the served answer exact, so the
+    // round-trip shares the brute-force kNN oracle: any encode/decode
+    // instability would surface as a hash mismatch
+    "c68_ann_persist" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val (dim, m, ksub) = (64, 8, 16)
+      val codebooks = Similarity.pqTrain(e, "embedding", dim, m, ksub,
+        seed = 7L, trainFraction = 0.25)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-c68-annindex").toString
+      graft.operators.AnnIndex.save(s, root, codebooks,
+        Similarity.pqEncode(e, "vec_id", "embedding", codebooks, dim))
+      Similarity.pqSearch(graft.operators.AnnIndex.loadCodes(s, root),
+          graft.operators.AnnIndex.loadCodebooks(s, root), e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          5, dim, ksub, rerank = Int.MaxValue)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    },
+
     // end-to-end curation pipeline: quality filter → exact dedup →
     // token-count projection — the composed shape of a training-data
     // prep job, each stage an already-verified operator
@@ -628,13 +651,20 @@ object LayerC {
     // orders ⋈ lineitem) — graph traversal one rung above c23's
     // connected components
     "c55_bfs_hops" -> { (s, dir) =>
+      // distinct runs on the (long, long) key pair BEFORE the string
+      // node labels are built — fixed-width hashing beats string
+      // hashing on the traversal's biggest shuffle; the c/s prefixes
+      // make the two orientations disjoint, so bfsHops can skip its
+      // post-symmetrize dedup (edgesDistinctDisjoint)
       val e = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
         .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+        .distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
-      Graph.bfsHops(e, "src", "dst", "c1", maxHops = 3)
+      Graph.bfsHops(e, "src", "dst", "c1", maxHops = 3,
+          edgesDistinctDisjoint = true)
         .orderBy("hops", "node")
     },
 
@@ -2004,6 +2034,9 @@ object LayerC {
     // c44 additionally probes every IVF cell (nProbe = nCells)
     "c42_pq_knn" -> knnOracleSql,
     "c44_ivf_pq_knn" -> knnOracleSql,
+    // c68 serves c42's exact configuration from a persisted-and-reloaded
+    // index — same brute-force-equal answer, same oracle
+    "c68_ann_persist" -> knnOracleSql,
     // c7 runs exhaustive LSH parameters (total recall on the fixture) →
     // equals the exact top-20 pair set and shares c5's oracle verbatim
     "c7_ann_lsh" -> oracleC5,

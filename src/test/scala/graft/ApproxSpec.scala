@@ -27,4 +27,38 @@ class ApproxSpec extends AnyFunSuite {
       assert(math.abs(aO - eO) / eO < 0.02, s"orders: approx $aO vs exact $eO")
     }
   }
+
+  test("percentile_approx rank error bounded by 1/accuracy (q96 tier)") {
+    // the GK-style sketch guarantees each returned element's TRUE rank
+    // is within 1/accuracy of the requested quantile; verify that
+    // empirically per group: rank(v) = count(x <= v) / n
+    val acc = 100
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).cache()
+    try {
+      val approx = orders.groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"),
+          array(qs.map(lit): _*), lit(acc)).as("pa"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()))
+        .toMap
+      assert(approx.nonEmpty)
+      approx.foreach { case (grp, vals) =>
+        val col0 = orders.filter(col("o_orderpriority") === grp)
+          .select(col("o_totalprice").cast("double"))
+          .collect().map(_.getDouble(0))
+        val n = col0.length.toDouble
+        qs.zip(vals).foreach { case (q, v) =>
+          // with ties, the true rank of v is an interval [loRank, hiRank]
+          val loRank = col0.count(_ < v) / n
+          val hiRank = col0.count(_ <= v) / n
+          val err = if (q < loRank) q - loRank else if (q > hiRank) q - hiRank else 0.0
+          assert(math.abs(err) <= 1.0 / acc + 1e-9,
+            s"$grp q=$q: value $v has rank [$loRank,$hiRank], error $err > 1/$acc")
+        }
+      }
+    } finally orders.unpersist()
+  }
 }

@@ -363,4 +363,60 @@ class SimilaritySpec extends AnyFunSuite {
         element_at($"vs", 2).cast("array<double>")).as("c"))
     assert(math.abs(df.collect().head.getDouble(0) + 1.0) < 1e-12)
   }
+
+  test("AnnIndex: persisted PQ index answers identically to the in-memory path") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" < 5)
+    val (k, dim, m, ksub) = (10, 64, 8, 16)
+    // in-memory: train + encode + search in one session
+    val codebooks = Similarity.pqTrain(e, "embedding", dim, m, ksub, seed = 7L)
+    val coded = Similarity.pqEncode(e, "vec_id", "embedding", codebooks, dim)
+    val inMem = Similarity.pqSearch(coded, codebooks, e, queries,
+        "vec_id", "embedding", k, dim, ksub, rerank = 50)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    // persisted: write model + codes, reload BOTH from parquet, search
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annindex-pq").toString
+    AnnIndex.save(spark, root, codebooks, coded)
+    val cb2 = AnnIndex.loadCodebooks(spark, root)
+    assert(cb2 == codebooks, "codebooks must round-trip bit-exactly")
+    assert(AnnIndex.loadCoarse(spark, root).isEmpty)
+    val reloaded = Similarity.pqSearch(AnnIndex.loadCodes(spark, root), cb2,
+        e, queries, "vec_id", "embedding", k, dim, ksub, rerank = 50)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(reloaded == inMem,
+      s"persisted path diverges: ${reloaded.diff(inMem)} vs ${inMem.diff(reloaded)}")
+  }
+
+  test("AnnIndex: persisted IVF+PQ index (residual) answers identically") {
+    import graft.operators.AnnIndex
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" < 5)
+    val (k, dim, nCells, nProbe, m, ksub) = (10, 64, 16, 8, 16, 16)
+    val (coarse, codebooks) = Similarity.ivfPqTrain(e, "embedding", dim,
+      nCells, m, ksub, seed = 7L)
+    val coded = Similarity.ivfPqEncode(e, "vec_id", "embedding", coarse,
+      codebooks, dim)
+    val inMem = Similarity.ivfPqSearch(coded, coarse, codebooks, e, queries,
+        "vec_id", "embedding", k, dim, nProbe, ksub, rerank = 100)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annindex-ivfpq").toString
+    AnnIndex.save(spark, root, codebooks, coded, coarse = Some(coarse))
+    val cb2 = AnnIndex.loadCodebooks(spark, root)
+    val coarse2 = AnnIndex.loadCoarse(spark, root)
+    assert(cb2 == codebooks && coarse2 == coarse,
+      "model must round-trip bit-exactly")
+    val reloaded = Similarity.ivfPqSearch(AnnIndex.loadCodes(spark, root),
+        coarse2, cb2, e, queries, "vec_id", "embedding", k, dim, nProbe,
+        ksub, rerank = 100)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(reloaded == inMem,
+      s"persisted path diverges: ${reloaded.diff(inMem)} vs ${inMem.diff(reloaded)}")
+  }
 }
