@@ -15,15 +15,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long and truncate to micros —
-    // exactly DuckDB's ns→us conversion, so oracles stay comparable.
+    // events.ts precision varies by fixture generation: TIMESTAMP(NANOS)
+    // (which Spark's vectorized reader rejects — read nanos as long and
+    // truncate to micros, exactly DuckDB's ns→us conversion) or already
+    // TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ — cast to TIMESTAMP;
+    // value-preserving under the session's UTC timezone). Either way the
+    // column lands as micro-precision TimestampType, oracle-comparable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Register every fixture table as a temp view (for spark.sql paths:

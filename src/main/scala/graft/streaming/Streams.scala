@@ -22,17 +22,16 @@ object Streams {
     * Schema comes from a batch peek — a streaming source needs it
     * up front. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    // schema must reflect the RAW file layout (ts = nanos-as-long, see
-    // Tables.load) — the batch loader's converted schema would make the
-    // file source mis-read the nanos column.
+    // schema must reflect the RAW file layout (nanos-as-long or native
+    // micros, fixture-dependent — see Tables.normalizeTs) — the batch
+    // loader's converted schema would make the file source mis-read it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
+    graft.Tables.normalizeTs(spark.readStream
       .schema(rawSchema)
       // the file source needs a directory or glob, not a bare file —
       // the single-char glob makes it resolve $dir as the base
-      .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(s"$dir/events.parque[t]"))
   }
 
   /** Replay a directory of already-normalized parquet files as a stream,
