@@ -98,6 +98,30 @@ object Extended {
         .orderBy("user_id", "click_id", "purchase_id")
     },
 
+    // streaming ingest dedup against the historical corpus: the "new
+    // crawl" (doc_id % 7 == 0) replayed as a 4-micro-batch stream,
+    // anti-joined against the static corpus fingerprint relation and
+    // deduped within the stream across batch boundaries — the streaming
+    // composition of c31, sharing its batch oracle (the doc_id-ordered
+    // contiguous replay makes the first-seen winner the min-doc_id
+    // winner; see Streams.writeOrderedReplay)
+    "s12_corpus_dedup" -> { (s, dir) =>
+      val d = graft.Tables.load(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft_s12").toString
+      val schema = Streams.writeOrderedReplay(
+        d.filter(col("doc_id") % 7 === 0)
+          .select("doc_id", "source", "n_chars", "text"),
+        "doc_id", 4, s"$work/in")
+      val corpusSeen = d.filter(col("doc_id") % 7 =!= 0)
+        .select(xxhash64(col("text")).as("_h"), col("text").as("_seen_text"))
+      Streams.runToCompletionAppend(s,
+          Streams.corpusIncrementalDedup(s,
+            Streams.replayStream(s, s"$work/in", schema, maxFilesPerTrigger = 1),
+            corpusSeen),
+          "s12_corpus_dedup")
+        .orderBy("doc_id")
+    },
+
     // stream-static join: the event stream enriched against the static
     // customer dimension mid-stream, then aggregated — the standard
     // streaming-enrichment shape (static side re-read per micro-batch)
@@ -231,6 +255,20 @@ object Extended {
       """SELECT c_mktsegment, count(1) AS n
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the replayed stream reproduces batch c31 exactly (ordered
+    // contiguous chunks → first-seen == min doc_id), so s12 shares its
+    // oracle shape: within-crawl min-id winners minus corpus texts
+    "s12_corpus_dedup" ->
+      """WITH b AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+        |seen AS (SELECT DISTINCT text FROM documents WHERE doc_id % 7 <> 0),
+        |w AS (
+        |  SELECT b.* FROM b
+        |  JOIN (SELECT text, min(doc_id) AS kid FROM b GROUP BY text) k
+        |    ON b.doc_id = k.kid)
+        |SELECT doc_id, source, n_chars FROM w
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.text = w.text)
+        |ORDER BY doc_id""".stripMargin,
 
     // semi = DISTINCT matched left rows; no cutoff term (unlike s8) —
     // matched rows emit on arrival, unmatched rows never emit

@@ -157,6 +157,92 @@ object Streams {
         "left_semi")
   }
 
+  /** Write `df` as `nChunks` CONTIGUOUS chunks of `sortCol` order, one
+    * file each, with strictly increasing modification times — a
+    * `maxFilesPerTrigger = 1` replay then processes them in `sortCol`
+    * order deterministically (the file source orders by mtime; explicit
+    * stamps replace the sleep-for-distinct-seconds trick). Contiguity is
+    * what makes replayed min-per-key semantics equal the batch oracle:
+    * the first chunk containing a key holds that key's global minimum.
+    * Returns the written schema (a streaming source needs it up front). */
+  def writeOrderedReplay(df: DataFrame, sortCol: String, nChunks: Int,
+                         dir: String): org.apache.spark.sql.types.StructType = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(nChunks >= 2 && nChunks <= 64, s"unreasonable nChunks $nChunks")
+    new java.io.File(dir).mkdirs()
+    val qs = (1 until nChunks).map(_.toDouble / nChunks)
+    val cuts = df
+      .selectExpr(s"percentile(cast($sortCol as double), array(${qs.mkString(",")})) as c")
+      .collect().head.getSeq[Double](0)
+    val edges = (Double.MinValue +: cuts) :+ Double.MaxValue
+    edges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), k) =>
+      val tmp = s"$dir/_tmp$k"
+      df.filter(col(sortCol).cast("double") > lo && col(sortCol).cast("double") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      val dest = new java.io.File(dir, f"chunk$k%03d.parquet")
+      Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+      dest.setLastModified(1700000000000L + k * 60000L)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      Files.deleteIfExists(Paths.get(tmp))
+    }
+    df.schema
+  }
+
+  case class DocIn(doc_id: Long, source: String, n_chars: Long, text: String)
+  case class DocKeep(doc_id: Long, source: String, n_chars: Long)
+
+  /** Ingest-time corpus-incremental dedup — the streaming composition of
+    * the batch [[graft.operators.Dedup.incrementalDedup]] (c31): arriving
+    * documents are (1) anti-joined against the STATIC corpus fingerprint
+    * relation `corpusSeen` (`_h` = xxhash64(text), `_seen_text` for
+    * collision verification — the persisted (hash, text) table a real
+    * ingest maintains) via a stateless stream-static LEFT ANTI join, then
+    * (2) deduped within the stream itself by content across micro-batch
+    * boundaries: per-hash `flatMapGroupsWithState` keeps the seen text
+    * set, so a document seen in ANY earlier batch never re-emits, and
+    * within a batch the minimum doc_id copy wins (the c31 winner rule).
+    *
+    * Order matters for state size: the anti-join runs FIRST, so the
+    * stateful stage only ever stores fingerprints of NOVEL texts —
+    * state grows with new-content volume, not ingest volume. At corpus
+    * scale the stored text would be replaced by a second independent
+    * hash (collision verification without the payload); the fixture
+    * keeps the text so the verification is literal. */
+  def corpusIncrementalDedup(spark: SparkSession, docs: DataFrame,
+                             corpusSeen: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fresh = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"), col("text"))
+      .join(corpusSeen,
+        xxhash64(col("text")) <=> col("_h") &&
+          col("text") <=> col("_seen_text"),
+        "left_anti")
+    // the shuffle/state key is a fixed-width hash (the c31 8-byte-key
+    // discipline — never the text payload); the group verifies by text,
+    // so hash collisions merge groups without ever merging documents
+    fresh.as[DocIn]
+      .groupByKey(d => scala.util.hashing.MurmurHash3.stringHash(d.text).toLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (key: Long, rows: Iterator[DocIn], state: GroupState[Seq[String]]) => {
+          val seen = scala.collection.mutable.Set[String](
+            state.getOption.getOrElse(Seq.empty): _*)
+          val out = scala.collection.mutable.ArrayBuffer[DocKeep]()
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!seen(d.text)) {
+              seen += d.text
+              out += DocKeep(d.doc_id, d.source, d.n_chars)
+            }
+          }
+          state.update(seen.toSeq)
+          out.iterator
+        })
+      .toDF()
+  }
+
   /** Replayed verification runs execute several tiny micro-batches into
     * a memory sink; their wall time is per-batch HARNESS overhead, not
     * plan cost, and it scales with the shuffle partition count (each
