@@ -23,7 +23,29 @@ object Tables {
     // column lands as micro-precision TimestampType, oracle-comparable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeTs(df) else df
+    if (name == "events") {
+      guardNanos(df, s"$dir/$name")
+      normalizeTs(df)
+    } else df
+  }
+
+  // the LongType branch of normalizeTs exists ONLY for the nanosAsLong
+  // conversion; a fixture shipping ts as a plain INT64 micros/millis
+  // column would be silently corrupted ×1000 by it. Probe one value per
+  // path: nanos-since-epoch for any plausible date is ≥ ~1.7e18, three
+  // orders above micros — refuse the div-1000 path outside that range.
+  private val nanosProbed = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def guardNanos(df: DataFrame, key: String): Unit = {
+    import org.apache.spark.sql.types.LongType
+    if (df.schema("ts").dataType == LongType &&
+        nanosProbed.putIfAbsent(key, true).isEmpty) {
+      df.select("ts").head(1).foreach { r =>
+        val v = r.getLong(0)
+        require(math.abs(v) >= 100000000000000000L,
+          s"events.ts is raw INT64 but |$v| is not nanoseconds-since-epoch; " +
+            "refusing the nanos div-1000 interpretation")
+      }
+    }
   }
 
   private[graft] def normalizeTs(df: DataFrame): DataFrame = {
@@ -34,6 +56,16 @@ object Tables {
       case TimestampType => df
       case _ => df.withColumn("ts", col("ts").cast(TimestampType))
     }
+  }
+
+  /** Best-effort recursive delete for harness temp directories (replay
+    * chunks, persisted ANN work dirs) once results are materialized. */
+  def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
   }
 
   /** Register every fixture table as a temp view (for spark.sql paths:

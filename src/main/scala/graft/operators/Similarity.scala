@@ -623,6 +623,8 @@ object Similarity {
             vecCol: String, k: Int, dim: Int = 64, m: Int = 8,
             ksub: Int = 16, rerank: Int = 50, seed: Long = 7L,
             trainFraction: Double = 1.0): DataFrame = {
+    // fail before the expensive train/encode stages, not inside search
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
     val codebooks = pqTrain(corpus, vecCol, dim, m, ksub, seed, trainFraction)
     val coded = pqEncode(corpus, idCol, vecCol, codebooks, dim)
     pqSearch(coded, codebooks, corpus, queries, idCol, vecCol, k, dim, ksub,
@@ -764,6 +766,8 @@ object Similarity {
                rerank: Int = 50, seed: Long = 7L,
                trainFraction: Double = 1.0,
                byResidual: Boolean = true): DataFrame = {
+    // fail before the expensive train/encode stages, not inside search
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
     val (coarse, codebooks) =
       ivfPqTrain(corpus, vecCol, dim, nCells, m, ksub, seed, trainFraction,
         byResidual)

@@ -104,22 +104,30 @@ object Extended {
     // deduped within the stream across batch boundaries — the streaming
     // composition of c31, sharing its batch oracle (the doc_id-ordered
     // contiguous replay makes the first-seen winner the min-doc_id
-    // winner; see Streams.writeOrderedReplay)
+    // winner; see Streams.writeOrderedReplay). ingest_ts is synthesized
+    // from doc_id (1 s apart — arrival time in production); the default
+    // watermark/TTL keep all state resident across this bounded replay,
+    // so the result equals the global-dedup batch oracle.
     "s12_corpus_dedup" -> { (s, dir) =>
       val d = graft.Tables.load(s, dir, "documents")
       val work = java.nio.file.Files.createTempDirectory("graft_s12").toString
       val schema = Streams.writeOrderedReplay(
         d.filter(col("doc_id") % 7 === 0)
-          .select("doc_id", "source", "n_chars", "text"),
+          .select("doc_id", "source", "n_chars", "text")
+          .withColumn("ingest_ts",
+            timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L)),
         "doc_id", 4, s"$work/in")
       val corpusSeen = d.filter(col("doc_id") % 7 =!= 0)
         .select(xxhash64(col("text")).as("_h"), col("text").as("_seen_text"))
-      Streams.runToCompletionAppend(s,
+      val out = Streams.runToCompletionAppend(s,
           Streams.corpusIncrementalDedup(s,
             Streams.replayStream(s, s"$work/in", schema, maxFilesPerTrigger = 1),
             corpusSeen),
           "s12_corpus_dedup")
         .orderBy("doc_id")
+      // the memory sink holds the rows; the replay chunks are dead weight
+      graft.Tables.deleteRecursively(work)
+      out
     },
 
     // stream-static join: the event stream enriched against the static

@@ -307,8 +307,12 @@ object LayerC {
       val (dim, m, ksub) = (64, 8, 16)
       val codebooks = Similarity.pqTrain(e, "embedding", dim, m, ksub,
         seed = 7L, trainFraction = 0.25)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-c68-annindex").toString
+      // fixed workdir + Overwrite saves: repeated bench reps re-serve
+      // from the same root instead of accumulating one coded corpus per
+      // invocation (the reloaded-from-disk search stays lazy, so the
+      // files must outlive this call — no delete here)
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-c68-annindex").toString
       graft.operators.AnnIndex.save(s, root, codebooks,
         Similarity.pqEncode(e, "vec_id", "embedding", codebooks, dim))
       Similarity.pqSearch(graft.operators.AnnIndex.loadCodes(s, root),

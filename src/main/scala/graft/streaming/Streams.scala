@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
 
 /** Structured Streaming over the `events` fixture (SURVEY.md §2.2
@@ -170,6 +171,12 @@ object Streams {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(nChunks >= 2 && nChunks <= 64, s"unreasonable nChunks $nChunks")
     new java.io.File(dir).mkdirs()
+    // cuts and range filters go through double; keys beyond 2^53 would
+    // round and could strand a row in the wrong chunk, silently breaking
+    // the contiguity the first-seen == min-key oracle depends on
+    val maxAbs = df.agg(max(abs(col(sortCol).cast("double")))).head.getDouble(0)
+    require(maxAbs < (1L << 53).toDouble,
+      s"$sortCol exceeds the double-exact range (max |v| = $maxAbs)")
     val qs = (1 until nChunks).map(_.toDouble / nChunks)
     val cuts = df
       .selectExpr(s"percentile(cast($sortCol as double), array(${qs.mkString(",")})) as c")
@@ -179,19 +186,25 @@ object Streams {
       val tmp = s"$dir/_tmp$k"
       df.filter(col(sortCol).cast("double") > lo && col(sortCol).cast("double") <= hi)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
+      val written = Option(new java.io.File(tmp).listFiles()).getOrElse(
+        sys.error(s"chunk write produced no directory at $tmp"))
+      val part = written
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .head
+        .headOption.getOrElse(sys.error(s"no part file written under $tmp"))
       val dest = new java.io.File(dir, f"chunk$k%03d.parquet")
       Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
-      dest.setLastModified(1700000000000L + k * 60000L)
+      // the file source orders by mtime — a silently failed stamp would
+      // fall back to copy order and break the replay-order contract
+      require(dest.setLastModified(1700000000000L + k * 60000L),
+        s"cannot stamp mtime on $dest; replay order would be undefined")
       new java.io.File(tmp).listFiles().foreach(_.delete())
       Files.deleteIfExists(Paths.get(tmp))
     }
     df.schema
   }
 
-  case class DocIn(doc_id: Long, source: String, n_chars: Long, text: String)
+  case class DocIn(doc_id: Long, source: String, n_chars: Long,
+                   _h: Long, _fp: Long, ingest_ts: java.sql.Timestamp)
   case class DocKeep(doc_id: Long, source: String, n_chars: Long)
 
   /** Ingest-time corpus-incremental dedup — the streaming composition of
@@ -201,44 +214,78 @@ object Streams {
     * collision verification — the persisted (hash, text) table a real
     * ingest maintains) via a stateless stream-static LEFT ANTI join, then
     * (2) deduped within the stream itself by content across micro-batch
-    * boundaries: per-hash `flatMapGroupsWithState` keeps the seen text
-    * set, so a document seen in ANY earlier batch never re-emits, and
-    * within a batch the minimum doc_id copy wins (the c31 winner rule).
+    * boundaries: per-hash `flatMapGroupsWithState` keeps the seen
+    * fingerprint set, so a document seen in an earlier batch inside the
+    * state horizon never re-emits, and within a batch the minimum doc_id
+    * copy wins (the c31 winner rule).
     *
-    * Order matters for state size: the anti-join runs FIRST, so the
-    * stateful stage only ever stores fingerprints of NOVEL texts —
-    * state grows with new-content volume, not ingest volume. At corpus
-    * scale the stored text would be replaced by a second independent
-    * hash (collision verification without the payload); the fixture
-    * keeps the text so the verification is literal. */
+    * State is bounded three ways — this is what makes the operator
+    * survive an unbounded ingest stream:
+    *   - the anti-join runs FIRST, so the stateful stage only ever
+    *     stores entries for NOVEL texts (state grows with new-content
+    *     volume, not ingest volume);
+    *   - state holds 8-byte fingerprints, never text payloads: the
+    *     shuffle/state key is `xxhash64(text)` (the c31 8-byte-key
+    *     discipline) and the stored set is a SECOND independent 64-bit
+    *     hash (`xxhash64(seed, text)`), so a key collision merges groups
+    *     without merging documents (128 combined bits; a false dedup
+    *     needs both hashes to collide);
+    *   - `EventTimeTimeout` evicts a key's state once the ingest-time
+    *     watermark passes its last sighting + `stateTtlMs` — the horizon
+    *     after which the persisted corpus relation (which a production
+    *     sink folds committed batches into) owns dedup, and the stream
+    *     state no longer has to.
+    *
+    * `docs` must carry an `ingest_ts` timestamp column (arrival time at
+    * the source in production; the replay harness synthesizes it from
+    * doc_id). Defaults keep every key resident for the bounded
+    * verification replay, matching the global-dedup batch oracle. */
   def corpusIncrementalDedup(spark: SparkSession, docs: DataFrame,
-                             corpusSeen: DataFrame): DataFrame = {
+                             corpusSeen: DataFrame,
+                             watermarkDelay: String = "48 hours",
+                             stateTtlMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
     import spark.implicits._
     val fresh = docs
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
-        col("n_chars").cast("long").as("n_chars"), col("text"))
+        col("n_chars").cast("long").as("n_chars"), col("text"),
+        col("ingest_ts"))
       .join(corpusSeen,
         xxhash64(col("text")) <=> col("_h") &&
           col("text") <=> col("_seen_text"),
         "left_anti")
-    // the shuffle/state key is a fixed-width hash (the c31 8-byte-key
-    // discipline — never the text payload); the group verifies by text,
-    // so hash collisions merge groups without ever merging documents
+      // the payload is dropped HERE — nothing downstream (shuffle, state
+      // store) ever carries the text, only two 8-byte hashes
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        xxhash64(col("text")).as("_h"),
+        xxhash64(lit("graft-fp2"), col("text")).as("_fp"),
+        col("ingest_ts"))
+      .withWatermark("ingest_ts", watermarkDelay)
     fresh.as[DocIn]
-      .groupByKey(d => scala.util.hashing.MurmurHash3.stringHash(d.text).toLong)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
-        (key: Long, rows: Iterator[DocIn], state: GroupState[Seq[String]]) => {
-          val seen = scala.collection.mutable.Set[String](
-            state.getOption.getOrElse(Seq.empty): _*)
-          val out = scala.collection.mutable.ArrayBuffer[DocKeep]()
-          rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (!seen(d.text)) {
-              seen += d.text
-              out += DocKeep(d.doc_id, d.source, d.n_chars)
+      .groupByKey(_._h)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[DocIn], state: GroupState[Seq[Long]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = scala.collection.mutable.Set[Long](
+              state.getOption.getOrElse(Seq.empty): _*)
+            val out = scala.collection.mutable.ArrayBuffer[DocKeep]()
+            val batch = rows.toSeq
+            batch.sortBy(_.doc_id).foreach { d =>
+              if (!seen(d._fp)) {
+                seen += d._fp
+                out += DocKeep(d.doc_id, d.source, d.n_chars)
+              }
             }
+            state.update(seen.toSeq)
+            // retire the key stateTtlMs after its LAST sighting (the
+            // timeout must stay ahead of the already-advanced watermark)
+            val lastSeenMs = batch.iterator.map(_.ingest_ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastSeenMs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(seen.toSeq)
-          out.iterator
         })
       .toDF()
   }

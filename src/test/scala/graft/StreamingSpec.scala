@@ -276,4 +276,34 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("user_id", "session_start").collect()
     assert(streamed.sameElements(batch))
   }
+
+  test("s12 corpus dedup: TTL evicts state (expired-horizon dup re-emits); resident state dedups") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    val work = Files.createTempDirectory("graft_s12_ttl").toString
+    // batch-per-doc replay: doc 4 repeats doc 1's text 1 h later. With a
+    // 10 s TTL the watermark (1 s delay) passes doc 1's horizon at batch
+    // 2 (event time 10:30), so its key state is REMOVED before the
+    // duplicate arrives — it re-emits, proving eviction happened. With a
+    // generous TTL the fingerprint is still resident and suppresses it.
+    val docsDf = Seq(
+      (1L, "web", 3L, "AAA", Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, "web", 3L, "BBB", Timestamp.valueOf("2024-01-01 10:30:00")),
+      (3L, "web", 3L, "CCC", Timestamp.valueOf("2024-01-01 10:30:05")),
+      (4L, "web", 3L, "AAA", Timestamp.valueOf("2024-01-01 11:00:00")))
+      .toDF("doc_id", "source", "n_chars", "text", "ingest_ts")
+    val schema = Streams.writeOrderedReplay(docsDf, "doc_id", 4, s"$work/in")
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("_h", "_seen_text")
+    def run(name: String, ttlMs: Long): Seq[Long] =
+      Streams.runToCompletionAppend(spark,
+        Streams.corpusIncrementalDedup(spark,
+          Streams.replayStream(spark, s"$work/in", schema, maxFilesPerTrigger = 1),
+          emptyCorpus, watermarkDelay = "1 second", stateTtlMs = ttlMs),
+        name).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(run("t_s12_ttl_short", 10000L) == Seq(1L, 2L, 3L, 4L),
+      "short TTL must evict doc 1's fingerprint and re-emit the late duplicate")
+    assert(run("t_s12_ttl_long", 24L * 3600 * 1000) == Seq(1L, 2L, 3L),
+      "resident state must suppress the duplicate")
+    Tables.deleteRecursively(work)
+  }
 }
