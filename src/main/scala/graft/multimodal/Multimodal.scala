@@ -464,12 +464,94 @@ object Multimodal {
     hash
   }
 
-  /** (doc_id, ahash) for every decodable image payload — the iterator
-    * `mapPartitions` decode (the declared exception), hash math above. */
+  /** Low-frequency 8×8 block of the 2-D DCT-II of an `n`×`n` luma grid
+    * (orthonormal α factors applied; 64 coefficients, row-major v*8+u).
+    * Naive separable evaluation — 64 coefficients × n² pixels at n=32 is
+    * ~65k multiply-adds per image, far below the decode cost. */
+  private def dctLow8(px: Array[Double], n: Int): Array[Double] = {
+    val K = 8
+    val cosT = Array.tabulate(K, n)((k, i) =>
+      math.cos(math.Pi * (2 * i + 1) * k / (2.0 * n)))
+    def alpha(k: Int) = if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+    val out = new Array[Double](K * K)
+    var v = 0
+    while (v < K) {
+      var u = 0
+      while (u < K) {
+        var s = 0.0
+        var y = 0
+        while (y < n) {
+          val cv = cosT(v)(y)
+          val cu = cosT(u)
+          val base = y * n
+          var x = 0
+          while (x < n) { s += px(base + x) * cu(x) * cv; x += 1 }
+          y += 1
+        }
+        out(v * K + u) = alpha(u) * alpha(v) * s
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** DCT perceptual hash (pHash): area-average the luma onto a 32×32
+    * grid, take the low-frequency 8×8 DCT-II block, and set bit i iff
+    * coefficient i exceeds the MEDIAN of the 63 AC coefficients (DC is
+    * excluded and its bit left 0 — it carries only global brightness).
+    *
+    * The tier above [[averageHash]]: aHash thresholds cell lumas against
+    * their mean, so a clipped brightness shift or gamma change (which
+    * moves cells relative to the mean nonlinearly) flips whole cells;
+    * pHash thresholds frequency-domain shape against its own median,
+    * which such photometric edits mostly preserve — MultimodalSpec pins
+    * a brightness-shifted re-encode that aHash misses and pHash holds.
+    * Same 64-bit output domain, so [[hashNearDupPairs]] bands it
+    * unchanged. */
+  def perceptualHash(img: BufferedImage): Long = {
+    val n = 32
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](n * n)
+    val counts = new Array[Int](n * n)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * n / h, n - 1)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * n / w, n - 1)
+        val rgb = img.getRGB(x, y)
+        sums(cy * n + cx) += 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        counts(cy * n + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val px = new Array[Double](n * n)
+    var i = 0
+    while (i < n * n) {
+      px(i) = if (counts(i) > 0) sums(i) / counts(i) else 0.0
+      i += 1
+    }
+    val coef = dctLow8(px, n)
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val median = ac(31) // 63 AC values → true middle order statistic
+    var hash = 0L
+    i = 1
+    while (i < 64) { if (coef(i) > median) hash |= (1L << i); i += 1 }
+    hash
+  }
+
+  /** (doc_id, ahash, phash) for every decodable image payload — the
+    * iterator `mapPartitions` decode (the declared exception); both
+    * signature tiers in one decode pass. */
   def imageHashes(withBinary: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("ahash", LongType, nullable = false)))
+      StructField("ahash", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
     val enc = Encoders.row(schema)
     withBinary
       .filter(col("meta.mime").startsWith("image/"))
@@ -477,7 +559,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           decodeImage(r.getAs[Array[Byte]]("payload"))
-            .map(img => Row(r.getLong(0), averageHash(img)))
+            .map(img => Row(r.getLong(0), averageHash(img), perceptualHash(img)))
         }
       }(enc)
   }

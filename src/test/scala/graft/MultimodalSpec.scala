@@ -340,4 +340,74 @@ class MultimodalSpec extends AnyFunSuite {
       s"expected exactly the re-encode pair, got ${pairs.toSeq}")
     assert(pairs.head._3 <= 7)
   }
+
+  test("perceptualHash survives a clipped brightness shift that aHash misses") {
+    // The photometric edit that separates the tiers: a LOW-CONTRAST
+    // spectrally-rich texture (cells within a few luma units of the
+    // mean) plus one hot specular highlight. The highlight pulls the
+    // global mean ABOVE the texture band; a +90 brightness shift
+    // saturates the highlight (250→255 instead of +90), dropping the
+    // mean back INTO the band — so many near-mean aHash cells flip.
+    // pHash excludes DC and thresholds AC coefficients against their
+    // own median: the texture's coherent full-support modes dwarf the
+    // highlight's thinly-spread spectral delta, so the bit pattern
+    // holds through the shift AND a lossy JPEG re-encode.
+    val n = 64
+    val rnd = new java.util.Random(42) // fixed phases — deterministic image
+    val amp = Array.tabulate(8, 8)((u, v) =>
+      if (u + v == 0) 0.0 else 6.0 / (1.0 + 0.4 * (u + v)))
+    val phase = Array.fill(8, 8)(rnd.nextDouble() * 2 * math.Pi)
+    def gray(v: Int) = { val c = math.max(0, math.min(255, v)); (c << 16) | (c << 8) | c }
+    val base = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until n; x <- 0 until n) {
+      var v = 120.0
+      for (u <- 0 until 8; w <- 0 until 8)
+        v += amp(u)(w) * math.cos(math.Pi * u * (x + 0.5) / n + phase(u)(w)) *
+          math.cos(math.Pi * w * (y + 0.5) / n)
+      val dx = x - 50.0; val dy = y - 14.0
+      if (dx * dx + dy * dy < 100) v = 250.0 // specular highlight
+      base.setRGB(x, y, gray(math.round(v).toInt))
+    }
+    def luma(rgb: Int): Double =
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+    val shifted = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until n; x <- 0 until n)
+      shifted.setRGB(x, y, gray(math.round(luma(base.getRGB(x, y)) + 90).toInt))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(shifted, "jpg", bos)
+    val edited = Multimodal.decodeImage(bos.toByteArray).get
+    val hamA = java.lang.Long.bitCount(
+      Multimodal.averageHash(base) ^ Multimodal.averageHash(edited))
+    val hamP = java.lang.Long.bitCount(
+      Multimodal.perceptualHash(base) ^ Multimodal.perceptualHash(edited))
+    assert(hamA > 7, s"aHash unexpectedly held the edit (hamming $hamA) — " +
+      "the pair no longer demonstrates the pHash tier's value")
+    assert(hamP <= 7, s"pHash missed the brightness-shifted re-encode (hamming $hamP)")
+    // the banding machinery is hash-agnostic: same pair joins on phash…
+    val rows = Seq((1L, Multimodal.perceptualHash(base)),
+      (2L, Multimodal.perceptualHash(edited))).toDF("doc_id", "phash")
+    val pPairs = Multimodal.hashNearDupPairs(rows, "doc_id", "phash", maxHamming = 7)
+      .collect()
+    assert(pPairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // …and an unrelated structure stays far (no degenerate all-match)
+    val cb = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until n; x <- 0 until n)
+      cb.setRGB(x, y, gray(if (((x / 8) + (y / 8)) % 2 == 0) 0 else 255))
+    val hamUnrelated = java.lang.Long.bitCount(
+      Multimodal.perceptualHash(base) ^ Multimodal.perceptualHash(cb))
+    assert(hamUnrelated > 7, s"unrelated structures too close: $hamUnrelated")
+  }
+
+  test("perceptualHash is scale-invariant on the area-averaged grid") {
+    // same gradient at 1× and 4× resolution lands on the same 32×32
+    // luma grid, hence the same DCT block and hash
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val small = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      small.setRGB(x, y, gray(x * 255 / 31))
+    val big = new BufferedImage(128, 128, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 128; x <- 0 until 128)
+      big.setRGB(x, y, gray((x / 4) * 255 / 31))
+    assert(Multimodal.perceptualHash(small) == Multimodal.perceptualHash(big))
+  }
 }

@@ -130,4 +130,80 @@ class PlanAuditSpec extends AnyFunSuite {
       s"c58 never broadcasts:\n$p")
     assert(!p.contains("SortMergeJoin"), s"c58 sort-merges:\n$p")
   }
+
+  // ---------------------------------------------------------------------
+  // Regression SWEEP over every SparkEntry.queries plan — the spot checks
+  // above pin specific claims; this locks the general discipline so a NEW
+  // query silently introducing a scale-killer turns the suite red.
+  //
+  // Streaming (s*) keys are excluded: their returned frame is a
+  // memory-sink LocalTableScan (the plan that matters ran inside the
+  // stream), and constructing one replays a whole stream. Their state
+  // and watermark discipline is asserted in StreamingSpec instead.
+  // ---------------------------------------------------------------------
+
+  // the one INTENTIONAL cartesian: q10 is the cross-join operator itself
+  private val cartesianOk = Set("q10_cross_join")
+  // joins that legitimately stay sort-merge after AQE — not a size
+  // question but an operator-support one: Spark's BroadcastHashJoin
+  // cannot build either side of a FULL OUTER join, and q39's
+  // INTERSECT ALL / EXCEPT ALL rewrite inherits the same full-outer
+  // shape. These shuffle on their keys at any scale, by semantics.
+  private val smjOk = Set("q7_full_outer", "q39_multiset_ops")
+
+  // operators allowed ABOVE the single presentation sort: output shaping
+  // only. A global Sort below anything else is a mid-plan total order —
+  // the thing that dies at 100 TB unless bounded by a limit.
+  private val presentationOps = Set(
+    "AdaptiveSparkPlan", "Project", "Coalesce", "ColumnarToRow",
+    "WholeStageCodegen", "ResultQueryStage", "InputAdapter",
+    // sort under a limit is bounded (the offset/limit spellings that do
+    // not collapse into TakeOrderedAndProject)
+    "GlobalLimit", "LocalLimit", "CollectLimit", "CollectOrderedLimit")
+
+  private def opName(line: String): String =
+    line.dropWhile(!_.isLetter).takeWhile(_.isLetter)
+
+  // an executed AQE plan prints Final then Initial sections; judge only
+  // the final one (pre-AQE sort-merge joins are expected noise)
+  private def finalSection(p: String): String =
+    p.split("== Initial Plan ==").head
+
+  private def globalSortViolation(p: String): Option[String] = {
+    val lines = p.linesIterator.toVector
+    val sortIdx = lines.zipWithIndex.collect {
+      case (l, i) if """Sort \[[^\]]*\], true,""".r.findFirstIn(l).isDefined => i
+    }
+    if (sortIdx.isEmpty) None
+    else if (sortIdx.length > 1) Some(s"${sortIdx.length} global sorts")
+    else {
+      val above = lines.take(sortIdx.head)
+        .filterNot(_.contains("== Final Plan ==")) // AQE section marker
+        .map(opName)
+        .filterNot(n => n.isEmpty || presentationOps(n))
+      above.headOption.map(op => s"global sort below operator $op")
+    }
+  }
+
+  test("sweep: no cartesian outside q10, no mid-plan global sort, no post-AQE sort-merge join") {
+    val bad = collection.mutable.Buffer[String]()
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !name.startsWith("s")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      def current = finalSection(df.queryExecution.executedPlan.toString)
+      var p = current
+      val suspicious = p.contains("CartesianProduct") ||
+        p.contains("SortMergeJoin") || globalSortViolation(p).isDefined
+      // only pay an execution when the STATIC plan looks off — AQE may
+      // legitimately fix it (e.g. broadcast a post-aggregate side whose
+      // size statically read as unknown)
+      if (suspicious) { df.collect(); p = current }
+      if (p.contains("CartesianProduct") && !cartesianOk(name))
+        bad += s"$name: CartesianProduct"
+      if (p.contains("SortMergeJoin") && !smjOk(name))
+        bad += s"$name: SortMergeJoin survived AQE"
+      globalSortViolation(p).foreach(v => bad += s"$name: $v")
+    }
+    assert(bad.isEmpty,
+      s"plan-discipline violations:\n${bad.mkString("\n")}")
+  }
 }
