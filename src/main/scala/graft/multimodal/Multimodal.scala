@@ -435,32 +435,44 @@ object Multimodal {
     * land within a few hamming bits; unrelated images average ~32 —
     * the standard first-tier image-dedup signature (pHash's cheaper
     * sibling; same banding machinery as text SimHash applies). */
-  def averageHash(img: BufferedImage): Long = {
+  def averageHash(img: BufferedImage): Long =
+    aHashBits(lumaGrid(img, 8))
+
+  /** Area-averaged luma grid: cell (cy, cx) holds the mean luma of the
+    * pixels mapping onto it (floor(y·n/h), floor(x·n/w)). The shared
+    * accumulation behind both signature tiers. */
+  private def lumaGrid(img: BufferedImage, n: Int): Array[Double] = {
     val w = img.getWidth; val h = img.getHeight
-    val sums = new Array[Double](64)
-    val counts = new Array[Int](64)
+    val sums = new Array[Double](n * n)
+    val counts = new Array[Int](n * n)
     var y = 0
     while (y < h) {
-      val cy = math.min(y * 8 / h, 7)
+      val cy = math.min(y * n / h, n - 1)
       var x = 0
       while (x < w) {
-        val cx = math.min(x * 8 / w, 7)
+        val cx = math.min(x * n / w, n - 1)
         val rgb = img.getRGB(x, y)
-        sums(cy * 8 + cx) += 0.299 * ((rgb >> 16) & 0xff) +
+        sums(cy * n + cx) += 0.299 * ((rgb >> 16) & 0xff) +
           0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-        counts(cy * 8 + cx) += 1
+        counts(cy * n + cx) += 1
         x += 1
       }
       y += 1
     }
-    var i = 0; var mean = 0.0
-    while (i < 64) {
+    var i = 0
+    while (i < n * n) {
       sums(i) = if (counts(i) > 0) sums(i) / counts(i) else 0.0
-      mean += sums(i); i += 1
+      i += 1
     }
+    sums
+  }
+
+  private def aHashBits(cells: Array[Double]): Long = {
+    var i = 0; var mean = 0.0
+    while (i < 64) { mean += cells(i); i += 1 }
     mean /= 64
     var hash = 0L; i = 0
-    while (i < 64) { if (sums(i) > mean) hash |= (1L << i); i += 1 }
+    while (i < 64) { if (cells(i) > mean) hash |= (1L << i); i += 1 }
     hash
   }
 
@@ -509,44 +521,57 @@ object Multimodal {
     * a brightness-shifted re-encode that aHash misses and pHash holds.
     * Same 64-bit output domain, so [[hashNearDupPairs]] bands it
     * unchanged. */
-  def perceptualHash(img: BufferedImage): Long = {
-    val n = 32
-    val w = img.getWidth; val h = img.getHeight
-    val sums = new Array[Double](n * n)
-    val counts = new Array[Int](n * n)
-    var y = 0
-    while (y < h) {
-      val cy = math.min(y * n / h, n - 1)
-      var x = 0
-      while (x < w) {
-        val cx = math.min(x * n / w, n - 1)
-        val rgb = img.getRGB(x, y)
-        sums(cy * n + cx) += 0.299 * ((rgb >> 16) & 0xff) +
-          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-        counts(cy * n + cx) += 1
-        x += 1
-      }
-      y += 1
-    }
-    val px = new Array[Double](n * n)
-    var i = 0
-    while (i < n * n) {
-      px(i) = if (counts(i) > 0) sums(i) / counts(i) else 0.0
-      i += 1
-    }
-    val coef = dctLow8(px, n)
+  def perceptualHash(img: BufferedImage): Long =
+    pHashBits(lumaGrid(img, 32))
+
+  private def pHashBits(px: Array[Double]): Long = {
+    val coef = dctLow8(px, 32)
     val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
     java.util.Arrays.sort(ac)
     val median = ac(31) // 63 AC values → true middle order statistic
     var hash = 0L
-    i = 1
+    var i = 1
     while (i < 64) { if (coef(i) > median) hash |= (1L << i); i += 1 }
     hash
   }
 
+  /** Both signature tiers from ONE pixel pass. `getRGB` (with its
+    * per-call color-model conversion) dominates the per-image hash cost
+    * once the payload is decoded, so [[imageHashes]] pays it once and
+    * accumulates the 8×8 and 32×32 grids together — results are
+    * IDENTICAL to [[averageHash]]/[[perceptualHash]] (same floor maps,
+    * same accumulators; asserted in MultimodalSpec). */
+  def imageSignatures(img: BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val s8 = new Array[Double](64); val c8 = new Array[Int](64)
+    val s32 = new Array[Double](1024); val c32 = new Array[Int](1024)
+    var y = 0
+    while (y < h) {
+      val cy8 = math.min(y * 8 / h, 7) * 8
+      val cy32 = math.min(y * 32 / h, 31) * 32
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val l = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val i8 = cy8 + math.min(x * 8 / w, 7)
+        val i32 = cy32 + math.min(x * 32 / w, 31)
+        s8(i8) += l; c8(i8) += 1
+        s32(i32) += l; c32(i32) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < 64) { s8(i) = if (c8(i) > 0) s8(i) / c8(i) else 0.0; i += 1 }
+    i = 0
+    while (i < 1024) { s32(i) = if (c32(i) > 0) s32(i) / c32(i) else 0.0; i += 1 }
+    (aHashBits(s8), pHashBits(s32))
+  }
+
   /** (doc_id, ahash, phash) for every decodable image payload — the
     * iterator `mapPartitions` decode (the declared exception); both
-    * signature tiers in one decode pass. */
+    * signature tiers from one decode + one pixel pass. */
   def imageHashes(withBinary: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -559,7 +584,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           decodeImage(r.getAs[Array[Byte]]("payload"))
-            .map(img => Row(r.getLong(0), averageHash(img), perceptualHash(img)))
+            .map { img =>
+              val (a, p) = imageSignatures(img)
+              Row(r.getLong(0), a, p)
+            }
         }
       }(enc)
   }

@@ -68,4 +68,30 @@ object AnnIndex {
   /** Reload the coded corpus — the search stage's scan relation. */
   def loadCodes(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/codes")
+
+  /** Streaming index ingest — the freshness half of the
+    * train→persist→serve loop: each micro-batch of NEW vectors is
+    * encoded with the already-trained PQ model (`encode`, typically
+    * `Similarity.pqEncode(_, …, codebooks, dim)`) and APPENDED to the
+    * persisted codes relation, so the served index grows with the
+    * stream without ever re-encoding the existing corpus. Encoding is
+    * deterministic given the model, so the ingested index answers
+    * identically to a from-scratch full encode (pinned in
+    * SimilaritySpec).
+    *
+    * Runs the stream to completion (the replay-harness contract).
+    * Parquet append is at-least-once under batch RETRY; a production
+    * sink writes each batch to a `batch_<id>` subdir (the
+    * [[graft.streaming.Stateful.writeViaForeachBatch]] idempotency
+    * hook) or through a transactional table format. */
+  def ingestStream(spark: SparkSession, newVecs: DataFrame, root: String,
+                   encode: DataFrame => DataFrame): Unit = {
+    val q = newVecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        encode(batch).write.mode(SaveMode.Append).parquet(s"$root/codes")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

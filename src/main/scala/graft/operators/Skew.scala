@@ -27,4 +27,28 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Join-key skew profile — MEASURE before salting: the heaviest
+    * `topN` keys with their row count, share of all rows, and skew
+    * factor (count ÷ mean per-key load). A `skew` of 1.0 is a
+    * perfectly uniform key; the keys this surfaces are the ones
+    * [[saltedJoin]] (or AQE's skew split) exists for, and the `share`
+    * column says whether splitting them is worth it.
+    *
+    * Scale shape: ONE map-side-combined aggregation on the key (the
+    * same shuffle the join itself would do), a 1-row totals aggregate
+    * broadcast back over the counts (the c26 scalar-gate pattern — the
+    * counts relation never re-shuffles), and a TakeOrderedAndProject
+    * for the top-N — no global sort, no second pass over the data. */
+  def profile(df: DataFrame, key: String, topN: Int): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum("n").cast("double").as("_total"),
+      count(lit(1)).cast("double").as("_nkeys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(key), col("n"),
+        round(col("n") / col("_total"), 6).as("share"),
+        round(col("n") * col("_nkeys") / col("_total"), 6).as("skew"))
+      .orderBy(col("n").desc, col(key))
+      .limit(topN)
+  }
 }

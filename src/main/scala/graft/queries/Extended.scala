@@ -130,6 +130,41 @@ object Extended {
       out
     },
 
+    // streaming ANN index ingest: the freshness loop on top of c68 —
+    // train PQ once on the base corpus slice, persist base codes, then
+    // replay the "new" slice (vec_id % 5 == 0) as a 4-micro-batch
+    // stream whose batches are encoded with the FROZEN model and
+    // appended to the persisted codes relation via foreachBatch. The
+    // existing corpus is never re-encoded; serving reloads model +
+    // codes and answers exactly (unbounded rerank), so the result
+    // shares the brute-force kNN oracle over the FULL embeddings
+    // table — any batch-boundary or append artifact would hash-mismatch
+    "s13_stream_ann_ingest" -> { (s, dir) =>
+      import graft.operators.{AnnIndex, Similarity}
+      val e = graft.Tables.load(s, dir, "embeddings")
+      val (dim, m, ksub) = (64, 8, 16)
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val fresh = e.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding")
+      val codebooks = Similarity.pqTrain(base, "embedding", dim, m, ksub,
+        seed = 7L, trainFraction = 0.25)
+      val root = java.nio.file.Files.createTempDirectory("graft_s13").toString
+      AnnIndex.save(s, root, codebooks,
+        Similarity.pqEncode(base, "vec_id", "embedding", codebooks, dim))
+      val schema = Streams.writeOrderedReplay(fresh, "vec_id", 4, s"$root/replay")
+      AnnIndex.ingestStream(s,
+        Streams.replayStream(s, s"$root/replay", schema, maxFilesPerTrigger = 1),
+        root, Similarity.pqEncode(_, "vec_id", "embedding", codebooks, dim))
+      val served = Similarity.pqSearch(AnnIndex.loadCodes(s, root),
+          AnnIndex.loadCodebooks(s, root), e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, dim, ksub, rerank = Int.MaxValue)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+        // materialize (lineage truncated) so the temp index can go away
+        .localCheckpoint(true)
+      graft.Tables.deleteRecursively(root)
+      served
+    },
+
     // stream-static join: the event stream enriched against the static
     // customer dimension mid-stream, then aggregated — the standard
     // streaming-enrichment shape (static side re-read per micro-batch)
@@ -336,6 +371,10 @@ object Extended {
 
     "s9_stream_tws" -> statefulOracle,
     "s3_stream_stateful" -> statefulOracle,
+
+    // exact-serve contract: streamed-in codes + unbounded rerank ==
+    // brute-force kNN on the full table (same oracle as c6/c68)
+    "s13_stream_ann_ingest" -> LayerC.knnOracleSql,
 
     // gaps-and-islands sessionization == Spark session_window on bounded
     // input (new session when the gap is >= 30 min; Spark's window end is

@@ -323,6 +323,14 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
+    // join-key skew profile: the heaviest user_ids with share and
+    // skew factor — the measurement that decides whether a key needs
+    // saltedJoin/AQE splitting before the join is written
+    "c69_skew_profile" -> { (s, dir) =>
+      graft.operators.Skew.profile(
+        graft.Tables.load(s, dir, "events"), "user_id", topN = 20)
+    },
+
     // end-to-end curation pipeline: quality filter → exact dedup →
     // token-count projection — the composed shape of a training-data
     // prep job, each stage an already-verified operator
@@ -1125,7 +1133,8 @@ object LayerC {
 
   /** Exact per-query kNN in SQL — the oracle for c6 and for the ANN
     * variants (c14, c16) that run at exhaustive parameters. */
-  private val knnOracleSql: String =
+  // shared with Extended's s13 streaming ingest (same exact-serve contract)
+  private[queries] val knnOracleSql: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
       |s AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
@@ -2044,6 +2053,19 @@ object LayerC {
     // c7 runs exhaustive LSH parameters (total recall on the fixture) →
     // equals the exact top-20 pair set and shares c5's oracle verbatim
     "c7_ann_lsh" -> oracleC5,
+
+    // ties in n break by user_id — the same deterministic order the
+    // Spark TakeOrderedAndProject uses
+    "c69_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(1) AS n FROM events GROUP BY user_id),
+        |s AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+        |             CAST(count(1) AS DOUBLE) AS nkeys FROM c)
+        |SELECT user_id, n,
+        |  round(n / total, 6) AS share,
+        |  round(n * nkeys / total, 6) AS skew
+        |FROM c, s
+        |ORDER BY n DESC, user_id
+        |LIMIT 20""".stripMargin,
 
     "c8_text_quality" ->
       s"""SELECT doc_id,

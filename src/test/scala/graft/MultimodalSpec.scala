@@ -396,6 +396,12 @@ class MultimodalSpec extends AnyFunSuite {
     val hamUnrelated = java.lang.Long.bitCount(
       Multimodal.perceptualHash(base) ^ Multimodal.perceptualHash(cb))
     assert(hamUnrelated > 7, s"unrelated structures too close: $hamUnrelated")
+    // the fused one-pixel-pass path (what imageHashes runs) must equal
+    // the two single-tier entry points bit for bit
+    assert(Multimodal.imageSignatures(base) ==
+      (Multimodal.averageHash(base), Multimodal.perceptualHash(base)))
+    assert(Multimodal.imageSignatures(edited) ==
+      (Multimodal.averageHash(edited), Multimodal.perceptualHash(edited)))
   }
 
   test("perceptualHash is scale-invariant on the area-averaged grid") {

@@ -419,4 +419,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(reloaded == inMem,
       s"persisted path diverges: ${reloaded.diff(inMem)} vs ${inMem.diff(reloaded)}")
   }
+
+  test("AnnIndex.ingestStream: streamed-in codes equal a single-shot full encode") {
+    import graft.operators.AnnIndex
+    import graft.streaming.Streams
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (k, dim, m, ksub) = (10, 64, 8, 16)
+    val base = e.filter($"vec_id" % 5 =!= 0)
+    val fresh = e.filter($"vec_id" % 5 === 0).select("vec_id", "embedding")
+    // the model is trained on the BASE slice and frozen — the whole
+    // point: new arrivals never retrain or re-encode the corpus
+    val codebooks = Similarity.pqTrain(base, "embedding", dim, m, ksub, seed = 7L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annindex-ingest").toString
+    AnnIndex.save(spark, root, codebooks,
+      Similarity.pqEncode(base, "vec_id", "embedding", codebooks, dim))
+    val schema = Streams.writeOrderedReplay(fresh, "vec_id", 4, s"$root/replay")
+    AnnIndex.ingestStream(spark,
+      Streams.replayStream(spark, s"$root/replay", schema, maxFilesPerTrigger = 1),
+      root, Similarity.pqEncode(_, "vec_id", "embedding", codebooks, dim))
+    // codes relation now covers base + every streamed batch, each id once
+    val ingested = AnnIndex.loadCodes(spark, root)
+    assert(ingested.count() == e.count(), "ingest must cover the full corpus")
+    assert(ingested.select("nn_id").distinct().count() == e.count(),
+      "no id may be double-appended")
+    // and encodes IDENTICALLY to a from-scratch single-shot encode
+    val direct = Similarity.pqEncode(e, "vec_id", "embedding", codebooks, dim)
+      .as[(Long, Seq[Int], Double)].collect().toSet
+    val streamed = ingested.as[(Long, Seq[Int], Double)].collect().toSet
+    assert(streamed == direct,
+      s"streamed codes diverge: ${streamed.diff(direct).take(3)}")
+    // served top-k from the ingested index == in-memory search on the
+    // full corpus under the same frozen model
+    val queries = e.filter($"vec_id" < 5)
+    val served = Similarity.pqSearch(ingested, AnnIndex.loadCodebooks(spark, root),
+        e, queries, "vec_id", "embedding", k, dim, ksub, rerank = 50)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val inMem = Similarity.pqSearch(
+        Similarity.pqEncode(e, "vec_id", "embedding", codebooks, dim), codebooks,
+        e, queries, "vec_id", "embedding", k, dim, ksub, rerank = 50)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(served == inMem,
+      s"ingested index diverges: ${served.diff(inMem)} vs ${inMem.diff(served)}")
+    Tables.deleteRecursively(root)
+  }
 }

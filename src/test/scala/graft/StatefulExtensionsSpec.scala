@@ -72,4 +72,23 @@ class StatefulExtensionsSpec extends AnyFunSuite {
       .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(plain.sameElements(salted))
   }
+
+  test("Skew.profile: hand-computed shares and skew factors, top-N plan shape") {
+    import spark.implicits._
+    // key A ×6, B ×3, C ×1 → total 10, 3 keys, mean load 10/3
+    val df = (Seq.fill(6)("A") ++ Seq.fill(3)("B") ++ Seq("C")).toDF("k")
+    val top2 = Skew.profile(df, "k", topN = 2)
+    val rows = top2.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("A", 6L, 0.6, 1.8),   // 6/10, 6/(10/3)
+      ("B", 3L, 0.3, 0.9))) // 3/10, 3/(10/3)
+    // plan shape: top-N never global-sorts, the 1-row totals broadcast
+    // back over the counts instead of re-shuffling them
+    top2.collect()
+    val p = top2.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"no top-N operator:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"totals not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"counts re-shuffled for totals:\n$p")
+  }
 }
