@@ -132,17 +132,32 @@ object Dedup {
   private def jaccardSurvivors(left: DataFrame, right: DataFrame,
                                idCol: String, textCol: String,
                                shingleN: Int, threshold: Double,
-                               sameRelation: Boolean): DataFrame = {
-    // join key is the 64-bit shingle hash, not the shingle text: the
-    // join output (quadratic in shingle document frequency) shuffles
-    // 8-byte keys instead of multi-word strings
-    def inv(d: DataFrame, idAs: String, nAs: String) = d
-      .withColumn("_sh", shingles(col(textCol), shingleN))
-      .select(col(idCol).as(idAs), size(col("_sh")).as(nAs),
-        explode(col("_sh")).as("_s0"))
-      .select(col(idAs), col(nAs), xxhash64(col("_s0")).as("_s"))
-    val a = inv(left, "id_a", "_na")
-    val b = inv(right, "id_b", "_nb")
+                               sameRelation: Boolean): DataFrame =
+    survivorsFromIndexes(
+      invertedIndex(left, idCol, textCol, shingleN, "id_a", "_na"),
+      invertedIndex(right, idCol, textCol, shingleN, "id_b", "_nb"),
+      threshold, sameRelation)
+
+  /** Hashed inverted shingle index of a document relation:
+    * (id, set size, 64-bit shingle hash) — one exploded row per
+    * shingle. The join key is the hash, not the shingle text: the
+    * candidate join's output (quadratic in shingle document frequency)
+    * shuffles 8-byte keys instead of multi-word strings. This relation
+    * is also what [[DedupIndex]] persists across ingests. */
+  private[operators] def invertedIndex(d: DataFrame, idCol: String,
+                                       textCol: String, shingleN: Int,
+                                       idAs: String, nAs: String): DataFrame = d
+    .withColumn("_sh", shingles(col(textCol), shingleN))
+    .select(col(idCol).as(idAs), size(col("_sh")).as(nAs),
+      explode(col("_sh")).as("_s0"))
+    .select(col(idAs), col(nAs), xxhash64(col("_s0")).as("_s"))
+
+  /** Candidate stage over two ALREADY-BUILT inverted indexes (columns
+    * (id_a,_na,_s) and (id_b,_nb,_s)) — the index-resident form used by
+    * both the inline joins and [[DedupIndex.probe]]. */
+  private[operators] def survivorsFromIndexes(a: DataFrame, b: DataFrame,
+                                              threshold: Double,
+                                              sameRelation: Boolean): DataFrame = {
     val pairCond = if (sameRelation) col("id_a") < col("id_b") else lit(true)
     a.join(b, a("_s") === b("_s") && pairCond &&
         col("_na") >= col("_nb") * threshold - lit(1e-9) &&

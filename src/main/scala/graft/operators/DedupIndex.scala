@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Persistence for the near-dup detection tier — the text-dedup
+  * counterpart of [[AnnIndex]]: [[Dedup.ngramJaccardPairsAcross]]
+  * rebuilds the corpus side's hashed inverted shingle index on every
+  * ingest, but that index is a pure function of the corpus and is the
+  * expensive corpus-sized pass (shingle + explode + hash over every
+  * document). A production ingest pipeline builds it ONCE, probes each
+  * arriving batch against it, and appends the batch's own rows after
+  * the batch is admitted — per-ingest cost becomes proportional to the
+  * batch, not the corpus.
+  *
+  * Layout: one parquet relation under `root/index` with columns
+  * (id_b, _nb, _s) = (doc id, shingle-set size, 64-bit shingle hash) —
+  * [[Dedup.invertedIndex]]'s exact output, written verbatim (stays
+  * distributed; no driver-sized collect anywhere).
+  *
+  * Correctness contract: `probe` runs the same two-tier candidate
+  * pipeline as the inline join — hashed-index candidates with the
+  * size-ratio prune (full recall: hash collisions only inflate the
+  * common count), then exact string-set Jaccard verification on the
+  * survivors — so probing a persisted index equals
+  * `ngramJaccardPairsAcross(newDocs, corpus)` row for row (pinned in
+  * DedupSpec, oracle-checked as c70). The verify stage needs the
+  * corpus TEXTS for the survivor pairs only; pass the same corpus
+  * relation the index was built from.
+  */
+object DedupIndex {
+
+  /** Build and persist the corpus inverted index. */
+  def save(spark: SparkSession, root: String, corpus: DataFrame,
+           idCol: String, textCol: String, shingleN: Int): Unit =
+    Dedup.invertedIndex(corpus, idCol, textCol, shingleN, "id_b", "_nb")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/index")
+
+  /** Append an admitted batch's rows to the persisted index — the
+    * ingest-side update ([[AnnIndex.ingestStream]]'s pattern; parquet
+    * append is at-least-once under retry, so production writes through
+    * a batch-id subdir or transactional format). After the append, the
+    * index equals a from-scratch [[save]] over corpus ∪ batch (pinned
+    * in DedupSpec). */
+  def append(spark: SparkSession, root: String, batch: DataFrame,
+             idCol: String, textCol: String, shingleN: Int): Unit =
+    Dedup.invertedIndex(batch, idCol, textCol, shingleN, "id_b", "_nb")
+      .write.mode(SaveMode.Append).parquet(s"$root/index")
+
+  /** Reload the persisted index relation. */
+  def load(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/index")
+
+  /** Near-dup pairs (id_a from `newDocs`, id_b in the index) with exact
+    * shingle-set Jaccard ≥ `threshold`. Only `newDocs` is shingled;
+    * the corpus side scans the persisted index. `corpus` supplies
+    * texts for the survivor-pair verification only. */
+  def probe(spark: SparkSession, root: String, newDocs: DataFrame,
+            corpus: DataFrame, idCol: String, textCol: String,
+            shingleN: Int, threshold: Double): DataFrame = {
+    val candidates = Dedup.survivorsFromIndexes(
+      Dedup.invertedIndex(newDocs, idCol, textCol, shingleN, "id_a", "_na"),
+      load(spark, root), threshold, sameRelation = false)
+    Dedup.verifyJaccardAcross(candidates, newDocs, corpus, idCol, textCol,
+      threshold, shingleN)
+  }
+}

@@ -493,6 +493,26 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
+    // the persisted-index form of c34: the corpus-side inverted shingle
+    // index is built ONCE, written to parquet, reloaded, and the new
+    // crawl probes it — per-ingest cost proportional to the batch, not
+    // the corpus; identical result, same oracle (fixed workdir +
+    // Overwrite: bench reps re-serve instead of accumulating; the
+    // probe reads the index lazily, so no delete here)
+    "c70_neardup_index" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 7 =!= 0)
+      val crawl = d.filter(col("doc_id") % 7 === 0)
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-c70-dedupindex").toString
+      graft.operators.DedupIndex.save(s, root, corpus, "doc_id", "text",
+        shingleN = 3)
+      graft.operators.DedupIndex.probe(s, root, crawl, corpus,
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
     // top-50 PMI collocations (min pair count 5) — multiword-unit mining
     "c35_pmi_collocations" -> { (s, dir) =>
       TextAnalysis.pmiCollocations(docs(s, dir), "text", k = 50, minCount = 5L)
@@ -1133,6 +1153,17 @@ object LayerC {
 
   /** Exact per-query kNN in SQL — the oracle for c6 and for the ANN
     * variants (c14, c16) that run at exhaustive parameters. */
+  // shared by c34 (inline cross join) and c70 (persisted-index probe):
+  // both compute new-crawl × corpus shingle-set Jaccard ≥ 0.5
+  private lazy val incrementalNeardupSql: String =
+    s"""WITH $shingleCteSql
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round($jaccardExprSql, 6) AS jaccard
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+       |WHERE $jaccardExprSql >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   // shared with Extended's s13 streaming ingest (same exact-serve contract)
   private[queries] val knnOracleSql: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
@@ -1291,14 +1322,11 @@ object LayerC {
     "c37_bpe_segment" -> bpeSegmentSql(10),
 
     // same shared shingle derivation, batch side vs corpus side
-    "c34_incremental_neardup" ->
-      s"""WITH $shingleCteSql
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round($jaccardExprSql, 6) AS jaccard
-         |FROM sh a JOIN sh b
-         |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
-         |WHERE $jaccardExprSql >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+    "c34_incremental_neardup" -> incrementalNeardupSql,
+
+    // c70 serves the SAME relation from a persisted-and-reloaded
+    // corpus index — identical result, identical oracle
+    "c70_neardup_index" -> incrementalNeardupSql,
 
     // same pair derivation as c4 (shared fragments), then connected
     // components via a recursive CTE (UNION dedups → saturates)

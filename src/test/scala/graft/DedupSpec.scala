@@ -218,4 +218,37 @@ class DedupSpec extends AnyFunSuite {
     assert(exact == pfx)
     assert(pfx.nonEmpty)
   }
+
+  test("DedupIndex: persisted probe equals the inline join; append equals rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DedupIndex
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val crawl = d.filter(col("doc_id") % 7 === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dedupindex").toString
+    DedupIndex.save(spark, root, corpus, "doc_id", "text", shingleN = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+    val probed = rows(DedupIndex.probe(spark, root, crawl, corpus,
+      "doc_id", "text", shingleN = 3, threshold = 0.5))
+    val inline = rows(Dedup.ngramJaccardPairsAcross(crawl, corpus,
+      "doc_id", "text", shingleN = 3, threshold = 0.5))
+    assert(probed == inline && probed.nonEmpty,
+      s"persisted probe diverges from the inline join: " +
+        s"${probed.diff(inline).take(3)} vs ${inline.diff(probed).take(3)}")
+    // ingest-side update: after appending the admitted crawl, the index
+    // equals a from-scratch build over corpus ∪ crawl
+    DedupIndex.append(spark, root, crawl, "doc_id", "text", shingleN = 3)
+    val appended = DedupIndex.load(spark, root)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-dedupindex-full").toString
+    DedupIndex.save(spark, root2, d, "doc_id", "text", shingleN = 3)
+    val rebuilt = DedupIndex.load(spark, root2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(appended == rebuilt, "appended index must equal a full rebuild")
+    Tables.deleteRecursively(root); Tables.deleteRecursively(root2)
+  }
 }

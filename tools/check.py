@@ -26,7 +26,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # oracles quadratic in corpus size (shingle self-joins / recursive
 # reachability) — run them at sf0.01, skip at sf0.1 sweeps
 QUADRATIC = ["c2_dedup_minhash", "c4_ngram_jaccard", "c23_dup_clusters",
-             "c33_cluster_keep_best", "c34_incremental_neardup"]
+             "c33_cluster_keep_best", "c34_incremental_neardup",
+             "c70_neardup_index"]
 
 
 def canon(v):
