@@ -257,6 +257,45 @@ object Similarity {
       .drop("_mu", "_c")
   }
 
+  /** Deterministic Rademacher (±1/√k) projection matrix for
+    * [[randomProject]]: entry (i, j) takes its sign from a
+    * splitmix64-style finalizer over (seed, i·k + j), so the same
+    * (dim, k, seed) always yields the same matrix — exposed so the
+    * verification oracle can replay the identical constants.
+    * Achlioptas (2001): ±1 entries satisfy the JL distance-preservation
+    * guarantee with the same ε bounds as Gaussian entries. */
+  def rademacherMatrix(dim: Int, k: Int, seed: Long): Array[Array[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val s = 1.0 / math.sqrt(k.toDouble)
+    Array.tabulate(dim, k)((i, j) =>
+      if ((mix(seed * 0x100000001b3L + i.toLong * k + j) & 1L) == 0L) s else -s)
+  }
+
+  /** Johnson–Lindenstrauss random projection: map `dim`-d vectors to
+    * `k` dimensions through the seeded Rademacher matrix, preserving
+    * pairwise distances within (1 ± ε) w.h.p. — the model-free
+    * dimensionality cut (no training pass, no corpus statistics),
+    * where [[pcaProject]] is the data-aware one. Use it as the cheap
+    * prefilter tier for retrieval (project → shortlist in k-d → exact
+    * rerank in full d; recall floor pinned in SimilaritySpec).
+    *
+    * Scale shape: ONE narrow codegen projection against literal
+    * coefficient arrays — no shuffle, no driver pass over the corpus,
+    * nothing collected; the matrix is (dim × k) literals. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    dim: Int = 64, seed: Long = 7L): DataFrame = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    val m = rademacherMatrix(dim, k, seed)
+    val comps = (0 until k).map(j => dot(col(vecCol).cast("array<double>"),
+      array((0 until dim).map(i => lit(m(i)(j))): _*)))
+    df.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** Reciprocal Rank Fusion: combine N rankings of the same id space
     * into one — the standard hybrid-retrieval combiner (lexical BM25 +
     * vector kNN; Cormack et al., SIGIR 2009). Each list contributes

@@ -124,6 +124,18 @@ object LayerC {
         .orderBy("vec_id")
     },
 
+    // Johnson–Lindenstrauss random projection 64→8: the model-free
+    // dimensionality cut (seeded Rademacher matrix, no training pass) —
+    // c66's PCA is the data-aware sibling. The oracle replays the
+    // IDENTICAL matrix constants through DuckDB's list_inner_product.
+    "c71_random_project" -> { (s, dir) =>
+      val p = Similarity.randomProject(embs(s, dir), "vec_id", "embedding",
+        k = 8)
+      p.select(col("vec_id") +: (1 to 8).map(j =>
+          round(element_at(col("proj"), j), 6).as(s"p$j")): _*)
+        .orderBy("vec_id")
+    },
+
     // tokenizer fertility by language: BPE symbols-per-word per lang
     // under the learned 10-merge table — the tokenizer-equity readout
     // (a lang whose words split into many symbols pays more context
@@ -1164,6 +1176,21 @@ object LayerC {
        |WHERE $jaccardExprSql >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // c71's oracle is GENERATED from the same deterministic Rademacher
+  // matrix the operator uses — DuckDB recomputes every projection
+  // independently through list_inner_product over the literal columns
+  private lazy val randomProjectSql: String = {
+    val m = graft.operators.Similarity.rademacherMatrix(64, 8, 7L)
+    val cols = (0 until 8).map { j =>
+      val lits = (0 until 64).map(i => m(i)(j).toString).mkString("[", ", ", "]")
+      s"round(list_inner_product(embedding::DOUBLE[], $lits), 6) AS p${j + 1}"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $cols
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // shared with Extended's s13 streaming ingest (same exact-serve contract)
   private[queries] val knnOracleSql: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
@@ -1327,6 +1354,8 @@ object LayerC {
     // c70 serves the SAME relation from a persisted-and-reloaded
     // corpus index — identical result, identical oracle
     "c70_neardup_index" -> incrementalNeardupSql,
+
+    "c71_random_project" -> randomProjectSql,
 
     // same pair derivation as c4 (shared fragments), then connected
     // components via a recursive CTE (UNION dedups → saturates)

@@ -420,6 +420,46 @@ class SimilaritySpec extends AnyFunSuite {
       s"persisted path diverges: ${reloaded.diff(inMem)} vs ${inMem.diff(reloaded)}")
   }
 
+  test("randomProject: unit vectors extract matrix rows; JL distortion bounded") {
+    import org.apache.spark.sql.functions._
+    val (dim, k) = (64, 16)
+    val m = Similarity.rademacherMatrix(dim, k, seed = 7L)
+    // every entry is exactly ±1/√k, and the seed matters
+    val s = 1.0 / math.sqrt(k.toDouble)
+    assert(m.flatten.forall(v => v == s || v == -s))
+    assert(Similarity.rademacherMatrix(dim, k, seed = 8L).flatten.toSeq !=
+      m.flatten.toSeq, "different seeds must give different matrices")
+    assert(Similarity.rademacherMatrix(dim, k, seed = 7L).flatten.toSeq ==
+      m.flatten.toSeq, "same seed must reproduce the matrix")
+    // projecting unit vector e_i reads back row i of the matrix exactly
+    // (the dot degenerates to one term — no float ambiguity)
+    val units = Seq(0, 17, 63).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => if (d == i) 1.0f else 0.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    Similarity.randomProject(units, "vec_id", "embedding", k, dim)
+      .collect().foreach { r =>
+        val i = r.getLong(0).toInt
+        assert(r.getSeq[Double](1) == m(i).toSeq, s"row $i mismatch")
+      }
+    // JL on the fixture: squared pairwise distances at k=16 stay within
+    // a loose distortion band and are unbiased on average
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter($"vec_id" < 40)
+    val orig = e.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val proj = Similarity.randomProject(e, "vec_id", "embedding", k, dim)
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      a <- orig.keys.toSeq.sorted; b <- orig.keys.toSeq.sorted if a < b
+    } yield d2(proj(a), proj(b)) / d2(orig(a), orig(b))
+    assert(ratios.forall(r => r > 0.2 && r < 3.0),
+      s"distortion out of band: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.25, s"distance ratio biased: mean=$mean")
+  }
+
   test("AnnIndex.ingestStream: streamed-in codes equal a single-shot full encode") {
     import graft.operators.AnnIndex
     import graft.streaming.Streams
