@@ -17,12 +17,76 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional 2nd arg selects a tier: "vec" | "vec-new" (round-6 ops
     // only) | "text" | "r6b" (late-round-6 graph/text/retrieval ops) |
-    // "all" (default)
+    // "r8" (round-8 persisted-index/projection/skew ops) | "all" (default)
     val tier = args.lift(1).getOrElse("all")
-    require(Set("vec", "vec-new", "text", "r6b", "all")(tier),
-      s"unknown tier '$tier' — expected vec | vec-new | text | r6b | all")
+    require(Set("vec", "vec-new", "text", "r6b", "r8", "all")(tier),
+      s"unknown tier '$tier' — expected vec | vec-new | text | r6b | r8 | all")
     val spark = GraftSession.build("graft-scale-probe")
     val base = Tables.load(spark, sfDir, "embeddings")
+
+    if (tier == "r8" || tier == "all") {
+      import graft.operators.{AnnIndex, DedupIndex, Skew}
+      val work = java.nio.file.Files.createTempDirectory("graft_probe_r8").toString
+      // 10× docs with per-copy tails: near-dup structure planted
+      val docs10 = Tables.load(spark, sfDir, "documents")
+        .crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          concat(col("text"), lit(" tail"), col("copy")).as("text"),
+          col("source"), col("lang"))
+        .cache()
+      println(s"[probe] r8 docs corpus: ${docs10.count()} documents")
+      val corpus10 = docs10.filter(col("doc_id") % 7 =!= 0)
+      val crawl10 = docs10.filter(col("doc_id") % 7 === 0)
+      // the split the persisted index buys: save is the one-off
+      // corpus-sized pass; probe is the recurring per-ingest cost —
+      // compare probe against the inline join that re-shingles the
+      // corpus every time
+      time("DedupIndex.save (corpus-side inverted index, one-off)")({
+        DedupIndex.save(spark, s"$work/dedup", corpus10, "doc_id", "text", 3)
+        spark.emptyDataFrame
+      })
+      time("DedupIndex.probe crawl vs persisted index (recurring)")(
+        DedupIndex.probe(spark, s"$work/dedup", crawl10, corpus10,
+          "doc_id", "text", 3, 0.5))
+      time("inline ngramJaccardPairsAcross (re-shingles corpus)")(
+        Dedup.ngramJaccardPairsAcross(crawl10, corpus10, "doc_id", "text", 3, 0.5))
+      docs10.unpersist()
+
+      // 10× vectors: JL projection is a pure scan-speed projection;
+      // AnnIndex splits serve cost from the one-off encode
+      val emb10 = base.crossJoin(spark.range(10).toDF("copy"))
+        .select((col("vec_id") * 10 + col("copy")).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            x + ((pmod(col("copy") * 5 + j, lit(11)) - 5).cast("float") * lit(0.01f)))
+            .as("embedding"))
+        .cache()
+      println(s"[probe] r8 vectors: ${emb10.count()}")
+      time("randomProject 64->16 (JL, literal matrix)")(
+        Similarity.randomProject(emb10, "vec_id", "embedding", 16))
+      val books = Similarity.pqTrain(emb10, "embedding", 64, 8, 16, 7L, 0.1)
+      time("AnnIndex.save (train excluded; encode+persist, one-off)")({
+        AnnIndex.save(spark, s"$work/ann", books,
+          Similarity.pqEncode(emb10, "vec_id", "embedding", books, 64))
+        spark.emptyDataFrame
+      })
+      time("AnnIndex serve: pqSearch 2000 queries, rerank 50 (recurring)")(
+        Similarity.pqSearch(AnnIndex.loadCodes(spark, s"$work/ann"),
+          AnnIndex.loadCodebooks(spark, s"$work/ann"), emb10,
+          emb10.filter(col("vec_id") < 2000), "vec_id", "embedding",
+          10, 64, 16, rerank = 50))
+      emb10.unpersist()
+
+      // 10× events: the skew profile is one key aggregation + top-N
+      val ev10 = Tables.load(spark, sfDir, "events")
+        .crossJoin(spark.range(10).toDF("copy"))
+        .select((col("user_id") + col("copy") * 10000000L).as("user_id"))
+        .cache()
+      println(s"[probe] r8 events: ${ev10.count()} rows")
+      time("Skew.profile top-20 on user_id")(
+        Skew.profile(ev10, "user_id", 20))
+      ev10.unpersist()
+      Tables.deleteRecursively(work)
+    }
 
     if (tier == "r6b" || tier == "all") {
       // 10 disjoint copies of the customer–supplier trade graph: per-copy
@@ -89,7 +153,7 @@ object ScaleProbe {
         graft.multimodal.Multimodal.hashNearDupPairs(hashes, "doc_id", "ahash", 7))
     }
 
-    if (tier != "text" && tier != "r6b") {
+    if (tier != "text" && tier != "r6b" && tier != "r8") {
     val newOnly = tier == "vec-new"
     val blown = base.crossJoin(spark.range(10).toDF("copy"))
       .select(
@@ -134,7 +198,7 @@ object ScaleProbe {
         trainFraction = 0.25))
     }
 
-    if (tier != "vec" && tier != "vec-new" && tier != "r6b") {
+    if (tier != "vec" && tier != "vec-new" && tier != "r6b" && tier != "r8") {
     // text-curation tier (round 3): 10× blow-up of the documents fixture
     // with a copy marker appended so near-dup (not identical) structure
     // is planted by construction
