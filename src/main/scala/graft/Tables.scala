@@ -58,6 +58,15 @@ object Tables {
     }
   }
 
+  /** One temp root per JVM for queries that persist-and-reload index
+    * artifacts (c68, c70): unique per process — a FIXED path under
+    * /tmp would let two concurrent suite runs Overwrite each other's
+    * parquet mid-read — and reused across bench reps within the
+    * process, so Overwrite replaces in place instead of accumulating
+    * one coded corpus per invocation. */
+  lazy val processWorkDir: String =
+    java.nio.file.Files.createTempDirectory("graft-qwork").toString
+
   /** Best-effort recursive delete for harness temp directories (replay
     * chunks, persisted ANN work dirs) once results are materialized. */
   def deleteRecursively(path: String): Unit = {

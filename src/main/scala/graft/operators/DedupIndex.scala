@@ -23,9 +23,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * common count), then exact string-set Jaccard verification on the
   * survivors — so probing a persisted index equals
   * `ngramJaccardPairsAcross(newDocs, corpus)` row for row (pinned in
-  * DedupSpec, oracle-checked as c70). The verify stage needs the
-  * corpus TEXTS for the survivor pairs only; pass the same corpus
-  * relation the index was built from.
+  * DedupSpec, oracle-checked as c70).
+  *
+  * IMPORTANT: the `corpus` relation passed to `probe` must cover the
+  * texts of EVERY document in the index — after `append`, that means
+  * the original corpus PLUS every appended batch. The verify stage
+  * inner-joins candidate ids back to `corpus` for their texts, so a
+  * candidate whose id is indexed but text-less would be silently
+  * dropped (duplicate admitted). `probe` guards this with a cheap
+  * id-coverage check by default (one ids-only anti-join; disable via
+  * `checkCoverage = false` on hot paths where the caller guarantees
+  * it).
   */
 object DedupIndex {
 
@@ -53,13 +61,28 @@ object DedupIndex {
   /** Near-dup pairs (id_a from `newDocs`, id_b in the index) with exact
     * shingle-set Jaccard ≥ `threshold`. Only `newDocs` is shingled;
     * the corpus side scans the persisted index. `corpus` supplies
-    * texts for the survivor-pair verification only. */
+    * texts for the survivor-pair verification and must cover every
+    * indexed id (see the object scaladoc). */
   def probe(spark: SparkSession, root: String, newDocs: DataFrame,
             corpus: DataFrame, idCol: String, textCol: String,
-            shingleN: Int, threshold: Double): DataFrame = {
+            shingleN: Int, threshold: Double,
+            checkCoverage: Boolean = true): DataFrame = {
+    val index = load(spark, root)
+    if (checkCoverage) {
+      // ids-only anti-join: an indexed id with no text in `corpus`
+      // would silently drop its candidate pairs in the verify stage
+      import org.apache.spark.sql.functions.col
+      val uncovered = index.select(col("id_b")).distinct()
+        .join(corpus.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+        .limit(5).collect().map(_.getLong(0))
+      require(uncovered.isEmpty,
+        s"index contains ids with no text in the corpus relation " +
+          s"(e.g. ${uncovered.mkString(", ")}) — after append(), pass " +
+          "corpus PLUS every appended batch")
+    }
     val candidates = Dedup.survivorsFromIndexes(
       Dedup.invertedIndex(newDocs, idCol, textCol, shingleN, "id_a", "_na"),
-      load(spark, root), threshold, sameRelation = false)
+      index, threshold, sameRelation = false)
     Dedup.verifyJaccardAcross(candidates, newDocs, corpus, idCol, textCol,
       threshold, shingleN)
   }

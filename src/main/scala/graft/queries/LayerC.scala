@@ -319,12 +319,12 @@ object LayerC {
       val (dim, m, ksub) = (64, 8, 16)
       val codebooks = Similarity.pqTrain(e, "embedding", dim, m, ksub,
         seed = 7L, trainFraction = 0.25)
-      // fixed workdir + Overwrite saves: repeated bench reps re-serve
-      // from the same root instead of accumulating one coded corpus per
-      // invocation (the reloaded-from-disk search stays lazy, so the
+      // per-process workdir + Overwrite saves: bench reps re-serve from
+      // the same root instead of accumulating one coded corpus per
+      // invocation, and concurrent suite runs cannot race each other's
+      // Overwrite (the reloaded-from-disk search stays lazy, so the
       // files must outlive this call — no delete here)
-      val root = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-c68-annindex").toString
+      val root = s"${graft.Tables.processWorkDir}/c68-annindex"
       graft.operators.AnnIndex.save(s, root, codebooks,
         Similarity.pqEncode(e, "vec_id", "embedding", codebooks, dim))
       Similarity.pqSearch(graft.operators.AnnIndex.loadCodes(s, root),
@@ -508,15 +508,14 @@ object LayerC {
     // the persisted-index form of c34: the corpus-side inverted shingle
     // index is built ONCE, written to parquet, reloaded, and the new
     // crawl probes it — per-ingest cost proportional to the batch, not
-    // the corpus; identical result, same oracle (fixed workdir +
-    // Overwrite: bench reps re-serve instead of accumulating; the
-    // probe reads the index lazily, so no delete here)
+    // the corpus; identical result, same oracle (per-process workdir +
+    // Overwrite: bench reps re-serve instead of accumulating, and no
+    // cross-process race; the probe reads lazily, so no delete here)
     "c70_neardup_index" -> { (s, dir) =>
       val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") % 7 =!= 0)
       val crawl = d.filter(col("doc_id") % 7 === 0)
-      val root = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-c70-dedupindex").toString
+      val root = s"${graft.Tables.processWorkDir}/c70-dedupindex"
       graft.operators.DedupIndex.save(s, root, corpus, "doc_id", "text",
         shingleN = 3)
       graft.operators.DedupIndex.probe(s, root, crawl, corpus,

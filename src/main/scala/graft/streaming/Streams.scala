@@ -171,16 +171,22 @@ object Streams {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(nChunks >= 2 && nChunks <= 64, s"unreasonable nChunks $nChunks")
     new java.io.File(dir).mkdirs()
-    // cuts and range filters go through double; keys beyond 2^53 would
-    // round and could strand a row in the wrong chunk, silently breaking
-    // the contiguity the first-seen == min-key oracle depends on
-    val maxAbs = df.agg(max(abs(col(sortCol).cast("double")))).head.getDouble(0)
-    require(maxAbs < (1L << 53).toDouble,
-      s"$sortCol exceeds the double-exact range (max |v| = $maxAbs)")
     val qs = (1 until nChunks).map(_.toDouble / nChunks)
-    val cuts = df
-      .selectExpr(s"percentile(cast($sortCol as double), array(${qs.mkString(",")})) as c")
-      .collect().head.getSeq[Double](0)
+    // ONE aggregation pass computes the chunk cuts AND the double-exact
+    // guard: cuts and range filters go through double, so keys beyond
+    // 2^53 would round and could strand a row in the wrong chunk,
+    // silently breaking the contiguity the first-seen == min-key oracle
+    // depends on
+    val statsRow = df
+      .selectExpr(
+        s"percentile(cast($sortCol as double), array(${qs.mkString(",")})) as c",
+        s"max(abs(cast($sortCol as double))) as m")
+      .collect().head
+    require(!statsRow.isNullAt(1),
+      s"writeOrderedReplay: empty input or all-null $sortCol")
+    require(statsRow.getDouble(1) < (1L << 53).toDouble,
+      s"$sortCol exceeds the double-exact range (max |v| = ${statsRow.getDouble(1)})")
+    val cuts = statsRow.getSeq[Double](0)
     val edges = (Double.MinValue +: cuts) :+ Double.MaxValue
     edges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), k) =>
       val tmp = s"$dir/_tmp$k"

@@ -91,10 +91,17 @@ object ProbeStreamState {
         col("n_chars"),
         // texts distinct per copy: every doc is NOVEL, the worst case
         // for dedup state growth
-        concat(col("text"), lit(s"#c$i")).as("text")))
+        concat(col("text"), lit(s"#c$i")).as("text"),
+        // CONTIGUOUS ingest timeline across copies (1 s per doc): deriving
+        // ts from the offset doc_id would open ~115-day gaps between
+        // copies, evicting even the "resident" regime's state at every
+        // copy boundary and making the two regimes measure the same thing
+        lit(i.toLong).as("_copy"), col("doc_id").as("_orig")))
       .reduce(_ unionByName _)
       .withColumn("ingest_ts",
-        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L))
+        timestamp_millis(lit(1700000000000L) +
+          (col("_copy") * 10000L + col("_orig")) * 1000L))
+      .drop("_copy", "_orig")
     val docTotal = docsBig.count()
     val dSchema = Streams.writeOrderedReplay(docsBig, "doc_id", nChunks,
       s"$work/docs")

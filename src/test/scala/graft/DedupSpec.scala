@@ -249,6 +249,18 @@ class DedupSpec extends AnyFunSuite {
     val rebuilt = DedupIndex.load(spark, root2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(appended == rebuilt, "appended index must equal a full rebuild")
+    // the coverage guard: probing the appended index with only the
+    // ORIGINAL corpus texts must fail loudly (appended ids would
+    // otherwise be silently unverifiable), and probing with the full
+    // relation must work
+    val ex = intercept[IllegalArgumentException] {
+      DedupIndex.probe(spark, root, crawl, corpus,
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+    }
+    assert(ex.getMessage.contains("appended"), ex.getMessage)
+    assert(DedupIndex.probe(spark, root, crawl, d,
+      "doc_id", "text", shingleN = 3, threshold = 0.5).columns
+      .sameElements(Array("id_a", "id_b", "jaccard")))
     Tables.deleteRecursively(root); Tables.deleteRecursively(root2)
   }
 }
