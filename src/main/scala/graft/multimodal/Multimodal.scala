@@ -327,16 +327,19 @@ object Multimodal {
   }
 
   /** 16-bin L1-normalized luminance histogram over decoded pixels
-    * (ITU-R BT.601 luma weights). */
+    * (ITU-R BT.601 luma weights). Bulk row reads — per-pixel `getRGB`
+    * pays a color-model conversion per call (see lumaGrid). */
   def lumaHistogram(img: BufferedImage): Array[Float] = {
     val bins = new Array[Float](16)
     val w = img.getWidth
     val h = img.getHeight
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val r = (rgb >> 16) & 0xff
         val g = (rgb >> 8) & 0xff
         val b = rgb & 0xff
@@ -440,21 +443,26 @@ object Multimodal {
 
   /** Area-averaged luma grid: cell (cy, cx) holds the mean luma of the
     * pixels mapping onto it (floor(y·n/h), floor(x·n/w)). The shared
-    * accumulation behind both signature tiers. */
+    * accumulation behind both signature tiers. Pixels come through ONE
+    * bulk `getRGB` row read per scanline — the per-pixel `getRGB` call
+    * pays a color-model conversion every invocation and dominated the
+    * hash cost (same ARGB ints, so hashes are bit-identical). */
   private def lumaGrid(img: BufferedImage, n: Int): Array[Double] = {
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Double](n * n)
     val counts = new Array[Int](n * n)
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
-      val cy = math.min(y * n / h, n - 1)
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val cy = math.min(y * n / h, n - 1) * n
       var x = 0
       while (x < w) {
         val cx = math.min(x * n / w, n - 1)
-        val rgb = img.getRGB(x, y)
-        sums(cy * n + cx) += 0.299 * ((rgb >> 16) & 0xff) +
+        val rgb = row(x)
+        sums(cy + cx) += 0.299 * ((rgb >> 16) & 0xff) +
           0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-        counts(cy * n + cx) += 1
+        counts(cy + cx) += 1
         x += 1
       }
       y += 1
@@ -545,13 +553,15 @@ object Multimodal {
     val w = img.getWidth; val h = img.getHeight
     val s8 = new Array[Double](64); val c8 = new Array[Int](64)
     val s32 = new Array[Double](1024); val c32 = new Array[Int](1024)
+    val row = new Array[Int](w) // bulk row reads — see lumaGrid
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       val cy8 = math.min(y * 8 / h, 7) * 8
       val cy32 = math.min(y * 32 / h, 31) * 32
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val l = 0.299 * ((rgb >> 16) & 0xff) +
           0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
         val i8 = cy8 + math.min(x * 8 / w, 7)
