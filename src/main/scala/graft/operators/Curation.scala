@@ -41,6 +41,44 @@ object Curation {
         round(w / share, 6).as("epochs"))
   }
 
+  /** Materialize a training mixture: the DRAW step that turns
+    * [[mixtureWeights]]'s sampling weights into an actual document
+    * set — a deterministic per-group uniform sample of `quota_g`
+    * documents (quota relation: (groupCol, quotaCol), typically
+    * `round(totalK × sample_weight)`). Selection within a group is by
+    * the c39 seeded 64-bit shuffle key, DESCENDING — reproducible
+    * across runs, partitionings, and engines (the verification oracle
+    * replays the key bit-for-bit), unlike `rand()`/`sampleBy` draws.
+    * Output: (groupCol, idCol, rk) with rk in [1, quota_g].
+    *
+    * Scale shape: exact per-group top-k in TWO phases (the pqKnn
+    * shortlist rule): a (group, input-partition)-local row_number
+    * prunes each group to ≤ nPartitions×quota candidates — each window
+    * chunk sorts only one partition's slice of one group, so a huge
+    * group never single-partition-sorts — then a group-global
+    * row_number over the pruned survivors picks the final quota.
+    * Selection commutes with partition-local pruning, so this is
+    * exact. Quotas broadcast (model-sized). */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    quotas: DataFrame, quotaCol: String,
+                    seed: Long): DataFrame = {
+    val keyed = df.select(col(groupCol), col(idCol))
+      .withColumn("_sk", graft.functions.TextFunctions.seededKey(col(idCol), seed))
+      .withColumn("_p", spark_partition_id())
+    val q = broadcast(quotas.select(col(groupCol),
+      col(quotaCol).cast("long").as("_q")))
+    val wLocal = Window.partitionBy(col(groupCol), col("_p"))
+      .orderBy(col("_sk").desc, col(idCol))
+    val wGlobal = Window.partitionBy(col(groupCol))
+      .orderBy(col("_sk").desc, col(idCol))
+    keyed.join(q, Seq(groupCol))
+      .withColumn("_lrk", row_number().over(wLocal))
+      .filter(col("_lrk") <= col("_q"))
+      .withColumn("rk", row_number().over(wGlobal))
+      .filter(col("rk") <= col("_q"))
+      .select(col(groupCol), col(idCol), col("rk"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins by
     * running token count, packing within `groupCol` partitions in
     * `idCol` order (the streaming-concatenation shape used to fill

@@ -447,6 +447,20 @@ object LayerC {
         .orderBy("source")
     },
 
+    // materialize the c28 mixture: draw round(100·sample_weight) docs
+    // per source by the descending seeded shuffle key — the
+    // weights→actual-training-set step, deterministic across engines
+    "c72_mixture_sample" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val quotas = graft.operators.Curation
+        .mixtureWeights(d, "source", "text", alpha = 0.5)
+        .select(col("source"),
+          round(col("sample_weight") * 100).cast("long").as("quota"))
+      graft.operators.Curation.mixtureSample(d, "doc_id", "source",
+          quotas, "quota", seed = 7L)
+        .orderBy("source", "rk")
+    },
+
     // sequence packing: fill 512-token bins per source in doc_id order —
     // the context-window packing step of training prep
     "c29_sequence_pack" -> { (s, dir) =>
@@ -1175,6 +1189,35 @@ object LayerC {
        |WHERE $jaccardExprSql >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // c72: the c28 weight derivation (raw, then the same 6-dp rounding the
+  // operator consumes) feeding per-source quotas, and the c39 seeded
+  // shuffle key (shared fmix64 chain) ranked DESC per source — both
+  // engines sort the signed 64-bit key identically, no float ordering
+  private lazy val mixtureSampleSql: String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(power(CAST(tokens AS DOUBLE), 0.5)) AS ptot FROM tok),
+       |q AS (
+       |  SELECT source,
+       |    CAST(round(round(power(CAST(tokens AS DOUBLE), 0.5) / ptot, 6) * 100)
+       |      AS BIGINT) AS quota
+       |  FROM tok CROSS JOIN tot),
+       |sk AS (
+       |  SELECT doc_id, source, '7:' || CAST(doc_id AS VARCHAR) AS kk
+       |  FROM documents),
+       |${fmix64ChainSql("sk", "kk", Seq("doc_id", "source"), "mx")},
+       |r AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY $signedU DESC, doc_id) AS INTEGER) AS rk
+       |  FROM mx)
+       |SELECT r.source, r.doc_id, r.rk
+       |FROM r JOIN q ON r.source = q.source
+       |WHERE r.rk <= q.quota
+       |ORDER BY r.source, r.rk""".stripMargin
+
   // c71's oracle is GENERATED from the same deterministic Rademacher
   // matrix the operator uses — DuckDB recomputes every projection
   // independently through list_inner_product over the literal columns
@@ -1355,6 +1398,8 @@ object LayerC {
     "c70_neardup_index" -> incrementalNeardupSql,
 
     "c71_random_project" -> randomProjectSql,
+
+    "c72_mixture_sample" -> mixtureSampleSql,
 
     // same pair derivation as c4 (shared fragments), then connected
     // components via a recursive CTE (UNION dedups → saturates)

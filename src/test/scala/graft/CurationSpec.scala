@@ -405,4 +405,33 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(out == Set(1L, 2L))
   }
+
+  test("mixtureSample: exact quotas, key-ordered draw, partition-invariant, two-phase exact") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = ((1L to 9L).map(i => (i, "a")) ++ Seq((20L, "b"), (21L, "b"), (22L, "b")))
+      .toDF("doc_id", "source")
+    val quotas = Seq(("a", 4L), ("b", 1L)).toDF("source", "quota")
+    def draw(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Int)] =
+      Curation.mixtureSample(df, "doc_id", "source", quotas, "quota", seed = 7L)
+        .orderBy("source", "rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val got = draw(docs)
+    // exact per-group counts
+    assert(got.count(_._1 == "a") == 4 && got.count(_._1 == "b") == 1)
+    // the draw equals the top-quota by the descending seeded key — the
+    // NAIVE single-window reference (two-phase selection must commute)
+    val wg = Window.partitionBy("source").orderBy(
+      graft.functions.TextFunctions.seededKey(col("doc_id"), 7L).desc,
+      col("doc_id"))
+    val naive = docs.join(broadcast(quotas), "source")
+      .withColumn("rk", row_number().over(wg))
+      .filter(col("rk") <= col("quota"))
+      .select("source", "doc_id", "rk")
+      .orderBy("source", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == naive, s"two-phase diverges from single-window: $got vs $naive")
+    // determinism under a different physical partitioning (the property
+    // rand()-based sampling does NOT have)
+    assert(draw(docs.repartition(7)) == got)
+  }
 }
