@@ -64,8 +64,14 @@ object Tables {
     * parquet mid-read — and reused across bench reps within the
     * process, so Overwrite replaces in place instead of accumulating
     * one coded corpus per invocation. */
-  lazy val processWorkDir: String =
-    java.nio.file.Files.createTempDirectory("graft-qwork").toString
+  lazy val processWorkDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-qwork").toString
+    // the artifacts must outlive their lazy readers within the process,
+    // but not the process itself — without this, every JVM run would
+    // leak one coded corpus into /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(d)))
+    d
+  }
 
   /** Best-effort recursive delete for harness temp directories (replay
     * chunks, persisted ANN work dirs) once results are materialized. */

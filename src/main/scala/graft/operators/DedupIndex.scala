@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Persistence for the near-dup detection tier — the text-dedup
   * counterpart of [[AnnIndex]]: [[Dedup.ngramJaccardPairsAcross]]
@@ -29,19 +30,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * texts of EVERY document in the index — after `append`, that means
   * the original corpus PLUS every appended batch. The verify stage
   * inner-joins candidate ids back to `corpus` for their texts, so a
-  * candidate whose id is indexed but text-less would be silently
-  * dropped (duplicate admitted). `probe` guards this with a cheap
-  * id-coverage check by default (one ids-only anti-join; disable via
-  * `checkCoverage = false` on hot paths where the caller guarantees
-  * it).
+  * candidate whose id is indexed but text-less (absent OR null text)
+  * would be silently dropped (duplicate admitted). `probe` guards
+  * this by default against the doc-count-sized `ids` SIDECAR relation
+  * (written by save/append precisely so the guard never scans the
+  * posting-list-sized index); disable via `checkCoverage = false` on
+  * hot paths where the caller guarantees coverage.
   */
 object DedupIndex {
 
-  /** Build and persist the corpus inverted index. */
+  /** Build and persist the corpus inverted index, plus the
+    * doc-count-sized `ids` sidecar the probe's coverage guard reads. */
   def save(spark: SparkSession, root: String, corpus: DataFrame,
-           idCol: String, textCol: String, shingleN: Int): Unit =
+           idCol: String, textCol: String, shingleN: Int): Unit = {
     Dedup.invertedIndex(corpus, idCol, textCol, shingleN, "id_b", "_nb")
       .write.mode(SaveMode.Overwrite).parquet(s"$root/index")
+    corpus.select(col(idCol).as("id_b")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/ids")
+  }
 
   /** Append an admitted batch's rows to the persisted index — the
     * ingest-side update ([[AnnIndex.ingestStream]]'s pattern; parquet
@@ -50,9 +56,12 @@ object DedupIndex {
     * index equals a from-scratch [[save]] over corpus ∪ batch (pinned
     * in DedupSpec). */
   def append(spark: SparkSession, root: String, batch: DataFrame,
-             idCol: String, textCol: String, shingleN: Int): Unit =
+             idCol: String, textCol: String, shingleN: Int): Unit = {
     Dedup.invertedIndex(batch, idCol, textCol, shingleN, "id_b", "_nb")
       .write.mode(SaveMode.Append).parquet(s"$root/index")
+    batch.select(col(idCol).as("id_b")).distinct()
+      .write.mode(SaveMode.Append).parquet(s"$root/ids")
+  }
 
   /** Reload the persisted index relation. */
   def load(spark: SparkSession, root: String): DataFrame =
@@ -69,16 +78,17 @@ object DedupIndex {
             checkCoverage: Boolean = true): DataFrame = {
     val index = load(spark, root)
     if (checkCoverage) {
-      // ids-only anti-join: an indexed id with no text in `corpus`
-      // would silently drop its candidate pairs in the verify stage
-      import org.apache.spark.sql.functions.col
-      val uncovered = index.select(col("id_b")).distinct()
-        .join(corpus.select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
-        .limit(5).collect().map(_.getLong(0))
+      // sidecar-ids anti-join (doc-count-sized on BOTH sides — never the
+      // posting-list index): an indexed id whose corpus text is absent
+      // or NULL would silently drop its candidate pairs in verify
+      val uncovered = spark.read.parquet(s"$root/ids")
+        .join(corpus.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("id_b")), Seq("id_b"), "left_anti")
+        .limit(5).collect().map(_.get(0))
       require(uncovered.isEmpty,
-        s"index contains ids with no text in the corpus relation " +
-          s"(e.g. ${uncovered.mkString(", ")}) — after append(), pass " +
-          "corpus PLUS every appended batch")
+        s"index contains ids with no (non-null) text in the corpus " +
+          s"relation (e.g. ${uncovered.mkString(", ")}) — after append(), " +
+          "pass corpus PLUS every appended batch")
     }
     val candidates = Dedup.survivorsFromIndexes(
       Dedup.invertedIndex(newDocs, idCol, textCol, shingleN, "id_a", "_na"),

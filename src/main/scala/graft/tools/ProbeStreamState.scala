@@ -86,21 +86,27 @@ object ProbeStreamState {
     // ---- 10× documents through the bounded s12 shape, both TTL regimes
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "source", "n_chars", "text")
+    // per-copy timeline stride measured from the fixture, NOT assumed:
+    // a hard-coded stride smaller than the doc_id range would make copy
+    // timelines overlap, regress event time at every copy boundary, and
+    // silently drop rows as late under the short-watermark regime
+    val perCopy = docs.agg(max("doc_id")).head.getLong(0) + 1
     val docsBig = (0 until copies).map(i => docs.select(
         (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("source"),
         col("n_chars"),
         // texts distinct per copy: every doc is NOVEL, the worst case
         // for dedup state growth
         concat(col("text"), lit(s"#c$i")).as("text"),
-        // CONTIGUOUS ingest timeline across copies (1 s per doc): deriving
-        // ts from the offset doc_id would open ~115-day gaps between
-        // copies, evicting even the "resident" regime's state at every
-        // copy boundary and making the two regimes measure the same thing
+        // CONTIGUOUS ingest timeline across copies (1 s per doc):
+        // deriving ts from the 1e7-offset doc_id would open ~115-day
+        // gaps between copies, evicting even the "resident" regime's
+        // state at every copy boundary and making the two regimes
+        // measure the same thing
         lit(i.toLong).as("_copy"), col("doc_id").as("_orig")))
       .reduce(_ unionByName _)
       .withColumn("ingest_ts",
         timestamp_millis(lit(1700000000000L) +
-          (col("_copy") * 10000L + col("_orig")) * 1000L))
+          (col("_copy") * perCopy + col("_orig")) * 1000L))
       .drop("_copy", "_orig")
     val docTotal = docsBig.count()
     val dSchema = Streams.writeOrderedReplay(docsBig, "doc_id", nChunks,
