@@ -296,4 +296,28 @@ object Curation {
       .filter(col("tokens_before") < budget)
       .drop("_bin", "_above")
   }
+
+  /** Per-domain document cap: keep at most `cap` documents per
+    * `groupCol` value, preferring the highest `orderCol` (ties broken
+    * by ascending `idCol` — fully deterministic across engines). The
+    * CommonCrawl-style guard against any single domain/source flooding
+    * the training mix regardless of what the mixture weights say —
+    * a hard per-group ceiling, where [[mixtureSample]] is a
+    * proportional draw.
+    *
+    * Scale shape: one shuffle on the group key, then a per-group
+    * row_number window — partitions are domain-sized, never global, and
+    * no partition carries more than its own domain's rows. At 100 TB a
+    * pathological mega-domain is exactly the skew case
+    * [[graft.operators.Skew]] profiles; cap semantics still only need
+    * that domain's top-`cap` rows, which AQE skew-split + the window's
+    * rank short-circuit keep bounded. */
+  def domainCap(df: DataFrame, idCol: String, groupCol: String,
+                orderCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora.
@@ -596,5 +597,105 @@ object Dedup {
       xxhash64(withinDeduped(textCol)) <=> seen("_h") &&
         withinDeduped(textCol) <=> seen("_seen_text"),
       "left_anti")
+  }
+
+  /** Edit-distance near-dup tier: candidate pairs from the exact
+    * shingle-Jaccard join at a LOW recall threshold, then verified by
+    * relative Levenshtein similarity
+    * `1 − lev(a,b) / max(len(a), len(b)) ≥ simThreshold`.
+    *
+    * Why a second metric: Jaccard over bag-of-shingles is
+    * order-insensitive — two documents built from the same boilerplate
+    * sentences in different order score high; Levenshtein is
+    * order-sensitive, so this is the precision tier for "same text,
+    * small local edits" near-dups (the typo/re-crawl/template-fill
+    * class), layered on the shingle stage's recall.
+    *
+    * Scale shape: the O(|a|·|b|) dynamic program is paid ONLY on
+    * candidate pairs — the shingle stage (hashed inverted index +
+    * size-ratio prune) bounds them, and the full text column is joined
+    * back on the narrow id keys only for those survivors. `levenshtein`
+    * is Spark's codegen'd expression, no UDF. Filter on the RAW ratio,
+    * output rounded to 6 (keeps the oracle compare on stable digits). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, candThreshold: Double = 0.3,
+                        simThreshold: Double = 0.8): DataFrame = {
+    val cands = ngramJaccardPairs(df, idCol, textCol, shingleN, candThreshold)
+      .select("id_a", "id_b")
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("_ta"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("_tb"))
+    val rawSim = lit(1.0) -
+      levenshtein(col("_ta"), col("_tb")).cast("double") /
+        greatest(length(col("_ta")), length(col("_tb"))).cast("double")
+    cands
+      .join(a, Seq("id_a"))
+      .join(b, Seq("id_b"))
+      .filter(rawSim >= simThreshold)
+      .select(col("id_a"), col("id_b"), round(rawSim, 6).as("edit_sim"))
+  }
+
+  /** Corpus-level duplicated-substring detection (the exact-substring
+    * dedup shape of "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022 — arXiv:2107.06499): every `windowChars`-
+    * char sliding window that occurs MORE THAN ONCE anywhere in the
+    * corpus (across docs or within one) marks its region duplicated;
+    * overlapping/adjacent marked windows merge into maximal spans, and
+    * each affected document reports its span count, window count,
+    * duplicated char count, and duplicated fraction — the removal mask
+    * of the suffix-array method, computed relationally.
+    *
+    * Scale shape (the suffix array is a single-machine structure; this
+    * is its distributed hash equivalent):
+    *  1. windows via the codegen [[graft.functions.CharNgrams]] pass
+    *     (one UTF-8 walk per doc) + posexplode — rows linear in corpus
+    *     chars;
+    *  2. dup-hash detection: groupBy on the 8-byte xxhash64 — the
+    *     shuffle carries ONLY the hash column (map-side combined);
+    *  3. occurrence recovery: equi-join of windows against the
+    *     dup-hash relation on the 8-byte key (full recall — collisions
+    *     only admit false candidates);
+    *  4. collision discard: a count over (hash, window STRING) among
+    *     candidates only — candidate-sized, so the string never rides
+    *     a corpus-wide shuffle (the c59 discipline);
+    *  5. span merge: gaps-and-islands windows partitioned BY DOC —
+    *     partitions doc-sized, never global.
+    * Docs shorter than the window contribute one truncated window
+    * (CharNgrams semantics), so whole-short-doc duplicates still
+    * count; island char spans are clamped to doc length. */
+  def duplicatedSubstringStats(df: DataFrame, idCol: String, textCol: String,
+                               windowChars: Int = 30): DataFrame = {
+    require(windowChars > 0, s"windowChars must be positive, got $windowChars")
+    val wins = df
+      .select(col(idCol), length(col(textCol)).as("_nc"),
+        posexplode(graft.functions.ChunkFunctions.char_ngrams(
+          col(textCol), windowChars, lowercase = false)))
+      .select(col(idCol), col("_nc"), (col("pos") + 1).as("_pos"),
+        xxhash64(col("col")).as("_h"), col("col").as("_win"))
+    val dupHashes = wins.groupBy("_h").agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") > 1).select("_h")
+    val byWin = Window.partitionBy("_h", "_win")
+    val verified = wins.join(dupHashes, Seq("_h"))
+      .withColumn("_scnt", count(lit(1)).over(byWin))
+      .filter(col("_scnt") > 1)
+      .select(col(idCol), col("_nc"), col("_pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = verified
+      .withColumn("_brk",
+        when(col("_pos") - lag(col("_pos"), 1).over(byDoc) <= windowChars, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_island", sum(col("_brk")).over(run))
+    val spans = islands.groupBy(col(idCol), col("_island"))
+      .agg(min(col("_pos")).as("_p0"), max(col("_pos")).as("_p1"),
+        count(lit(1)).as("_nw"), first(col("_nc")).as("_ncs"))
+      .withColumn("_chars",
+        least(col("_p1") + windowChars - 1, col("_ncs")) - col("_p0") + 1)
+    spans.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("_nw")).as("n_dup_windows"),
+        sum(col("_chars")).cast("long").as("dup_chars"),
+        round(sum(col("_chars")).cast("double") /
+          first(col("_ncs")).cast("double"), 6).as("dup_frac"))
   }
 }

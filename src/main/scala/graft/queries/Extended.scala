@@ -165,6 +165,30 @@ object Extended {
       served
     },
 
+    // quality-gated streaming ingest: the crawl replayed as a
+    // 4-micro-batch stream (ingest_ts synthesized 1 s apart from
+    // doc_id, the s12 timeline), gated on word count BEFORE the
+    // stateful windowed aggregation — per (1 h window, source) counts
+    // of the survivors, equal to the batch filter+group oracle on
+    // bounded input
+    "s14_stream_quality_gate" -> { (s, dir) =>
+      val d = graft.Tables.load(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft_s14").toString
+      val schema = Streams.writeOrderedReplay(
+        d.select("doc_id", "source", "n_chars", "text")
+          .withColumn("ingest_ts",
+            timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L)),
+        "doc_id", 4, s"$work/in")
+      val out = Streams.runToCompletion(s,
+          Streams.qualityGateCounts(
+            Streams.replayStream(s, s"$work/in", schema, maxFilesPerTrigger = 1)),
+          "s14_quality_gate")
+        .orderBy("window_start", "source")
+      // the memory sink holds the rows; the replay chunks are dead weight
+      graft.Tables.deleteRecursively(work)
+      out
+    },
+
     // stream-static join: the event stream enriched against the static
     // customer dimension mid-stream, then aggregated — the standard
     // streaming-enrichment shape (static side re-read per micro-batch)
@@ -302,6 +326,18 @@ object Extended {
     // the replayed stream reproduces batch c31 exactly (ordered
     // contiguous chunks → first-seen == min doc_id), so s12 shares its
     // oracle shape: within-crawl min-id winners minus corpus texts
+    // the batch equivalent of the gated stream: same synthesized
+    // 1 s-per-doc timeline, same word-count gate, same 1 h buckets
+    "s14_stream_quality_gate" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |    make_timestamp((1700000000 + doc_id) * 1000000) AS ingest_ts
+        |  FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) BETWEEN 40 AND 100)
+        |SELECT time_bucket(INTERVAL '1 hour', ingest_ts) AS window_start,
+        |  source, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY 1, 2 ORDER BY window_start, source""".stripMargin,
+
     "s12_corpus_dedup" ->
       """WITH b AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
         |seen AS (SELECT DISTINCT text FROM documents WHERE doc_id % 7 <> 0),

@@ -461,6 +461,44 @@ object LayerC {
         .orderBy("source", "rk")
     },
 
+    // edit-distance near-dup verify tier: shingle-Jaccard recall stage
+    // (low threshold) + order-sensitive Levenshtein precision stage —
+    // the "same text, small local edits" dedup class
+    "c73_edit_dedup" -> { (s, dir) =>
+      Dedup.editDistancePairs(docs(s, dir), "doc_id", "text",
+          shingleN = 3, candThreshold = 0.3, simThreshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // perplexity-style LM quality gate: drop the bottom decile by avg
+    // token log-prob under the corpus's own unigram LM (the CCNet
+    // filtering shape, self-trained — junk text scores most negative)
+    "c74_perplexity_gate" -> { (s, dir) =>
+      graft.operators.Sampling.quantileFilter(
+          TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text"),
+          "avg_logprob", 0.10)
+        .orderBy("doc_id")
+    },
+
+    // per-domain hard cap: at most 10 docs per source, preferring the
+    // longest (ties by doc_id) — the no-domain-floods-the-mix guard
+    "c75_domain_cap" -> { (s, dir) =>
+      graft.operators.Curation.domainCap(
+          docs(s, dir).select("doc_id", "source", "n_chars"),
+          "doc_id", "source", "n_chars", cap = 10)
+        .orderBy("source", "rk")
+    },
+
+    // exact-substring dedup mask (Lee et al. 2022 shape): 30-char
+    // sliding windows duplicated anywhere in the corpus, merged into
+    // maximal per-doc spans — the char-level sibling of c27's
+    // word-chunk span dedup
+    "c76_substring_dedup" -> { (s, dir) =>
+      Dedup.duplicatedSubstringStats(docs(s, dir), "doc_id", "text",
+          windowChars = 30)
+        .orderBy("doc_id")
+    },
+
     // sequence packing: fill 512-token bins per source in doc_id order —
     // the context-window packing step of training prep
     "c29_sequence_pack" -> { (s, dir) =>
@@ -1400,6 +1438,82 @@ object LayerC {
     "c71_random_project" -> randomProjectSql,
 
     "c72_mixture_sample" -> mixtureSampleSql,
+
+    // same candidate derivation as c4 at the lower recall threshold,
+    // then the order-sensitive Levenshtein verify; filter on the RAW
+    // ratio, output rounded (the c5 pattern)
+    "c73_edit_dedup" ->
+      s"""WITH $shingleCteSql,
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardExprSql >= 0.3),
+         |v AS (
+         |  SELECT id_a, id_b,
+         |    CAST(1 AS DOUBLE) - CAST(levenshtein(ta.text, tb.text) AS DOUBLE) /
+         |      CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE) AS sim
+         |  FROM cand JOIN documents ta ON ta.doc_id = cand.id_a
+         |            JOIN documents tb ON tb.doc_id = cand.id_b)
+         |SELECT id_a, id_b, round(sim, 6) AS edit_sim FROM v
+         |WHERE sim >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // the c22 LM feeding the c26 gate shape: threshold from the exact
+    // P10 of the rounded per-doc score, filter >= on the same values
+    "c74_perplexity_gate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE token <> ''),
+        |freq AS (SELECT token, count(1) AS f FROM t2 GROUP BY token),
+        |tot AS (SELECT count(1) AS n FROM t2),
+        |lp AS (
+        |  SELECT doc_id,
+        |    round(avg(ln(CAST(f AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS avg_logprob,
+        |    count(1) AS n_tokens
+        |  FROM t2 JOIN freq USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, avg_logprob, n_tokens FROM lp
+        |WHERE avg_logprob >= (SELECT quantile_cont(avg_logprob, 0.10) FROM lp)
+        |ORDER BY doc_id""".stripMargin,
+
+    "c75_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    // window derivation mirrors CharNgrams: start positions
+    // 1..max(len-29, 1) in code points, last window truncated; span
+    // chars clamped to doc length; NULL lag starts the first island
+    "c76_substring_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, length(text) AS nc, i AS pos, substring(text, i, 30) AS win
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(1, greatest(length(text) - 29, 1) + 1)) AS i) u),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING count(1) > 1),
+        |d AS (SELECT w.doc_id, w.pos, w.nc FROM w JOIN dup USING (win)),
+        |isl AS (
+        |  SELECT doc_id, pos, nc,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM d),
+        |isl2 AS (
+        |  SELECT doc_id, pos, nc,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, island, min(pos) AS p0, max(pos) AS p1,
+        |    count(1) AS nw, any_value(nc) AS nc
+        |  FROM isl2 GROUP BY doc_id, island)
+        |SELECT doc_id, count(1) AS n_dup_spans,
+        |  CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+        |  CAST(sum(least(p1 + 29, nc) - p0 + 1) AS BIGINT) AS dup_chars,
+        |  round(CAST(sum(least(p1 + 29, nc) - p0 + 1) AS DOUBLE) /
+        |    CAST(any_value(nc) AS DOUBLE), 6) AS dup_frac
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same pair derivation as c4 (shared fragments), then connected
     // components via a recursive CTE (UNION dedups → saturates)

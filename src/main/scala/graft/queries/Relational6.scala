@@ -36,6 +36,28 @@ object Relational6 {
             lit(acc)).as("pct_approx"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    },
+
+    // Apache DataSketches HLL: per-shard sketches + a sketch-level
+    // union for the global estimate — the mergeable-sketch discipline
+    // at 100 TB (per-shard/per-day sketches persist; any rollup is a
+    // cheap union of fixed-size sketches, never a re-scan of the data).
+    // Rows-only: estimates have no DuckDB-equal value; ApproxSpec pins
+    // the relative error vs exact count-distinct on the same data.
+    "q97_hll_union" -> { (s, dir) =>
+      val lgK = 12 // 2^12 buckets — ~1.6% standard error, 4 KB sketches
+      val perType = t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("_sk"))
+      val per = perType.select(col("event_type"),
+        hll_sketch_estimate(col("_sk")).as("approx_users"))
+      // the global tier NEVER re-reads events — it merges the per-type
+      // sketches (5 rows × 4 KB), exactly the shard-rollup path
+      val all = perType
+        .agg(hll_sketch_estimate(hll_union_agg(col("_sk"), lit(false)))
+          .as("approx_users"))
+        .select(lit("ALL").as("event_type"), col("approx_users"))
+      per.unionByName(all).orderBy("event_type")
     }
   )
 

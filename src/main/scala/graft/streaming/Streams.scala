@@ -79,6 +79,26 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
               col("user_id"), col("n_events"), col("last_ts"))
 
+  /** Quality-gated streaming ingest: filter arriving documents by a
+    * cheap stateless quality signal (word count in [40, 100] — the c8
+    * family applied in-stream, before anything pays shuffle or state
+    * for a doc that will be dropped), then count survivors per
+    * (1 h ingest window, source) under a 2 h watermark. The gate is a
+    * stateless codegen projection — per-arrival-batch cost, no state;
+    * only GATED rows reach the windowed aggregation, so state is
+    * bounded by the watermark horizon over the SURVIVOR rate, not the
+    * raw ingest rate. That ordering (filter before stateful op) is the
+    * 100 TB point: a quality gate that runs after the aggregation
+    * would pay window state for 100 % of the crawl. */
+  def qualityGateCounts(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(col("text"), "\\s+")).between(40, 100))
+      .withWatermark("ingest_ts", "2 hours")
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("sum_chars"))
+
   /** Watermarked stream-stream inner join: purchases within 1 h after a
     * click by the same user. Both sides carry event-time watermarks AND
     * the join condition bounds purchase_ts relative to click_ts — the

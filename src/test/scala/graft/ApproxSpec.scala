@@ -28,6 +28,34 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("hll_sketch union estimate within 5% of exact, per shard and merged (q97 tier)") {
+    val ev = Tables.load(spark, dir, "events")
+    val perType = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("_sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val per = perType
+      .select(col("event_type"), col("exact_users"),
+        hll_sketch_estimate(col("_sk")).as("approx_users"))
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      val e = r.getAs[Long]("exact_users").toDouble
+      val a = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(a - e) / e < 0.05,
+        s"${r.getString(0)}: approx $a vs exact $e")
+    }
+    // the shard-rollup path: union the per-type sketches (never re-scan
+    // the data) and compare against the exact global distinct
+    val merged = perType
+      .agg(hll_sketch_estimate(hll_union_agg(col("_sk"), lit(false)))
+        .as("approx_all"))
+      .collect()(0).getAs[Long]("approx_all").toDouble
+    val exactAll = ev.agg(countDistinct(col("user_id")).as("n"))
+      .collect()(0).getAs[Long]("n").toDouble
+    assert(math.abs(merged - exactAll) / exactAll < 0.05,
+      s"union estimate $merged vs exact $exactAll")
+  }
+
   test("percentile_approx rank error bounded by 1/accuracy (q96 tier)") {
     // the GK-style sketch guarantees each returned element's TRUE rank
     // is within 1/accuracy of the requested quantile; verify that

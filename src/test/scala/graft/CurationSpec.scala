@@ -406,6 +406,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Set(1L, 2L))
   }
 
+  test("domainCap: per-group ceiling, best-first order, ties broken by id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 300L), (4L, "a", 200L),
+      (5L, "b", 50L),
+      (6L, "c", 10L), (7L, "c", 20L), (8L, "c", 30L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = Curation.domainCap(docs, "doc_id", "source", "n_chars", cap = 2)
+      .orderBy("source", "rk")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rk"))).toSeq
+    // a: 300-tie between 2 and 3 → id ascending wins; 4 (200) capped out
+    // b: under cap, fully kept; c: top-2 by length
+    assert(out == Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1),
+      ("c", 8L, 1), ("c", 7L, 2)))
+    // determinism under a different physical partitioning
+    val re = Curation.domainCap(docs.repartition(5), "doc_id", "source",
+        "n_chars", cap = 2)
+      .orderBy("source", "rk")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rk"))).toSeq
+    assert(re == out)
+  }
+
   test("mixtureSample: exact quotas, key-ordered draw, partition-invariant, two-phase exact") {
     import org.apache.spark.sql.expressions.Window
     val docs = ((1L to 9L).map(i => (i, "a")) ++ Seq((20L, "b"), (21L, "b"), (22L, "b")))

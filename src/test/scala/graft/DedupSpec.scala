@@ -263,4 +263,49 @@ class DedupSpec extends AnyFunSuite {
       .sameElements(Array("id_a", "id_b", "jaccard")))
     Tables.deleteRecursively(root); Tables.deleteRecursively(root2)
   }
+
+  test("editDistancePairs keeps small-edit pairs, drops reordered boilerplate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappz"), // 1-char edit
+      (3L, "zeta eta theta iota kappa alpha beta gamma delta epsilon"), // block reorder
+      (4L, "totally unrelated words sharing nothing with those above")
+    ).toDF("id", "text")
+    // the reordered pair IS a shingle-stage candidate (order-insensitive
+    // bag overlap is high) — so its absence below is the Levenshtein
+    // tier discriminating, not the recall stage missing it
+    val cands = Dedup.ngramJaccardPairs(docs, "id", "text",
+        shingleN = 3, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 3L)), s"precondition: (1,3) must be a candidate, got $cands")
+    val out = Dedup.editDistancePairs(docs, "id", "text",
+        shingleN = 3, candThreshold = 0.2, simThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((1L, 2L)), s"small-edit pair must survive, got $out")
+    assert(out((1L, 2L)) > 0.95) // 1 char of ~56 edited
+    assert(!out.contains((1L, 3L)),
+      "reordered text (same shingle bag, large edit distance) must be dropped")
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("duplicatedSubstringStats: cross-doc, within-doc, and split spans; clean docs absent") {
+    val docs = Seq(
+      (1L, "abcdefghij"),           // exact dup of 2 → fully masked
+      (2L, "abcdefghij"),
+      (3L, "zzzzabcdezzzz"),        // one shared 5-gram at pos 5
+      (4L, "unique text here!"),    // no duplicated window anywhere
+      (5L, "abcabcabcabc"),         // WITHIN-doc repetition → fully masked
+      (6L, "abcdeQRSTUVWXYZfghij")  // two shared 5-grams, far apart → 2 spans
+    ).toDF("id", "text")
+    val out = Dedup.duplicatedSubstringStats(docs, "id", "text", windowChars = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("dup_chars"), r.getAs[Double]("dup_frac")))).toMap
+    assert(!out.contains(4L), "clean doc must be absent from the mask")
+    assert(out(1L) == ((1L, 6L, 10L, 1.0)))
+    assert(out(2L) == ((1L, 6L, 10L, 1.0)))
+    assert(out(3L) == ((1L, 1L, 5L, 0.384615)))
+    assert(out(5L) == ((1L, 8L, 12L, 1.0)), s"within-doc repetition: ${out(5L)}")
+    assert(out(6L) == ((2L, 2L, 10L, 0.5)), s"split spans: ${out(6L)}")
+  }
 }
