@@ -145,6 +145,54 @@ object Multimodal {
     bins
   }
 
+  /** 64-bit audio fingerprint: bit `i` = sign of the raw autocorrelation
+    * at lag `i+1`. For tonal/periodic content the autocorrelation at lag
+    * L is ∝ cos(2πfL/sr) — a frequency-characteristic sign pattern —
+    * and the SIGN is invariant under gain changes and robust to additive
+    * noise (the sum is corpus-of-samples sized, noise cancels), so
+    * re-encoded/re-leveled copies of the same audio land within a small
+    * hamming distance. The audio analog of the image aHash: cheap
+    * (O(64·n) multiply-adds per clip, no FFT), bandable with the same
+    * [[hashNearDupPairs]] machinery. */
+  def audioFingerprintBits(samples: Array[Float]): Long = {
+    val n = samples.length
+    var bits = 0L
+    var lag = 1
+    while (lag <= 64) {
+      var acc = 0.0
+      var i = lag
+      while (i < n) { acc += samples(i).toDouble * samples(i - lag); i += 1 }
+      if (acc > 0) bits |= (1L << (lag - 1))
+      lag += 1
+    }
+    bits
+  }
+
+  /** (doc_id, afp, rms, peak, duration_ms) for every decodable audio
+    * payload — the iterator `mapPartitions` decode (the declared
+    * exception); fingerprint and quality scalars from one decode. */
+  def audioFingerprints(withBinary: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("peak", DoubleType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary
+      .filter(col("meta.mime") === "audio/wav")
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWav(r.getAs[Array[Byte]]("payload")).map { case (samples, durMs) =>
+            val (rms, peak) = audioStats(samples)
+            Row(r.getLong(0), audioFingerprintBits(samples),
+              math.rint(rms * 1e6) / 1e6, math.rint(peak * 1e6) / 1e6, durMs)
+          }
+        }
+      }(enc)
+  }
+
   /** RMS and peak amplitude of decoded samples — scalar audio quality
     * signals (clipping/silence detection in a curation pipeline). */
   def audioStats(samples: Array[Float]): (Double, Double) = {

@@ -662,15 +662,42 @@ object Dedup {
     * Docs shorter than the window contribute one truncated window
     * (CharNgrams semantics), so whole-short-doc duplicates still
     * count; island char spans are clamped to doc length. */
-  def duplicatedSubstringStats(df: DataFrame, idCol: String, textCol: String,
-                               windowChars: Int = 30): DataFrame = {
-    require(windowChars > 0, s"windowChars must be positive, got $windowChars")
-    val wins = df
-      .select(col(idCol), length(col(textCol)).as("_nc"),
+  /** All `windowChars`-char sliding windows of every document: one
+    * codegen CharNgrams pass + posexplode — (id, doc length, 1-based
+    * start, 8-byte hash, window string). Shared by the substring-dedup
+    * family. */
+  private def charWindows(df: DataFrame, idCol: String, textCol: String,
+                          windowChars: Int): DataFrame =
+    df.select(col(idCol), length(col(textCol)).as("_nc"),
         posexplode(graft.functions.ChunkFunctions.char_ngrams(
           col(textCol), windowChars, lowercase = false)))
       .select(col(idCol), col("_nc"), (col("pos") + 1).as("_pos"),
         xxhash64(col("col")).as("_h"), col("col").as("_win"))
+
+  /** Merge marked window start positions into maximal per-doc spans
+    * (gaps-and-islands: windows whose starts are ≤ `windowChars` apart
+    * overlap or touch, so they fuse) and report per-doc mask stats.
+    * Input: (idCol, _nc, _pos) rows, one per marked window. */
+  private def spanStats(marked: DataFrame, idCol: String,
+                        windowChars: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = marked
+      .withColumn("_brk",
+        when(col("_pos") - lag(col("_pos"), 1).over(byDoc) <= windowChars, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_island", sum(col("_brk")).over(run))
+    islands.groupBy(col(idCol), col("_island"))
+      .agg(min(col("_pos")).as("_p0"), max(col("_pos")).as("_p1"),
+        count(lit(1)).as("_nw"), first(col("_nc")).as("_ncs"))
+      .withColumn("_chars",
+        least(col("_p1") + windowChars - 1, col("_ncs")) - col("_p0") + 1)
+  }
+
+  def duplicatedSubstringStats(df: DataFrame, idCol: String, textCol: String,
+                               windowChars: Int = 30): DataFrame = {
+    require(windowChars > 0, s"windowChars must be positive, got $windowChars")
+    val wins = charWindows(df, idCol, textCol, windowChars)
     val dupHashes = wins.groupBy("_h").agg(count(lit(1)).as("_hc"))
       .filter(col("_hc") > 1).select("_h")
     val byWin = Window.partitionBy("_h", "_win")
@@ -678,24 +705,47 @@ object Dedup {
       .withColumn("_scnt", count(lit(1)).over(byWin))
       .filter(col("_scnt") > 1)
       .select(col(idCol), col("_nc"), col("_pos"))
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val islands = verified
-      .withColumn("_brk",
-        when(col("_pos") - lag(col("_pos"), 1).over(byDoc) <= windowChars, lit(0))
-          .otherwise(lit(1)))
-      .withColumn("_island", sum(col("_brk")).over(run))
-    val spans = islands.groupBy(col(idCol), col("_island"))
-      .agg(min(col("_pos")).as("_p0"), max(col("_pos")).as("_p1"),
-        count(lit(1)).as("_nw"), first(col("_nc")).as("_ncs"))
-      .withColumn("_chars",
-        least(col("_p1") + windowChars - 1, col("_ncs")) - col("_p0") + 1)
-    spans.groupBy(col(idCol))
+    spanStats(verified, idCol, windowChars).groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_dup_spans"),
         sum(col("_nw")).as("n_dup_windows"),
         sum(col("_chars")).cast("long").as("dup_chars"),
         round(sum(col("_chars")).cast("double") /
           first(col("_ncs")).cast("double"), 6).as("dup_frac"))
+  }
+
+  /** Char-level benchmark decontamination: training documents sharing
+    * any `windowChars`-char substring with the benchmark set, with the
+    * contaminated regions merged into maximal spans — the
+    * "N-character overlap" decontamination rule frontier evals use,
+    * where `c25`/`c67` are the word-n-gram variants. A train doc with
+    * a high `contam_frac` IS the benchmark (drop it); a low fraction
+    * is a quoted snippet (trim the span).
+    *
+    * Scale shape: benchmark windows dedup to (hash, string) — the
+    * benchmark suite is model-sized next to a 100 TB corpus, so the
+    * join broadcasts (and at worst shuffles 8-byte keys); the corpus
+    * side is one CharNgrams pass, never self-joined. Hash collisions
+    * are discarded by the in-join string equality (pairwise here —
+    * cheaper than c76's group-count because containment is a pair
+    * property, not a group property). */
+  def substringDecontam(train: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        windowChars: Int = 30): DataFrame = {
+    require(windowChars > 0, s"windowChars must be positive, got $windowChars")
+    val trainWins = charWindows(train, idCol, textCol, windowChars)
+    val benchWins = charWindows(bench, idCol, textCol, windowChars)
+      .select(col("_h"), col("_win").as("_bwin")).distinct()
+    val marked = trainWins
+      .join(benchWins, Seq("_h"))
+      .filter(col("_win") === col("_bwin"))
+      .select(col(idCol), col("_nc"), col("_pos"))
+    spanStats(marked, idCol, windowChars).groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_contam_spans"),
+        sum(col("_nw")).as("n_contam_windows"),
+        sum(col("_chars")).cast("long").as("contam_chars"),
+        round(sum(col("_chars")).cast("double") /
+          first(col("_ncs")).cast("double"), 6).as("contam_frac"))
   }
 }

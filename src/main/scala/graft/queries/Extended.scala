@@ -281,6 +281,17 @@ object Extended {
       Multimodal.imageHashes(
           Multimodal.attachBinary(Tables.load(s, dir, "documents")))
         .orderBy("doc_id")
+    },
+
+    // audio fingerprinting: per-clip 64-bit autocorrelation-sign
+    // signature + RMS/peak quality scalars from REAL WAV decode
+    // (rows-only — DuckDB cannot decode WAV; gain-invariance, noise
+    // robustness, and the hamming near-dup join are value-pinned in
+    // MultimodalSpec)
+    "m4_audio_fingerprint" -> { (s, dir) =>
+      Multimodal.audioFingerprints(
+          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+        .orderBy("doc_id")
     }
   )
 

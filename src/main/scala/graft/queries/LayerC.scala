@@ -499,6 +499,19 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // char-level benchmark decontamination: training docs (doc_id % 29
+    // <> 0, the c25 split) sharing any 30-char substring with the
+    // benchmark subset, contaminated regions merged into spans — the
+    // N-char-overlap rule, where c25/c67 are the word-n-gram variants
+    "c77_char_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.substringDecontam(
+          d.filter(col("doc_id") % 29 =!= 0),
+          d.filter(col("doc_id") % 29 === 0),
+          "doc_id", "text", windowChars = 30)
+        .orderBy("doc_id")
+    },
+
     // sequence packing: fill 512-token bins per source in doc_id order —
     // the context-window packing step of training prep
     "c29_sequence_pack" -> { (s, dir) =>
@@ -1513,6 +1526,37 @@ object LayerC {
         |  CAST(sum(least(p1 + 29, nc) - p0 + 1) AS BIGINT) AS dup_chars,
         |  round(CAST(sum(least(p1 + 29, nc) - p0 + 1) AS DOUBLE) /
         |    CAST(any_value(nc) AS DOUBLE), 6) AS dup_frac
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same window derivation, train side vs benchmark side
+    "c77_char_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id, length(text) AS nc, i AS pos, substring(text, i, 30) AS win
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(1, greatest(length(text) - 29, 1) + 1)) AS i) u),
+        |b AS (SELECT DISTINCT win FROM w WHERE doc_id % 29 = 0),
+        |d AS (
+        |  SELECT w.doc_id, w.pos, w.nc FROM w JOIN b USING (win)
+        |  WHERE w.doc_id % 29 <> 0),
+        |isl AS (
+        |  SELECT doc_id, pos, nc,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM d),
+        |isl2 AS (
+        |  SELECT doc_id, pos, nc,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, island, min(pos) AS p0, max(pos) AS p1,
+        |    count(1) AS nw, any_value(nc) AS nc
+        |  FROM isl2 GROUP BY doc_id, island)
+        |SELECT doc_id, count(1) AS n_contam_spans,
+        |  CAST(sum(nw) AS BIGINT) AS n_contam_windows,
+        |  CAST(sum(least(p1 + 29, nc) - p0 + 1) AS BIGINT) AS contam_chars,
+        |  round(CAST(sum(least(p1 + 29, nc) - p0 + 1) AS DOUBLE) /
+        |    CAST(any_value(nc) AS DOUBLE), 6) AS contam_frac
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same pair derivation as c4 (shared fragments), then connected

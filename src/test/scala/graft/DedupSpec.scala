@@ -308,4 +308,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == ((1L, 8L, 12L, 1.0)), s"within-doc repetition: ${out(5L)}")
     assert(out(6L) == ((2L, 2L, 10L, 0.5)), s"split spans: ${out(6L)}")
   }
+
+  test("substringDecontam: marks only benchmark-shared regions, merges far hits into 2 spans") {
+    val train = Seq(
+      (1L, "abcdefghij"),          // shares "cdefg" with the benchmark
+      (2L, "QRSTUVWXYZ"),          // clean
+      (3L, "cdefgZZZZZcdefg")      // two far-apart hits → 2 spans
+    ).toDF("id", "text")
+    val bench = Seq((100L, "xxcdefgxx")).toDF("id", "text")
+    val out = Dedup.substringDecontam(train, bench, "id", "text", windowChars = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_contam_spans"), r.getAs[Long]("n_contam_windows"),
+          r.getAs[Long]("contam_chars"), r.getAs[Double]("contam_frac")))).toMap
+    assert(!out.contains(2L), "clean doc must be absent")
+    assert(out(1L) == ((1L, 1L, 5L, 0.5)), s"single hit: ${out(1L)}")
+    assert(out(3L) == ((2L, 2L, 10L, 0.666667)), s"split hits: ${out(3L)}")
+  }
 }

@@ -416,4 +416,42 @@ class MultimodalSpec extends AnyFunSuite {
       big.setRGB(x, y, gray((x / 4) * 255 / 31))
     assert(Multimodal.perceptualHash(small) == Multimodal.perceptualHash(big))
   }
+
+  test("audioFingerprintBits: gain-invariant, noise-robust, frequency-discriminating") {
+    def decoded(seed: Long) =
+      Multimodal.decodeWav(Multimodal.encodeWav(seed, 400L)).get._1
+    val a = decoded(2L)
+    val fpA = Multimodal.audioFingerprintBits(a)
+    // gain change flips no autocorrelation sign
+    assert(Multimodal.audioFingerprintBits(a.map(_ * 0.5f)) == fpA)
+    // small deterministic additive noise (1% of full scale vs tone amp
+    // >= 0.25): the lag sums average it out, few signs flip
+    val rnd = new scala.util.Random(7)
+    val noisy = a.map(s => s + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val hNoise = java.lang.Long.bitCount(
+      Multimodal.audioFingerprintBits(noisy) ^ fpA)
+    assert(hNoise <= 3, s"noise moved $hNoise bits")
+    // a different tone (different seed → different frequency) is far
+    val hOther = java.lang.Long.bitCount(
+      Multimodal.audioFingerprintBits(decoded(3L)) ^ fpA)
+    assert(hOther > 10, s"distinct tones only $hOther bits apart")
+  }
+
+  test("audioFingerprints + hashNearDupPairs: planted duplicate clip pairs, distinct don't") {
+    val spark2 = spark
+    import spark2.implicits._
+    // ids 2, 6, 10 map to audio/wav (floorMod(id,4)==2); attachBinary
+    // derives payload from doc_id, so re-tag id 2's payload as id 102
+    // to plant an exact-duplicate clip under a distinct id
+    val base = Multimodal.attachBinary(
+      Seq((2L, "x"), (6L, "y"), (10L, "z")).toDF("doc_id", "text"))
+    val planted = base.filter(col("doc_id") === 2L)
+      .withColumn("doc_id", lit(102L))
+    val fps = Multimodal.audioFingerprints(base.unionByName(planted))
+    assert(fps.count() == 4)
+    val pairs = Multimodal.hashNearDupPairs(fps, "doc_id", "afp", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 102L)),
+      s"expected only the planted duplicate pair, got $pairs")
+  }
 }
