@@ -19,8 +19,8 @@ object ScaleProbe {
     // only) | "text" | "r6b" (late-round-6 graph/text/retrieval ops) |
     // "r8" (round-8 persisted-index/projection/skew ops) | "all" (default)
     val tier = args.lift(1).getOrElse("all")
-    require(Set("vec", "vec-new", "text", "r6b", "r8", "all")(tier),
-      s"unknown tier '$tier' — expected vec | vec-new | text | r6b | r8 | all")
+    require(Set("vec", "vec-new", "text", "r6b", "r8", "r8b", "all")(tier),
+      s"unknown tier '$tier' — expected vec | vec-new | text | r6b | r8 | r8b | all")
     val spark = GraftSession.build("graft-scale-probe")
     val base = Tables.load(spark, sfDir, "embeddings")
 
@@ -88,6 +88,38 @@ object ScaleProbe {
       Tables.deleteRecursively(work)
     }
 
+    if (tier == "r8b" || tier == "all") {
+      // 10× docs with per-copy tails (the r8 blow-up): every base doc's
+      // 10 copies share all interior windows, so the substring family
+      // sees dense planted duplication — the worst case for its
+      // candidate volume, not the best
+      val docs10 = Tables.load(spark, sfDir, "documents")
+        .crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          concat(col("text"), lit(" tail"), col("copy")).as("text"))
+        .cache()
+      println(s"[probe] r8b docs corpus: ${docs10.count()} documents")
+      time("duplicatedSubstringStats 30-char windows, 10x docs")(
+        Dedup.duplicatedSubstringStats(docs10, "doc_id", "text", 30))
+      time("substringDecontam train vs %29 benchmark, 10x docs")(
+        Dedup.substringDecontam(
+          docs10.filter(col("doc_id") % 29 =!= 0),
+          docs10.filter(col("doc_id") % 29 === 0),
+          "doc_id", "text", 30))
+      // dense-candidate regime: each base doc's 10 copies are mutual
+      // edit-near-dups, so the Levenshtein verify pays ~45 DPs per base
+      // doc — measures how the verify tier's cost tracks CANDIDATES
+      time("editDistancePairs cand 0.3 / sim 0.8, 10x docs (dense candidates)")(
+        Dedup.editDistancePairs(docs10, "doc_id", "text", 3, 0.3, 0.8))
+      docs10.unpersist()
+      // audio: real WAV decode + fingerprint at the full fixture size
+      // (unblown — decode cost dominates and scales per-clip linearly)
+      time("audioFingerprints (real WAV decode, fixture-size)")(
+        graft.multimodal.Multimodal.audioFingerprints(
+          graft.multimodal.Multimodal.attachBinary(
+            Tables.load(spark, sfDir, "documents"))))
+    }
+
     if (tier == "r6b" || tier == "all") {
       // 10 disjoint copies of the customer–supplier trade graph: per-copy
       // structure identical, total edges ×10 — probes the per-iteration
@@ -153,7 +185,7 @@ object ScaleProbe {
         graft.multimodal.Multimodal.hashNearDupPairs(hashes, "doc_id", "ahash", 7))
     }
 
-    if (tier != "text" && tier != "r6b" && tier != "r8") {
+    if (Set("vec", "vec-new", "all")(tier)) {
     val newOnly = tier == "vec-new"
     val blown = base.crossJoin(spark.range(10).toDF("copy"))
       .select(
@@ -198,7 +230,7 @@ object ScaleProbe {
         trainFraction = 0.25))
     }
 
-    if (tier != "vec" && tier != "vec-new" && tier != "r6b" && tier != "r8") {
+    if (Set("text", "all")(tier)) {
     // text-curation tier (round 3): 10× blow-up of the documents fixture
     // with a copy marker appended so near-dup (not identical) structure
     // is planted by construction

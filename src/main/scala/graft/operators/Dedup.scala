@@ -714,6 +714,46 @@ object Dedup {
           first(col("_ncs")).cast("double"), 6).as("dup_frac"))
   }
 
+  /** Containment near-dup join: pairs whose shingle-set CONTAINMENT
+    * `|A∩B| / min(|A|,|B|)` ≥ `threshold` — the asymmetric measure that
+    * catches a short document embedded in a longer one (quotes,
+    * concatenated crawl pages, doc+boilerplate), which Jaccard
+    * structurally cannot: J(A,B) ≤ |A|/|B| however complete the
+    * containment, so a 10× length gap caps Jaccard at 0.1.
+    *
+    * Same two-tier collision-proof design as [[ngramJaccardPairs]] —
+    * hashed inverted index (8-byte shuffle keys), hash-level common
+    * count (collisions only inflate → full-recall superset), exact
+    * string-set re-verification on survivors — MINUS the size-ratio
+    * prune inside the join: containment is size-ratio-free by design,
+    * that prune is exactly what must not run. The quadratic term is
+    * therefore bounded only by shingle co-occurrence; at corpus scale
+    * the prefix-filter variant does not apply either (it also assumes
+    * Jaccard's size bound), so cost control is the shingle-frequency
+    * cap upstream (drop ubiquitous shingles — they cannot witness
+    * containment of anything distinctive). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val a = invertedIndex(df, idCol, textCol, shingleN, "id_a", "_na")
+    val b = invertedIndex(df, idCol, textCol, shingleN, "id_b", "_nb")
+    val cands = a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b"))
+      .drop(b("_s"))
+      .groupBy("id_a", "id_b", "_na", "_nb")
+      .agg(count(lit(1)).as("_common"))
+      .filter(col("_common").cast("double") /
+        least(col("_na"), col("_nb")).cast("double") >= threshold - 1e-9)
+      .select("id_a", "id_b")
+    def sets(idAs: String, wsAs: String) =
+      df.select(col(idCol).as(idAs), shingles(col(textCol), shingleN).as(wsAs))
+    val raw = size(array_intersect(col("_wa"), col("_wb"))).cast("double") /
+      least(size(col("_wa")), size(col("_wb"))).cast("double")
+    cands
+      .join(sets("id_a", "_wa"), Seq("id_a"))
+      .join(sets("id_b", "_wb"), Seq("id_b"))
+      .filter(raw >= threshold)
+      .select(col("id_a"), col("id_b"), round(raw, 6).as("containment"))
+  }
+
   /** Char-level benchmark decontamination: training documents sharing
     * any `windowChars`-char substring with the benchmark set, with the
     * contaminated regions merged into maximal spans — the

@@ -512,6 +512,15 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // containment near-dup join: |A∩B|/min(|A|,|B|) >= 0.9 — the
+    // asymmetric measure that catches short-doc-inside-long-doc
+    // (quotes, concatenated pages), which Jaccard structurally misses
+    "c78_containment_dedup" -> { (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    },
+
     // sequence packing: fill 512-token bins per source in doc_id order —
     // the context-window packing step of training prep
     "c29_sequence_pack" -> { (s, dir) =>
@@ -1527,6 +1536,18 @@ object LayerC {
         |  round(CAST(sum(least(p1 + 29, nc) - p0 + 1) AS DOUBLE) /
         |    CAST(any_value(nc) AS DOUBLE), 6) AS dup_frac
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same shingle sets as c4, containment in place of Jaccard; filter
+    // on the RAW ratio, output rounded (the c5 pattern)
+    "c78_containment_dedup" ->
+      s"""WITH $shingleCteSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    CAST(least(len(a.s), len(b.s)) AS DOUBLE), 6) AS containment
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |  CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // same window derivation, train side vs benchmark side
     "c77_char_decontam" ->

@@ -324,4 +324,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 1L, 5L, 0.5)), s"single hit: ${out(1L)}")
     assert(out(3L) == ((2L, 2L, 10L, 0.666667)), s"split hits: ${out(3L)}")
   }
+
+  test("containmentPairs finds short-doc-inside-long-doc that Jaccard misses") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ") // strict prefix of `long`
+    val docs = Seq(
+      (1L, long),
+      (2L, short),
+      (3L, "a fully unrelated document with completely different words")
+    ).toDF("id", "text")
+    // Jaccard is capped at |B|/|A| ≈ 8/38 — misses the containment
+    val jac = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)), s"precondition: Jaccard at 0.5 must miss it, got $jac")
+    val out = Dedup.containmentPairs(docs, "id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 2L)), s"got $out")
+    assert(out((1L, 2L)) == 1.0, s"full containment expected: ${out((1L, 2L))}")
+  }
 }
