@@ -189,6 +189,36 @@ object Extended {
       out
     },
 
+    // ingest-time benchmark decontamination: the c77 detection stage as
+    // a stream-static join — training docs replayed as a 4-micro-batch
+    // stream, windows matched against the static benchmark window
+    // relation, per-doc contaminated-window counts equal to the batch
+    // join oracle on bounded input
+    "s15_stream_decontam" -> { (s, dir) =>
+      val d = graft.Tables.load(s, dir, "documents")
+      val benchWins = d.filter(col("doc_id") % 29 === 0)
+        .select(explode(graft.functions.ChunkFunctions.char_ngrams(
+          col("text"), 30, lowercase = false)).as("_w"))
+        .select(xxhash64(col("_w")).as("_h"), col("_w").as("_bwin"))
+        .distinct()
+      val work = java.nio.file.Files.createTempDirectory("graft_s15").toString
+      val schema = Streams.writeOrderedReplay(
+        d.filter(col("doc_id") % 29 =!= 0)
+          .select("doc_id", "text")
+          .withColumn("ingest_ts",
+            timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L)),
+        "doc_id", 4, s"$work/in")
+      val out = Streams.runToCompletion(s,
+          Streams.ingestDecontam(
+            Streams.replayStream(s, s"$work/in", schema, maxFilesPerTrigger = 1),
+            benchWins, windowChars = 30),
+          "s15_decontam")
+        .orderBy("doc_id")
+      // the memory sink holds the rows; the replay chunks are dead weight
+      graft.Tables.deleteRecursively(work)
+      out
+    },
+
     // stream-static join: the event stream enriched against the static
     // customer dimension mid-stream, then aggregated — the standard
     // streaming-enrichment shape (static side re-read per micro-batch)
@@ -337,6 +367,19 @@ object Extended {
     // the replayed stream reproduces batch c31 exactly (ordered
     // contiguous chunks → first-seen == min doc_id), so s12 shares its
     // oracle shape: within-crawl min-id winners minus corpus texts
+    // the batch equivalent of the streamed decontam join: c77's window
+    // derivation, counts per contaminated train doc
+    "s15_stream_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS pos, substring(text, i, 30) AS win
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(1, greatest(length(text) - 29, 1) + 1)) AS i) u),
+        |b AS (SELECT DISTINCT win FROM w WHERE doc_id % 29 = 0)
+        |SELECT w.doc_id, count(1) AS n_contam_windows
+        |FROM w JOIN b USING (win)
+        |WHERE w.doc_id % 29 <> 0
+        |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
     // the batch equivalent of the gated stream: same synthesized
     // 1 s-per-doc timeline, same word-count gate, same 1 h buckets
     "s14_stream_quality_gate" ->

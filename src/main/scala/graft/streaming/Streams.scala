@@ -99,6 +99,33 @@ object Streams {
       .select(col("window.start").as("window_start"), col("source"),
         col("n_docs"), col("sum_chars"))
 
+  /** Ingest-time benchmark decontamination: each arriving document's
+    * 30-char windows (stateless codegen CharNgrams + explode) join the
+    * STATIC deduped benchmark-window relation — a stream-static inner
+    * join, stateless on the stream side — and matches aggregate to a
+    * per-document contaminated-window count under the ingest-time
+    * watermark. The c77 detection stage applied at the door: a
+    * contaminated crawl page is flagged the micro-batch it arrives,
+    * before it ever reaches the corpus. At 100 TB the benchmark window
+    * relation is model-sized (eval suites, not crawls) and broadcasts;
+    * per-batch cost is the batch's own window volume. `benchWins` must
+    * be (`_h`, `_bwin`) = (xxhash64 of window, window string), distinct
+    * — string equality in the join discards hash collisions. */
+  def ingestDecontam(docs: DataFrame, benchWins: DataFrame,
+                     windowChars: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(graft.functions.ChunkFunctions.char_ngrams(
+          col("text"), windowChars, lowercase = false)).as("_w"))
+      .select(col("doc_id"), col("ingest_ts"),
+        xxhash64(col("_w")).as("_h"), col("_w").as("_win"))
+      .join(benchWins, Seq("_h"))
+      .filter(col("_win") === col("_bwin"))
+      .withWatermark("ingest_ts", "2 hours")
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_contam_windows"))
+      .select(col("doc_id"), col("n_contam_windows"))
+
   /** Watermarked stream-stream inner join: purchases within 1 h after a
     * click by the same user. Both sides carry event-time watermarks AND
     * the join condition bounds purchase_ts relative to click_ts — the
