@@ -714,6 +714,63 @@ object Dedup {
           first(col("_ncs")).cast("double"), 6).as("dup_frac"))
   }
 
+  /** The REMOVAL step completing [[duplicatedSubstringStats]] (Lee et
+    * al. 2022): every duplicated `windowChars`-char window keeps its
+    * FIRST occurrence corpus-wide (min (doc, pos) — the c27 discipline)
+    * and later occurrences are cut; cut windows merge into maximal
+    * spans per doc and each affected document is reconstructed from
+    * the text between its cut spans. Returns only affected docs:
+    * (id, new_text, removed_chars, n_cut_spans).
+    *
+    * Same scale skeleton as the detect step (hash-only first shuffle,
+    * candidate-bounded string tier, doc-partitioned islands) plus:
+    *  - the winner rank runs over (hash, STRING) partitions of the
+    *    CANDIDATE set only;
+    *  - cut spans aggregate per doc into a spans-per-doc-sized array,
+    *    so the text column is joined back ONCE per affected doc and
+    *    the rebuild is a single `aggregate` higher-order expression
+    *    walking that array — no per-span text duplication, no second
+    *    corpus shuffle. Island construction guarantees spans are
+    *    disjoint with ≥1 kept char between them, so `removed_chars`
+    *    is an exact sum and the walk never backtracks. */
+  def substringTrim(df: DataFrame, idCol: String, textCol: String,
+                    windowChars: Int = 30): DataFrame = {
+    require(windowChars > 0, s"windowChars must be positive, got $windowChars")
+    val wins = charWindows(df, idCol, textCol, windowChars)
+    val dupHashes = wins.groupBy("_h").agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") > 1).select("_h")
+    val byWin = Window.partitionBy("_h", "_win")
+    val cut = wins.join(dupHashes, Seq("_h"))
+      .withColumn("_scnt", count(lit(1)).over(byWin))
+      .withColumn("_rn", row_number().over(
+        byWin.orderBy(col(idCol).asc, col("_pos").asc)))
+      .filter(col("_scnt") > 1 && col("_rn") > 1)
+      .select(col(idCol), col("_nc"), col("_pos"))
+    val spans = spanStats(cut, idCol, windowChars)
+      .withColumn("_s", col("_p0"))
+      .withColumn("_e", least(col("_p1") + lit(windowChars - 1), col("_ncs")))
+    val ranges = spans.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_s"), col("_e")))).as("_rs"),
+        sum(col("_e") - col("_s") + 1).cast("long").as("removed_chars"),
+        count(lit(1)).as("n_cut_spans"))
+    val t = df.select(col(idCol), col(textCol).as("_txt"),
+      length(col(textCol)).as("_len"))
+    ranges.join(t, Seq(idCol))
+      .withColumn("new_text",
+        aggregate(col("_rs"),
+          struct(lit(0).as("last"), lit("").as("acc")),
+          (acc, r) => struct(
+            r.getField("_e").as("last"),
+            concat(acc.getField("acc"),
+              col("_txt").substr(acc.getField("last") + 1,
+                r.getField("_s") - acc.getField("last") - 1)).as("acc")),
+          acc => concat(acc.getField("acc"),
+            col("_txt").substr(acc.getField("last") + 1,
+              col("_len") - acc.getField("last")))))
+      .select(col(idCol), col("new_text"), col("removed_chars"),
+        col("n_cut_spans"))
+  }
+
   /** Containment near-dup join: pairs whose shingle-set CONTAINMENT
     * `|A∩B| / min(|A|,|B|)` ≥ `threshold` — the asymmetric measure that
     * catches a short document embedded in a longer one (quotes,

@@ -521,6 +521,14 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
+    // the REMOVAL step on c76's mask: duplicated 30-char regions keep
+    // their first corpus-wide occurrence, later ones are cut and the
+    // affected docs rebuilt from the text between cuts
+    "c79_substring_trim" -> { (s, dir) =>
+      Dedup.substringTrim(docs(s, dir), "doc_id", "text", windowChars = 30)
+        .orderBy("doc_id")
+    },
+
     // sequence packing: fill 512-token bins per source in doc_id order —
     // the context-window packing step of training prep
     "c29_sequence_pack" -> { (s, dir) =>
@@ -1548,6 +1556,50 @@ object LayerC {
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
          |  CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // c76's window derivation + first-occurrence winner rank; cut spans
+    // complement-stitched back into text via lag windows + ordered agg
+    "c79_substring_trim" ->
+      """WITH w AS (
+        |  SELECT doc_id, length(text) AS nc, i AS pos, substring(text, i, 30) AS win
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(1, greatest(length(text) - 29, 1) + 1)) AS i) u),
+        |k AS (
+        |  SELECT doc_id, nc, pos,
+        |    count(1) OVER (PARTITION BY win) AS cnt,
+        |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM w),
+        |d AS (SELECT doc_id, nc, pos FROM k WHERE cnt > 1 AND rn > 1),
+        |isl AS (
+        |  SELECT doc_id, pos, nc,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM d),
+        |isl2 AS (
+        |  SELECT doc_id, pos, nc,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |sp AS (
+        |  SELECT doc_id, island, min(pos) AS s,
+        |    least(max(pos) + 29, any_value(nc)) AS e, any_value(nc) AS nc
+        |  FROM isl2 GROUP BY doc_id, island),
+        |pc AS (
+        |  SELECT doc_id, s, e, nc,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+        |  FROM sp),
+        |agg AS (
+        |  SELECT p.doc_id,
+        |    string_agg(substring(t.text, p.pe + 1, p.s - p.pe - 1), '' ORDER BY p.s) AS head_txt,
+        |    max(p.e) AS last_e, any_value(p.nc) AS nc, any_value(t.text) AS txt,
+        |    CAST(sum(p.e - p.s + 1) AS BIGINT) AS removed_chars,
+        |    count(1) AS n_cut_spans
+        |  FROM pc p JOIN documents t USING (doc_id)
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id,
+        |  head_txt || substring(txt, last_e + 1, nc - last_e) AS new_text,
+        |  removed_chars, n_cut_spans
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // same window derivation, train side vs benchmark side
     "c77_char_decontam" ->

@@ -325,6 +325,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 2L, 10L, 0.666667)), s"split hits: ${out(3L)}")
   }
 
+  test("substringTrim: first occurrence survives, later cuts rebuild correctly") {
+    val docs = Seq(
+      (1L, "abcdefghij"),     // winner of every shared window — untouched
+      (2L, "abcdefghij"),     // exact dup of 1 → fully cut
+      (3L, "zzzzabcdezzzz"),  // loses "abcde" to doc 1 → middle cut out
+      (4L, "unique text here!"),
+      (5L, "abcabcabcabc")    // self-repetition: first period kept
+    ).toDF("id", "text")
+    val out = Dedup.substringTrim(docs, "id", "text", windowChars = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("new_text"), r.getAs[Long]("removed_chars"),
+          r.getAs[Long]("n_cut_spans")))).toMap
+    assert(!out.contains(1L), "the first occurrence's doc must be untouched")
+    assert(!out.contains(4L), "clean doc must be absent")
+    assert(out(2L) == (("", 10L, 1L)), s"full cut: ${out(2L)}")
+    assert(out(3L) == (("zzzzzzzz", 5L, 1L)), s"middle cut: ${out(3L)}")
+    assert(out(5L) == (("abc", 9L, 1L)), s"period trim: ${out(5L)}")
+  }
+
   test("containmentPairs finds short-doc-inside-long-doc that Jaccard misses") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
     val short = (1 to 10).map(i => s"w$i").mkString(" ") // strict prefix of `long`
