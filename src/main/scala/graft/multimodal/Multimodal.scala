@@ -193,6 +193,50 @@ object Multimodal {
       }(enc)
   }
 
+  /** Temporal majority-bit hash: bit `i` of the result is set iff bit
+    * `i` is set in MORE than half of the per-frame hashes — a video
+    * signature robust to dropped/duplicated/reordered frames (any
+    * minority of frames cannot flip a bit), where hashing only the
+    * first frame would break on a one-frame trim. */
+  def majorityBits(hashes: Seq[Long]): Long = {
+    val n = hashes.length
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      var c = 0
+      hashes.foreach(h => if (((h >>> bit) & 1L) == 1L) c += 1)
+      if (2 * c > n) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** (doc_id, vhash, n_frames, duration_ms) for every decodable video
+    * payload: per-frame aHash from the REAL MJPEG/AVI decode, folded
+    * into the temporal majority signature — the video member of the
+    * perceptual dedup triad (m3 images, m4 audio), feeding the same
+    * banded hamming join. */
+  def videoSignatures(withBinary: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("vhash", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary
+      .filter(col("meta.mime").startsWith("video/"))
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeAviFrames(r.getAs[Array[Byte]]("payload")).map {
+            case (frames, durMs) =>
+              Row(r.getLong(0), majorityBits(frames.map(averageHash)),
+                frames.length, durMs)
+          }
+        }
+      }(enc)
+  }
+
   /** RMS and peak amplitude of decoded samples — scalar audio quality
     * signals (clipping/silence detection in a curation pipeline). */
   def audioStats(samples: Array[Float]): (Double, Double) = {

@@ -322,6 +322,17 @@ object Extended {
       Multimodal.audioFingerprints(
           Multimodal.attachBinary(Tables.load(s, dir, "documents")))
         .orderBy("doc_id")
+    },
+
+    // video perceptual signatures: per-frame aHash from REAL MJPEG/AVI
+    // decode, folded into a temporal majority-bit hash robust to
+    // dropped/reordered frames (rows-only — DuckDB cannot decode AVI;
+    // frame-drop invariance and the planted-duplicate hamming join are
+    // value-pinned in MultimodalSpec)
+    "m5_video_phash" -> { (s, dir) =>
+      Multimodal.videoSignatures(
+          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+        .orderBy("doc_id")
     }
   )
 

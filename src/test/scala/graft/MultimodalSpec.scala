@@ -437,6 +437,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hOther > 10, s"distinct tones only $hOther bits apart")
   }
 
+  test("majorityBits: frame-drop invariant where a first-frame hash is not") {
+    val (frames, _) = Multimodal.decodeAviFrames(
+      Multimodal.encodeMjpegAvi(5L, 16, 16, nFrames = 7)).get
+    val hashes = frames.map(Multimodal.averageHash)
+    assert(hashes.distinct.length > 1,
+      "fixture videos must have varying frames for this test to bite")
+    val full = Multimodal.majorityBits(hashes)
+    // dropping one frame of 7 flips no majority bit unless that bit was
+    // exactly at the 4/7 boundary — require a small hamming drift
+    val dropped = Multimodal.majorityBits(hashes.drop(1))
+    assert(java.lang.Long.bitCount(full ^ dropped) <= 4,
+      s"frame drop moved ${java.lang.Long.bitCount(full ^ dropped)} bits")
+    // reordering flips nothing at all — majority is order-free
+    assert(Multimodal.majorityBits(hashes.reverse) == full)
+  }
+
+  test("videoSignatures + hashNearDupPairs: planted duplicate videos pair up") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the fixture's synthetic videos are all smooth gradients and share
+    // an aHash half-plane by construction, so build structurally
+    // DISTINCT videos: gradient frames vs checkerboard frames
+    def jpeg(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, paint(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val gradFrames = (0 until 4).map(f =>
+      jpeg((x, y) => gray(math.min(x * 16 + f, 255))))
+    val checkFrames = (0 until 4).map(f =>
+      jpeg((x, y) => gray(if (((x / 4) + (y / 4) + f) % 2 == 0) 230 else 20)))
+    val grad = Multimodal.encodeAviFromJpegs(gradFrames, 16, 16, fps = 10)
+    val check = Multimodal.encodeAviFromJpegs(checkFrames, 16, 16, fps = 10)
+    val vids = Seq((1L, grad), (2L, grad), (3L, check))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("video/avi").as("mime"),
+        lit(16).as("width"), lit(16).as("height"),
+        lit(400L).as("duration_ms")))
+    val sigs = Multimodal.videoSignatures(vids)
+    assert(sigs.count() == 3)
+    val pairs = Multimodal.hashNearDupPairs(sigs, "doc_id", "vhash", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected only the planted duplicate pair, got $pairs")
+  }
+
   test("audioFingerprints + hashNearDupPairs: planted duplicate clip pairs, distinct don't") {
     val spark2 = spark
     import spark2.implicits._
