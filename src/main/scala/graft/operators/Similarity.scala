@@ -424,6 +424,38 @@ object Similarity {
     * evaluation exactly where throughput matters. The join path costs
     * one map-side-combined shuffle of the corpus (argmin per row) but
     * keeps every expression small and codegen'd. */
+  /** K-means cell assignment as a standalone column op, fully
+    * DETERMINISTIC: the training sample is the `maxTrainRows` smallest
+    * rows under a seeded content hash (a layout-invariant pseudo-
+    * shuffle — `TakeOrderedAndProject` at scale, unlike `sample()`
+    * whose draw changes with physical partitioning), the clusterer is
+    * the driver-side seeded [[lloyds]] (the pqTrain discipline — the
+    * model is nCells×d, never corpus-sized), and assignment is nearest
+    * centroid via literal-constant distance expressions (pure codegen,
+    * no shuffle, no model object on the executors). Same input → same
+    * cells regardless of partitioning, which the ML KMeans fit cannot
+    * promise (k-means|| init is order-dependent). Returns the input
+    * plus an integer `cellCol` — the semantic-bucket key behind IVF
+    * probing, SemDeDup, and cluster-balanced sampling. */
+  def assignCells(df: DataFrame, vecCol: String, cellCol: String,
+                  nCells: Int, seed: Long = 7L,
+                  maxTrainRows: Int = 4096): DataFrame = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    if (nCells == 1) return df.withColumn(cellCol, lit(0))
+    val pts = df.select(col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(xxhash64(lit(seed), col("_v")), col("_v"))
+      .limit(maxTrainRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(pts.nonEmpty, "no vectors to cluster")
+    val centroids = lloyds(pts, nCells, seed)
+    val vc = col(vecCol).cast("array<double>")
+    val dists = array(centroids.map { cen =>
+      lit(cen.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(cen))
+    }: _*)
+    df.withColumn(cellCol,
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
              seed: Long = 7L, trainFraction: Double = 1.0,

@@ -529,6 +529,24 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // diversity-aware subsampling: k-means the embedding space into 8
+    // semantic cells, draw at most 25 vectors per cell by the seeded
+    // deterministic shuffle key — balanced coverage of the semantic
+    // space instead of whatever the raw frequency mix is (rows-only:
+    // the clusterer has no DuckDB equivalent; determinism, cap
+    // exactness, and partition invariance pinned in SimilaritySpec)
+    "c80_diversity_sample" -> { (s, dir) =>
+      val celled = Similarity.assignCells(
+          Tables.load(s, dir, "embeddings"), "embedding", "cell",
+          nCells = 8, seed = 7L)
+        .select("vec_id", "cell")
+      val quotas = celled.select("cell").distinct()
+        .withColumn("quota", lit(25L))
+      graft.operators.Curation.mixtureSample(celled, "vec_id", "cell",
+          quotas, "quota", seed = 7L)
+        .orderBy("cell", "rk")
+    },
+
     // sequence packing: fill 512-token bins per source in doc_id order —
     // the context-window packing step of training prep
     "c29_sequence_pack" -> { (s, dir) =>

@@ -505,4 +505,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"ingested index diverges: ${served.diff(inMem)} vs ${inMem.diff(served)}")
     Tables.deleteRecursively(root)
   }
+
+  test("assignCells + mixtureSample: diversity draw caps per cell, deterministic (c80)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def draw(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Int)] = {
+      val celled = Similarity.assignCells(df, "embedding", "cell",
+          nCells = 4, seed = 7L)
+        .select(col("vec_id").cast("long").as("vec_id"), col("cell"))
+      val quotas = celled.select("cell").distinct()
+        .withColumn("quota", lit(5L))
+      graft.operators.Curation.mixtureSample(celled, "vec_id", "cell",
+          quotas, "quota", seed = 7L)
+        .orderBy("cell", "rk")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    }
+    val got = draw(e)
+    assert(got.nonEmpty)
+    // cap respected per cell; ranks contiguous from 1
+    got.groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.length <= 5, s"cell $cell drew ${rows.length} > quota")
+      assert(rows.map(_._3).sorted == (1 to rows.length).toList,
+        s"cell $cell ranks not contiguous: ${rows.map(_._3)}")
+    }
+    // every cell with members contributes (balanced coverage), and
+    // the draw is invariant under a different physical partitioning
+    assert(got.map(_._1).distinct.length >= 2, "expected multiple cells")
+    assert(draw(e.repartition(7)) == got, "draw must be partition-invariant")
+  }
 }
