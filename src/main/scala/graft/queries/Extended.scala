@@ -165,6 +165,16 @@ object Extended {
       served
     },
 
+    // windowed approx-distinct users via the mergeable HLL sketch in a
+    // real streaming aggregation (rows-only — sketch estimates have no
+    // DuckDB-equal value; ≤5% error vs the exact per-window distinct is
+    // asserted in ApproxSpec)
+    "s16_stream_hll" -> { (s, dir) =>
+      Streams.runToCompletion(s,
+          Streams.windowApproxUsers(Streams.eventStream(s, dir)), "s16_hll")
+        .orderBy("window_start")
+    },
+
     // quality-gated streaming ingest: the crawl replayed as a
     // 4-micro-batch stream (ingest_ts synthesized 1 s apart from
     // doc_id, the s12 timeline), gated on word count BEFORE the

@@ -58,9 +58,53 @@ object Relational6 {
           .as("approx_users"))
         .select(lit("ALL").as("event_type"), col("approx_users"))
       per.unionByName(all).orderBy("event_type")
+    },
+
+    // calendar gap-fill ("date spine"): generate every month between
+    // the global min/max order date, left-join monthly revenue, fill
+    // empty months with zeros — the reporting shape that a bare
+    // GROUP BY month silently gets wrong (missing months vanish).
+    // The spine derives from a 1-row broadcast aggregate + sequence()
+    // — never a driver-side loop
+    "q98_date_spine" -> { (s, dir) =>
+      // big-ticket orders only — sparse enough that some months are
+      // genuinely empty, so the fill is exercised, not vacuous
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 490000)
+      val bounds = o.agg(
+        date_trunc("month", min(col("o_orderdate"))).as("lo"),
+        date_trunc("month", max(col("o_orderdate"))).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("m"))
+        .select(col("m").cast("date").as("month"))
+      val monthly = o
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      spine.join(monthly, Seq("month"), "left")
+        .select(col("month"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("month")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "q98_date_spine" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_totalprice > 490000),
+        |b AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM o),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+        |  FROM b),
+        |m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    round(sum(o_totalprice), 2) AS revenue, count(1) AS n_orders
+        |  FROM o GROUP BY 1)
+        |SELECT spine.month,
+        |  coalesce(m.revenue, 0.0) AS revenue,
+        |  coalesce(m.n_orders, 0) AS n_orders
+        |FROM spine LEFT JOIN m USING (month) ORDER BY month""".stripMargin
   )
 }

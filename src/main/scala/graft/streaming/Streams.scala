@@ -79,6 +79,24 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
               col("user_id"), col("n_events"), col("last_ts"))
 
+  /** Windowed approximate-distinct users via the mergeable DataSketches
+    * HLL — the q97 sketch inside a watermarked streaming aggregation.
+    * Per-window state IS the fixed-size sketch (~4 KB at lgK=12),
+    * merged across micro-batches by the aggregate's partial-merge path,
+    * so distinct-counting an unbounded stream costs CONSTANT state per
+    * window regardless of user cardinality — where an exact streaming
+    * count-distinct would hold every user id in state. The streaming
+    * face of q97's shard-rollup argument. */
+  def windowApproxUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+          .as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("approx_users"), col("n_events"))
+
   /** Quality-gated streaming ingest: filter arriving documents by a
     * cheap stateless quality signal (word count in [40, 100] — the c8
     * family applied in-stream, before anything pays shuffle or state

@@ -56,6 +56,26 @@ class ApproxSpec extends AnyFunSuite {
       s"union estimate $merged vs exact $exactAll")
   }
 
+  test("streaming windowed HLL estimate within 5% of exact per window (s16 tier)") {
+    val streamed = graft.streaming.Streams.runToCompletion(spark,
+        graft.streaming.Streams.windowApproxUsers(
+          graft.streaming.Streams.eventStream(spark, dir)), "s16_spec")
+      .collect().map(r => r.getAs[java.sql.Timestamp]("window_start") ->
+        r.getAs[Long]("approx_users")).toMap
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .collect().map(r => r.getAs[java.sql.Timestamp]("ws") ->
+        r.getAs[Long]("n")).toMap
+    assert(streamed.keySet == exact.keySet,
+      s"window sets differ: ${streamed.keySet.size} vs ${exact.keySet.size}")
+    streamed.foreach { case (w, est) =>
+      val e = exact(w).toDouble
+      assert(math.abs(est - e) / e < 0.05, s"window $w: approx $est vs exact $e")
+    }
+  }
+
   test("percentile_approx rank error bounded by 1/accuracy (q96 tier)") {
     // the GK-style sketch guarantees each returned element's TRUE rank
     // is within 1/accuracy of the requested quantile; verify that
