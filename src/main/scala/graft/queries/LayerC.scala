@@ -529,6 +529,29 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // per-source data card: the summary table a dataset release ships —
+    // doc/token volumes, length profile, language spread + entropy,
+    // exact-dup rate — one grouped pass plus a lang-level rollup
+    "c81_data_card" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+"))).cast("long").as("ws_tokens"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(lit(1.0) -
+          countDistinct(col("text")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dup_rate"))
+      val langEntropy = d.groupBy("source", "lang")
+        .agg(count(lit(1)).as("_n"))
+        .join(base.select(col("source"), col("n_docs")), Seq("source"))
+        .groupBy("source")
+        .agg(round(-sum((col("_n").cast("double") / col("n_docs").cast("double")) *
+          log(col("_n").cast("double") / col("n_docs").cast("double"))), 6)
+          .as("lang_entropy"))
+      base.join(langEntropy, Seq("source")).orderBy("source")
+    },
+
     // diversity-aware subsampling: k-means the embedding space into 8
     // semantic cells, draw at most 25 vectors per cell by the seeded
     // deterministic shuffle key — balanced coverage of the semantic
@@ -1475,6 +1498,25 @@ object LayerC {
     "c3_dedup_simhash" -> simhashSql,
     "c36_bpe_merges" -> bpeMergeSql(10),
     "c37_bpe_segment" -> bpeSegmentSql(10),
+
+    "c81_data_card" ->
+      """WITH base AS (
+        |  SELECT source, count(1) AS n_docs,
+        |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS ws_tokens,
+        |    round(avg(n_chars), 2) AS avg_chars,
+        |    count(DISTINCT lang) AS n_langs,
+        |    round(CAST(1 AS DOUBLE) -
+        |      CAST(count(DISTINCT text) AS DOUBLE) / count(1), 6) AS dup_rate
+        |  FROM documents GROUP BY source),
+        |le AS (SELECT source, lang, count(1) AS n FROM documents GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT le.source,
+        |    round(-sum((CAST(n AS DOUBLE) / n_docs) *
+        |      ln(CAST(n AS DOUBLE) / n_docs)), 6) AS lang_entropy
+        |  FROM le JOIN base USING (source) GROUP BY le.source)
+        |SELECT base.source, n_docs, ws_tokens, avg_chars, n_langs, dup_rate,
+        |  lang_entropy
+        |FROM base JOIN ent USING (source) ORDER BY source""".stripMargin,
 
     // same shared shingle derivation, batch side vs corpus side
     "c34_incremental_neardup" -> incrementalNeardupSql,
