@@ -279,6 +279,37 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Held-out cross-entropy under a TRAIN-split unigram LM: the LM's
+    * token frequencies come from `train` only, and each `test` document
+    * scores `avg(−ln p̂(token))` with add-one (Laplace) smoothing
+    * `p̂ = (f + 1) / (N + V)` — unseen tokens get finite mass, so the
+    * score is defined off-support. Where [[unigramLogProb]] is the
+    * self-trained quality proxy (c22/c74), this is the GENERALIZATION
+    * probe: a held-out slice whose cross-entropy spikes does not look
+    * like the training mix (domain shift, template pollution, wrong
+    * language), caught before it skews a model.
+    *
+    * Scale shape: the LM is the vocab-sized (token, f) aggregate; the
+    * 1-row (N, V) totals broadcast; test tokens LEFT JOIN the vocab on
+    * the token key — the corpus is scanned once per side and nothing
+    * wider than (token, count) shuffles. */
+  def crossEntropy(train: DataFrame, test: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame, cols: Column*) = df
+      .select(cols :+ explode(split(lower(col(textCol)), "\\s+")).as("token"): _*)
+      .filter(col("token") =!= "")
+    val freqs = toks(train).groupBy("token").agg(count(lit(1)).as("_f"))
+    val nv = freqs.agg(sum("_f").as("_n"), count(lit(1)).as("_v"))
+    toks(test, col(idCol))
+      .join(freqs, Seq("token"), "left")
+      .crossJoin(broadcast(nv))
+      .groupBy(col(idCol))
+      .agg(
+        round(avg(-log((coalesce(col("_f"), lit(0L)) + lit(1.0)) /
+          (col("_n") + col("_v")).cast("double"))), 6).as("cross_entropy"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Per-shard token-distribution drift: KL(P_shard ‖ P_corpus) of the
     * unigram word distribution of each shard (source, dump, crawl
     * snapshot, …) against the whole corpus — the monitoring statistic

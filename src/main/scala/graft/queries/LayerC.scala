@@ -529,6 +529,18 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // held-out cross-entropy under the train-split unigram LM (add-one
+    // smoothed) — the generalization probe: held-out docs that don't
+    // look like the training mix score high
+    "c82_cross_entropy" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.crossEntropy(
+          d.filter(col("doc_id") % 29 =!= 0),
+          d.filter(col("doc_id") % 29 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // per-source data card: the summary table a dataset release ships —
     // doc/token volumes, length profile, language spread + entropy,
     // exact-dup rate — one grouped pass plus a lang-level rollup
@@ -1498,6 +1510,26 @@ object LayerC {
     "c3_dedup_simhash" -> simhashSql,
     "c36_bpe_merges" -> bpeMergeSql(10),
     "c37_bpe_segment" -> bpeSegmentSql(10),
+
+    // LM totals (N, V) from the train split only; unseen test tokens
+    // coalesce to f=0 under the same add-one arithmetic order
+    "c82_cross_entropy" ->
+      """WITH trt AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 29 <> 0),
+        |t2 AS (SELECT token FROM trt WHERE token <> ''),
+        |freq AS (SELECT token, count(1) AS f FROM t2 GROUP BY token),
+        |nv AS (SELECT CAST(sum(f) AS BIGINT) AS n, count(1) AS v FROM freq),
+        |tet AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |te2 AS (SELECT doc_id, token FROM tet WHERE token <> '')
+        |SELECT doc_id,
+        |  round(avg(-ln((coalesce(f, 0) + 1.0) / CAST(n + v AS DOUBLE))), 6)
+        |    AS cross_entropy,
+        |  count(1) AS n_tokens
+        |FROM te2 LEFT JOIN freq USING (token) CROSS JOIN nv
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "c81_data_card" ->
       """WITH base AS (

@@ -114,4 +114,24 @@ class PropertySpec extends AnyFunSuite {
         assert(g.map(_._2).distinct.length == 1) }
     }
   }
+
+  test("substringTrim conserves length: len(new_text) + removed == original") {
+    // generated corpora with planted duplication (repeated words make
+    // shared char windows likely); the invariant must hold for ALL of
+    // them: every removed char is accounted for, no seam is double-cut
+    samples(Gen.listOfN(8, text), n = 6).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val orig = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+      Dedup.substringTrim(df, "id", "text", windowChars = 6)
+        .collect().foreach { r =>
+          val id = r.getAs[Long]("id")
+          val cut = r.getAs[Long]("removed_chars")
+          val nt = r.getAs[String]("new_text")
+          assert(nt.length + cut == orig(id).length,
+            s"doc $id: ${nt.length} kept + $cut removed != ${orig(id).length}")
+          assert(cut > 0, s"doc $id reported with nothing removed")
+        }
+    }
+  }
 }
