@@ -165,6 +165,41 @@ object Extended {
       served
     },
 
+    // streaming drift monitor: the held-out slice (doc_id % 29 == 0)
+    // replayed as a stream, each window's tokens scored -ln p under the
+    // static train-corpus LM (add-one smoothed) — c82 at ingest, equal
+    // to the batch windowed average on bounded input
+    "s17_stream_drift" -> { (s, dir) =>
+      val d = graft.Tables.load(s, dir, "documents")
+      val trainToks = d.filter(col("doc_id") % 29 =!= 0)
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val freqs = trainToks.groupBy("token").agg(count(lit(1)).as("_f"))
+      val nvRow = freqs.agg(sum("_f").as("_n"), count(lit(1)).as("_v"))
+        .collect()(0)
+      val denom = (nvRow.getLong(0) + nvRow.getLong(1)).toDouble
+      val probs = freqs.select(col("token"),
+        log((col("_f") + lit(1.0)) / lit(denom)).as("_lp"))
+      val work = java.nio.file.Files.createTempDirectory("graft_s17").toString
+      val schema = Streams.writeOrderedReplay(
+        d.filter(col("doc_id") % 29 === 0)
+          .select("doc_id", "text")
+          // 300 s per doc: the sparse held-out ids still span dozens of
+          // 1 h windows, so the windowed aggregation is exercised
+          .withColumn("ingest_ts",
+            timestamp_millis(lit(1700000000000L) + col("doc_id") * 300000L)),
+        "doc_id", 4, s"$work/in")
+      val out = Streams.runToCompletion(s,
+          Streams.windowTokenDrift(
+            Streams.replayStream(s, s"$work/in", schema, maxFilesPerTrigger = 1),
+            probs, unkLp = math.log(1.0 / denom)),
+          "s17_drift")
+        .orderBy("window_start")
+      // the memory sink holds the rows; the replay chunks are dead weight
+      graft.Tables.deleteRecursively(work)
+      out
+    },
+
     // windowed approx-distinct users via the mergeable HLL sketch in a
     // real streaming aggregation (rows-only — sketch estimates have no
     // DuckDB-equal value; ≤5% error vs the exact per-window distinct is
@@ -388,6 +423,27 @@ object Extended {
     // the replayed stream reproduces batch c31 exactly (ordered
     // contiguous chunks → first-seen == min doc_id), so s12 shares its
     // oracle shape: within-crawl min-id winners minus corpus texts
+    // the batch equivalent of the streamed drift monitor: c82's LM
+    // arithmetic, windowed on the synthesized ingest timeline
+    "s17_stream_drift" ->
+      """WITH trt AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 29 <> 0),
+        |t2 AS (SELECT token FROM trt WHERE token <> ''),
+        |freq AS (SELECT token, count(1) AS f FROM t2 GROUP BY token),
+        |nv AS (SELECT CAST(sum(f) AS BIGINT) + count(1) AS denom FROM freq),
+        |tet AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |te2 AS (SELECT doc_id, token FROM tet WHERE token <> ''),
+        |sc AS (
+        |  SELECT make_timestamp((1700000000 + doc_id * 300) * 1000000) AS ingest_ts,
+        |    -ln((coalesce(f, 0) + 1.0) / CAST(denom AS DOUBLE)) AS nll
+        |  FROM te2 LEFT JOIN freq USING (token) CROSS JOIN nv)
+        |SELECT time_bucket(INTERVAL '1 hour', ingest_ts) AS window_start,
+        |  round(avg(nll), 6) AS avg_nll, count(1) AS n_tokens
+        |FROM sc GROUP BY 1 ORDER BY window_start""".stripMargin,
+
     // the batch equivalent of the streamed decontam join: c77's window
     // derivation, counts per contaminated train doc
     "s15_stream_decontam" ->

@@ -79,6 +79,32 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
               col("user_id"), col("n_events"), col("last_ts"))
 
+  /** Streaming token-distribution drift: each arriving document's
+    * tokens score −ln p̂ under a STATIC corpus unigram LM (add-one
+    * smoothed; `probs` = (token, _lp) with `unkLp` the smoothing floor
+    * for unseen tokens — both computed batch-side, the LM is vocab-
+    * sized and broadcasts), aggregated to a per-ingest-window average —
+    * c82's generalization probe AT INGEST. A crawl slice that stops
+    * looking like the corpus (template flood, language shift,
+    * mis-crawl) spikes the window average in the micro-batch it
+    * arrives. Stateless until the single windowed aggregation; state
+    * is one (window, sum, count) row per window inside the watermark
+    * horizon. */
+  def windowTokenDrift(docs: DataFrame, probs: DataFrame,
+                       unkLp: Double): DataFrame =
+    docs
+      .select(col("ingest_ts"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .join(probs, Seq("token"), "left")
+      .withColumn("_nll", -coalesce(col("_lp"), lit(unkLp)))
+      .withWatermark("ingest_ts", "2 hours")
+      .groupBy(window(col("ingest_ts"), "1 hour"))
+      .agg(round(avg(col("_nll")), 6).as("avg_nll"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("window.start").as("window_start"),
+        col("avg_nll"), col("n_tokens"))
+
   /** Windowed approximate-distinct users via the mergeable DataSketches
     * HLL — the q97 sketch inside a watermarked streaming aggregation.
     * Per-window state IS the fixed-size sketch (~4 KB at lgK=12),
