@@ -279,6 +279,51 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Vocabulary coverage curve: for each requested coverage level p,
+    * the smallest frequency-ranked vocabulary size whose cumulative
+    * token count reaches p of the corpus — the number a tokenizer/vocab
+    * budget decision actually needs ("how many types cover 95 % of
+    * tokens"). Ties rank by token string, so the curve is total.
+    *
+    * Scale note: the ordered window runs over the VOCABULARY relation —
+    * model-sized by definition (the entire point of a vocabulary), not
+    * corpus-sized — so the single-partition window is bounded the same
+    * way every other vocab-bounded loop here is. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    levels: Seq[Double]): DataFrame = {
+    require(levels.nonEmpty && levels.forall(p => p > 0.0 && p <= 1.0),
+      s"levels must be in (0,1], got $levels")
+    val freqs = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("_f"))
+    val w = Window.orderBy(col("_f").desc, col("token").asc)
+    val ranked = freqs
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_cum", sum(col("_f"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = freqs.agg(sum(col("_f")).as("_tot"))
+    val lv = levels.map(lit(_))
+    ranked.crossJoin(broadcast(total))
+      .select(col("_rk"), col("_cum"), col("_tot"),
+        explode(array(lv: _*)).as("coverage"))
+      .filter(col("_cum").cast("double") >= col("coverage") * col("_tot").cast("double"))
+      .groupBy(col("coverage"))
+      .agg(min(col("_rk")).as("vocab_size"))
+  }
+
+  /** Per-document type-token ratio (lexical diversity): distinct word
+    * count over word count — near 1 for diverse text, low for
+    * template/boilerplate repetition. One codegen projection. */
+  def typeTokenRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(lower(col(textCol)), "\\s+")
+    df.select(col(idCol),
+      size(words).as("n_words"),
+      size(array_distinct(words)).as("n_types"),
+      round(size(array_distinct(words)).cast("double") /
+        greatest(size(words), lit(1)).cast("double"), 6).as("ttr"))
+  }
+
   /** Held-out cross-entropy under a TRAIN-split unigram LM: the LM's
     * token frequencies come from `train` only, and each `test` document
     * scores `avg(−ln p̂(token))` with add-one (Laplace) smoothing

@@ -529,6 +529,22 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // vocabulary coverage curve: smallest frequency-ranked vocab size
+    // covering 50/90/95/99% of corpus tokens — the tokenizer-budget
+    // number
+    "c83_vocab_coverage" -> { (s, dir) =>
+      TextAnalysis.vocabCoverage(docs(s, dir), "text",
+          levels = Seq(0.5, 0.9, 0.95, 0.99))
+        .orderBy("coverage")
+    },
+
+    // per-doc type-token ratio (lexical diversity) — low TTR flags
+    // template/boilerplate repetition
+    "c84_ttr" -> { (s, dir) =>
+      TextAnalysis.typeTokenRatio(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // held-out cross-entropy under the train-split unigram LM (add-one
     // smoothed) — the generalization probe: held-out docs that don't
     // look like the training mix score high
@@ -1510,6 +1526,33 @@ object LayerC {
     "c3_dedup_simhash" -> simhashSql,
     "c36_bpe_merges" -> bpeMergeSql(10),
     "c37_bpe_segment" -> bpeSegmentSql(10),
+
+    "c83_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT token FROM tok WHERE token <> ''),
+        |freq AS (SELECT token, count(1) AS f FROM t2 GROUP BY token),
+        |r AS (
+        |  SELECT f,
+        |    row_number() OVER (ORDER BY f DESC, token ASC) AS rk,
+        |    sum(f) OVER (ORDER BY f DESC, token ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM freq),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM freq)
+        |SELECT coverage, min(rk) AS vocab_size
+        |FROM r CROSS JOIN tot
+        |  CROSS JOIN (VALUES (0.5), (0.9), (0.95), (0.99)) lv(coverage)
+        |WHERE CAST(cum AS DOUBLE) >= coverage * CAST(n AS DOUBLE)
+        |GROUP BY coverage ORDER BY coverage""".stripMargin,
+
+    "c84_ttr" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(text), '\s+')) AS n_words,
+        |  len(list_distinct(string_split_regex(lower(text), '\s+'))) AS n_types,
+        |  round(CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE) /
+        |    greatest(len(string_split_regex(lower(text), '\s+')), 1), 6) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // LM totals (N, V) from the train split only; unseen test tokens
     // coalesce to f=0 under the same add-one arithmetic order
