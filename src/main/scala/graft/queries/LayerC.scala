@@ -529,6 +529,47 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // Zipf fit: log-log regression of token frequency on rank — the
+    // corpus-health constant (natural text slopes near -1; template
+    // floods and synthetic spam bend it)
+    "c85_zipf_fit" -> { (s, dir) =>
+      val freqs = docs(s, dir)
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("token").asc)
+      freqs.withColumn("rk", row_number().over(w))
+        .select(log(col("f").cast("double")).as("lf"),
+          log(col("rk").cast("double")).as("lr"))
+        .agg(
+          round(expr("regr_slope(lf, lr)"), 4).as("zipf_slope"),
+          round(expr("regr_intercept(lf, lr)"), 4).as("zipf_intercept"),
+          round(expr("regr_r2(lf, lr)"), 6).as("r2"),
+          expr("regr_count(lf, lr)").as("n_types"))
+    },
+
+    // referential-integrity report between the documents and embeddings
+    // tables: the pipeline-health check that catches a partial embedding
+    // job before anything trains on misaligned ids
+    "c86_integrity_report" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"))
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"))
+      val nDocs = d.agg(count(lit(1)).as("v"))
+        .select(lit("docs").as("side"), col("v"))
+      val nVecs = e.agg(count(lit(1)).as("v"))
+        .select(lit("vecs").as("side"), col("v"))
+      val docsNoVec = d.join(e, d("doc_id") === e("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(lit("docs_without_vec").as("side"), col("v"))
+      val vecsNoDoc = e.join(d, e("vec_id") === d("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(lit("vecs_without_doc").as("side"), col("v"))
+      nDocs.unionByName(nVecs).unionByName(docsNoVec).unionByName(vecsNoDoc)
+        .orderBy("side")
+    },
+
     // vocabulary coverage curve: smallest frequency-ranked vocab size
     // covering 50/90/95/99% of corpus tokens — the tokenizer-budget
     // number
@@ -1526,6 +1567,34 @@ object LayerC {
     "c3_dedup_simhash" -> simhashSql,
     "c36_bpe_merges" -> bpeMergeSql(10),
     "c37_bpe_segment" -> bpeSegmentSql(10),
+
+    "c85_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT token FROM tok WHERE token <> ''),
+        |freq AS (SELECT token, count(1) AS f FROM t2 GROUP BY token),
+        |r AS (
+        |  SELECT ln(CAST(f AS DOUBLE)) AS lf,
+        |    ln(CAST(row_number() OVER (ORDER BY f DESC, token ASC) AS DOUBLE)) AS lr
+        |  FROM freq)
+        |SELECT round(regr_slope(lf, lr), 4) AS zipf_slope,
+        |  round(regr_intercept(lf, lr), 4) AS zipf_intercept,
+        |  round(regr_r2(lf, lr), 6) AS r2,
+        |  regr_count(lf, lr) AS n_types
+        |FROM r""".stripMargin,
+
+    "c86_integrity_report" ->
+      """SELECT 'docs' AS side, count(1) AS v FROM documents
+        |UNION ALL
+        |SELECT 'vecs', count(1) FROM embeddings
+        |UNION ALL
+        |SELECT 'docs_without_vec', count(1) FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+        |UNION ALL
+        |SELECT 'vecs_without_doc', count(1) FROM embeddings e
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+        |ORDER BY side""".stripMargin,
 
     "c83_vocab_coverage" ->
       """WITH tok AS (
