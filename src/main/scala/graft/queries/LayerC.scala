@@ -529,6 +529,46 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // quality-score decile report WITHOUT a global sort: the composite
+    // score's exact decile cuts come from ONE percentile aggregate
+    // (broadcast back), and each row counts the cuts below it — at
+    // 100 TB an ntile(10) would global-sort the corpus; this shape
+    // never sorts anything
+    "c87_quality_deciles" -> { (s, dir) =>
+      val f = TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
+        .withColumn("score",
+          round(col("stopword_ratio") * 2 - col("upper_ratio") +
+            log(greatest(col("n_words"), lit(1)).cast("double")) * 0.1, 6))
+      val cuts = f.agg(percentile(col("score"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("_qs"))
+      f.crossJoin(broadcast(cuts))
+        .withColumn("decile",
+          (size(filter(col("_qs"), q => col("score") > q)) + 1))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("score")), 6).as("min_score"),
+          round(max(col("score")), 6).as("max_score"))
+        .orderBy("decile")
+    },
+
+    // per-window event-rate anomaly: z-score of each 1 h window's
+    // volume against the all-window mean/stddev — the traffic-spike
+    // monitor; stats come from one broadcast aggregate over the
+    // window-count relation (bounded by the time span, never by volume)
+    "c88_rate_anomaly" -> { (s, dir) =>
+      val wc = Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("window_start"), col("n_events"))
+      val stats = wc.agg(avg(col("n_events")).as("_mu"),
+        stddev_pop(col("n_events")).as("_sd"))
+      wc.crossJoin(broadcast(stats))
+        .withColumn("z", round((col("n_events") - col("_mu")) / col("_sd"), 4))
+        .select(col("window_start"), col("n_events"), col("z"),
+          (abs(col("z")) >= 2.0).as("is_anomaly"))
+        .orderBy("window_start")
+    },
+
     // Zipf fit: log-log regression of token frequency on rank — the
     // corpus-health constant (natural text slopes near -1; template
     // floods and synthetic spam bend it)
@@ -1567,6 +1607,44 @@ object LayerC {
     "c3_dedup_simhash" -> simhashSql,
     "c36_bpe_merges" -> bpeMergeSql(10),
     "c37_bpe_segment" -> bpeSegmentSql(10),
+
+    // same c8 signal arithmetic; decile cuts from quantile_cont, rows
+    // count the cuts strictly below their score (the sort-free shape)
+    "c87_quality_deciles" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      w -> list_contains($stoplistSql, lower(w)))) AS DOUBLE) /
+         |      greatest(len(string_split_regex(text, '\\s+')), 1) AS stopword_ratio,
+         |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) /
+         |      greatest(length(text), 1) AS upper_ratio,
+         |    len(string_split_regex(text, '\\s+')) AS n_words
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    round(stopword_ratio * 2 - upper_ratio +
+         |      ln(CAST(greatest(n_words, 1) AS DOUBLE)) * 0.1, 6) AS score
+         |  FROM f),
+         |qs AS (SELECT quantile_cont(score,
+         |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM sc),
+         |d AS (
+         |  SELECT doc_id, score,
+         |    len(list_filter(q, x -> score > x)) + 1 AS decile
+         |  FROM sc CROSS JOIN qs)
+         |SELECT decile, count(1) AS n_docs,
+         |  round(min(score), 6) AS min_score, round(max(score), 6) AS max_score
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "c88_rate_anomaly" ->
+      """WITH wc AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |    count(1) AS n_events
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT avg(n_events) AS mu, stddev_pop(n_events) AS sd FROM wc)
+        |SELECT window_start, n_events,
+        |  round((n_events - mu) / sd, 4) AS z,
+        |  abs(round((n_events - mu) / sd, 4)) >= 2.0 AS is_anomaly
+        |FROM wc CROSS JOIN st ORDER BY window_start""".stripMargin,
 
     "c85_zipf_fit" ->
       """WITH tok AS (
