@@ -424,6 +424,29 @@ object Similarity {
     * evaluation exactly where throughput matters. The join path costs
     * one map-side-combined shuffle of the corpus (argmin per row) but
     * keeps every expression small and codegen'd. */
+  /** Per-dimension standardization (z-scoring) of an embedding column:
+    * dimension means/σ come from one posexplode aggregate whose result
+    * is DIMENSION-sized (the model-sized-collects-only discipline — d
+    * rows for a d-dim space), broadcast back as literal arrays; the
+    * transform is a pure codegen projection. The preprocessing step in
+    * front of distance-based retrieval/clustering when dimensions have
+    * wildly different scales. */
+  def standardizeVectors(df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val stats = df
+      .select(posexplode(col(vecCol)).as(Seq("_i", "_x")))
+      .groupBy("_i")
+      .agg(avg(col("_x").cast("double")).as("_mu"),
+        stddev_pop(col("_x").cast("double")).as("_sd"))
+      .orderBy("_i").collect()
+    val mus: Seq[Double] = stats.map(_.getDouble(1)).toSeq
+    val sds: Seq[Double] = stats.map(_.getDouble(2)).toSeq
+    df.select(col(idCol),
+      transform(col(vecCol), (x, i) =>
+        round((x.cast("double") - element_at(typedLit(mus), i + 1)) /
+          element_at(typedLit(sds), i + 1), 6)).as("z_vec"))
+  }
+
   /** K-means cell assignment as a standalone column op, fully
     * DETERMINISTIC: the training sample is the `maxTrainRows` smallest
     * rows under a seeded content hash (a layout-invariant pseudo-

@@ -165,6 +165,23 @@ object Extended {
       served
     },
 
+    // streaming rate anomaly: per-window volume z-scored in-stream
+    // against the batch-fit baseline mean/σ (passed as literals — in
+    // production, fit on history), equal to the batch c88 on bounded
+    // replay, sharing its oracle verbatim
+    "s18_stream_anomaly" -> { (s, dir) =>
+      val st = Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .agg(avg(col("n")).as("mu"), stddev_pop(col("n")).as("sd"))
+        .collect()(0)
+      Streams.runToCompletion(s,
+          Streams.windowRateAnomaly(Streams.eventStream(s, dir),
+            st.getDouble(0), st.getDouble(1)),
+          "s18_anomaly")
+        .orderBy("window_start")
+    },
+
     // streaming drift monitor: the held-out slice (doc_id % 29 == 0)
     // replayed as a stream, each window's tokens scored -ln p under the
     // static train-corpus LM (add-one smoothed) — c82 at ingest, equal
@@ -423,6 +440,10 @@ object Extended {
     // the replayed stream reproduces batch c31 exactly (ordered
     // contiguous chunks → first-seen == min doc_id), so s12 shares its
     // oracle shape: within-crawl min-id winners minus corpus texts
+    // streaming/batch identity is structural: s18 runs the SAME oracle
+    // string as the batch c88 (an edit to one cannot strand the other)
+    "s18_stream_anomaly" -> LayerC.oracle("c88_rate_anomaly"),
+
     // the batch equivalent of the streamed drift monitor: c82's LM
     // arithmetic, windowed on the synthesized ingest timeline
     "s17_stream_drift" ->

@@ -529,6 +529,15 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // per-dimension z-scoring of embeddings: dimension stats from one
+    // d-sized aggregate broadcast back as literals, then a codegen
+    // projection — the preprocessing in front of distance-based ops
+    "c89_standardize" -> { (s, dir) =>
+      Similarity.standardizeVectors(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
+    },
+
     // quality-score decile report WITHOUT a global sort: the composite
     // score's exact decile cuts come from ONE percentile aggregate
     // (broadcast back), and each row counts the cuts below it — at
@@ -1607,6 +1616,20 @@ object LayerC {
     "c3_dedup_simhash" -> simhashSql,
     "c36_bpe_merges" -> bpeMergeSql(10),
     "c37_bpe_segment" -> bpeSegmentSql(10),
+
+    // per-dim stats recomputed positionally; same round-6 projection
+    "c89_standardize" ->
+      """WITH st AS (
+        |  SELECT i, avg(embedding[i]) AS mu, stddev_pop(embedding[i]) AS sd
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, 65)) AS i) u
+        |  GROUP BY i),
+        |ag AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds
+        |       FROM st)
+        |SELECT vec_id,
+        |  [round((embedding[i] - mus[i]) / sds[i], 6)
+        |   FOR i IN range(1, len(embedding) + 1)] AS z_vec
+        |FROM embeddings CROSS JOIN ag ORDER BY vec_id""".stripMargin,
 
     // same c8 signal arithmetic; decile cuts from quantile_cont, rows
     // count the cuts strictly below their score (the sort-free shape)

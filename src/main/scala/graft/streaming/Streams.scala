@@ -79,6 +79,21 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
               col("user_id"), col("n_events"), col("last_ts"))
 
+  /** Streaming event-rate anomaly: per-window volume z-scored against a
+    * BASELINE mean/σ passed as literals (in production: fit on history;
+    * here: the batch stats over the same bounded replay, making the
+    * result equal to the batch c88) — the traffic-spike alarm at
+    * ingest. One watermarked windowed count; the scoring is a stateless
+    * projection, so state is one count per window in the horizon. */
+  def windowRateAnomaly(events: DataFrame, mu: Double, sd: Double): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        round((col("n_events") - lit(mu)) / lit(sd), 4).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= 2.0)
+
   /** Streaming token-distribution drift: each arriving document's
     * tokens score −ln p̂ under a STATIC corpus unigram LM (add-one
     * smoothed; `probs` = (token, _lp) with `unkLp` the smoothing floor
