@@ -237,6 +237,41 @@ object Multimodal {
       }(enc)
   }
 
+  /** Decode-health scan: per mime type, how many payloads actually
+    * decode with the modality's real decoder (ImageIO / WAV / AVI) —
+    * the corrupt-file detector a media pipeline runs before paying
+    * feature extraction for bytes that will fail. One mapPartitions
+    * pass emits a (mime, ok) row per payload; the rollup is a plain
+    * distributed aggregation, so the scan parallelizes like any other
+    * decode pass. */
+  def decodeHealth(withBinary: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("_ok", IntegerType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary
+      .select(col("meta.mime").as("mime"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mime = r.getString(0)
+          val payload = r.getAs[Array[Byte]]("payload")
+          val ok = mime match {
+            case m if m != null && m.startsWith("image/") =>
+              decodeImage(payload).isDefined
+            case "audio/wav" => decodeWav(payload).isDefined
+            case m if m != null && m.startsWith("video/") =>
+              decodeAviFrames(payload).isDefined
+            case _ => false
+          }
+          Row(mime, if (ok) 1 else 0)
+        }
+      }(enc)
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(col("_ok")).cast("long").as("n_decodable"))
+      .withColumn("n_failed", col("n_payloads") - col("n_decodable"))
+  }
+
   /** RMS and peak amplitude of decoded samples — scalar audio quality
     * signals (clipping/silence detection in a curation pipeline). */
   def audioStats(samples: Array[Float]): (Double, Double) = {

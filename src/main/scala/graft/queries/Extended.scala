@@ -386,6 +386,16 @@ object Extended {
         .orderBy("doc_id")
     },
 
+    // decode-health scan: per mime, how many payloads actually decode
+    // with the real decoder — the corrupt-file detector run before
+    // paying feature extraction (rows-only — DuckDB cannot decode;
+    // corrupt-payload counting is value-pinned in MultimodalSpec)
+    "m6_decode_health" -> { (s, dir) =>
+      Multimodal.decodeHealth(
+          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+        .orderBy("mime")
+    },
+
     // video perceptual signatures: per-frame aHash from REAL MJPEG/AVI
     // decode, folded into a temporal majority-bit hash robust to
     // dropped/reordered frames (rows-only — DuckDB cannot decode AVI;

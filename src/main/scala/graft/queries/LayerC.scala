@@ -529,6 +529,19 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // dup-cluster size histogram: how big do near-dup groups get — the
+    // dedup-impact summary (a fat tail means one template dominates)
+    "c90_cluster_sizes" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      Dedup.dupClusters(pairs, d, "doc_id")
+        .groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
     // per-dimension z-scoring of embeddings: dimension stats from one
     // d-sized aggregate broadcast back as literals, then a codegen
     // projection — the preprocessing in front of distance-based ops
@@ -1954,6 +1967,25 @@ object LayerC {
          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
          |SELECT node AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // c23's cluster labels rolled up to a size histogram
+    "c90_cluster_sizes" ->
+      s"""WITH RECURSIVE $shingleCteSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardExprSql >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+         |lab AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+         |cs AS (SELECT rep, count(1) AS sz FROM lab GROUP BY rep)
+         |SELECT sz AS cluster_size, count(1) AS n_clusters
+         |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "c64_tokenizer_fertility" -> bpeFertilitySql(10),
 
     // c27's span chunking over the train slice + c25's benchmark

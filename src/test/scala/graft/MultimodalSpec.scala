@@ -486,6 +486,24 @@ class MultimodalSpec extends AnyFunSuite {
       s"expected only the planted duplicate pair, got $pairs")
   }
 
+  test("decodeHealth counts a corrupt payload as failed, intact ones as decodable") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Multimodal.attachBinary(
+      Seq((2L, "a"), (3L, "b"), (4L, "c")).toDF("doc_id", "text")) // wav, avi, jpeg
+    // truncate the audio payload — a real corrupt-file shape
+    val corrupt = base.filter(col("doc_id") === 2L)
+      .withColumn("doc_id", lit(102L))
+      .withColumn("payload", expr("substring(payload, 1, 10)"))
+    val out = Multimodal.decodeHealth(base.unionByName(corrupt))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_payloads"), r.getAs[Long]("n_decodable"),
+          r.getAs[Long]("n_failed")))).toMap
+    assert(out("audio/wav") == ((2L, 1L, 1L)), s"audio: ${out("audio/wav")}")
+    assert(out("video/avi") == ((1L, 1L, 0L)))
+    assert(out("image/jpeg") == ((1L, 1L, 0L)))
+  }
+
   test("audioFingerprints + hashNearDupPairs: planted duplicate clip pairs, distinct don't") {
     val spark2 = spark
     import spark2.implicits._
