@@ -529,6 +529,18 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // confusion matrix of the c48 Naive-Bayes language classifier vs
+    // the labeled truth — evaluation-as-a-query (which languages the
+    // classifier confuses, not just how often)
+    "c91_confusion_matrix" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.naiveBayesClassify(d, "doc_id", "text", "lang")
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy(col("lang").as("true_lang"), col("pred").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
+    },
+
     // dup-cluster size histogram: how big do near-dup groups get — the
     // dedup-impact summary (a fat tail means one template dominates)
     "c90_cluster_sizes" -> { (s, dir) =>
@@ -1074,6 +1086,44 @@ object LayerC {
 
   // single source of truth for the stopword list in oracle SQL —
   // c8/c13 must track TextAnalysis.stopwords exactly
+  /** Shared CTE chain of the Naive-Bayes oracle (through `best`): the
+    * c48 prediction derivation, reused by the c91 confusion rollup so
+    * an edit to one cannot strand the other. */
+  private val nbBestCteSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang AS cls,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS token
+      |  FROM documents),
+      |t2 AS (SELECT * FROM tok WHERE token <> ''),
+      |base AS (SELECT doc_id, cls, token, count(1) AS k
+      |         FROM t2 GROUP BY doc_id, cls, token),
+      |cls AS (SELECT cls, count(DISTINCT doc_id) AS dc, sum(k) AS tc
+      |        FROM base GROUP BY cls),
+      |nd AS (SELECT sum(dc) AS nd FROM cls),
+      |wc AS (SELECT token, cls, sum(k) AS n FROM base GROUP BY token, cls),
+      |vocab AS (SELECT DISTINCT token FROM wc),
+      |v AS (SELECT count(1) AS v FROM vocab),
+      |grid AS (
+      |  SELECT vocab.token, c.cls,
+      |    ln((CAST(coalesce(wc.n, 0) AS DOUBLE) + 0.5) /
+      |       (CAST(c.tc AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE))) AS lw
+      |  FROM vocab CROSS JOIN cls c
+      |  LEFT JOIN wc ON wc.token = vocab.token AND wc.cls = c.cls
+      |  CROSS JOIN v),
+      |pri AS (SELECT cls, ln(CAST(dc AS DOUBLE) / CAST(nd AS DOUBLE)) AS lp
+      |        FROM cls CROSS JOIN nd),
+      |sc AS (
+      |  SELECT base.doc_id, g.cls, sum(g.lw * CAST(base.k AS DOUBLE)) AS s
+      |  FROM base JOIN grid g ON g.token = base.token
+      |  GROUP BY base.doc_id, g.cls),
+      |fin AS (
+      |  SELECT sc.doc_id, sc.cls, sc.s + pri.lp AS score
+      |  FROM sc JOIN pri USING (cls)),
+      |best AS (
+      |  SELECT doc_id, cls, score, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+      |  FROM fin)""".stripMargin
+
   private val stoplistSql: String =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -2607,42 +2657,18 @@ object LayerC {
     // exactly (alpha=0.5, global-vocab denominator, doc-count priors);
     // argmax by raw score, ties to the smaller class label
     "c48_nb_classifier" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang AS cls,
-        |    unnest(string_split_regex(lower(text), '\s+')) AS token
-        |  FROM documents),
-        |t2 AS (SELECT * FROM tok WHERE token <> ''),
-        |base AS (SELECT doc_id, cls, token, count(1) AS k
-        |         FROM t2 GROUP BY doc_id, cls, token),
-        |cls AS (SELECT cls, count(DISTINCT doc_id) AS dc, sum(k) AS tc
-        |        FROM base GROUP BY cls),
-        |nd AS (SELECT sum(dc) AS nd FROM cls),
-        |wc AS (SELECT token, cls, sum(k) AS n FROM base GROUP BY token, cls),
-        |vocab AS (SELECT DISTINCT token FROM wc),
-        |v AS (SELECT count(1) AS v FROM vocab),
-        |grid AS (
-        |  SELECT vocab.token, c.cls,
-        |    ln((CAST(coalesce(wc.n, 0) AS DOUBLE) + 0.5) /
-        |       (CAST(c.tc AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE))) AS lw
-        |  FROM vocab CROSS JOIN cls c
-        |  LEFT JOIN wc ON wc.token = vocab.token AND wc.cls = c.cls
-        |  CROSS JOIN v),
-        |pri AS (SELECT cls, ln(CAST(dc AS DOUBLE) / CAST(nd AS DOUBLE)) AS lp
-        |        FROM cls CROSS JOIN nd),
-        |sc AS (
-        |  SELECT base.doc_id, g.cls, sum(g.lw * CAST(base.k AS DOUBLE)) AS s
-        |  FROM base JOIN grid g ON g.token = base.token
-        |  GROUP BY base.doc_id, g.cls),
-        |fin AS (
-        |  SELECT sc.doc_id, sc.cls, sc.s + pri.lp AS score
-        |  FROM sc JOIN pri USING (cls)),
-        |best AS (
-        |  SELECT doc_id, cls, score, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
-        |  FROM fin)
+      s"""$nbBestCteSql
         |SELECT b.doc_id, d.lang, b.cls AS pred, round(b.score, 6) AS score
         |FROM best b JOIN documents d ON d.doc_id = b.doc_id
         |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin,
+
+    // same prediction derivation as c48, rolled up to the error matrix
+    "c91_confusion_matrix" ->
+      s"""$nbBestCteSql
+        |SELECT d.lang AS true_lang, b.cls AS pred_lang, count(1) AS n
+        |FROM best b JOIN documents d ON d.doc_id = b.doc_id
+        |WHERE b.rn = 1
+        |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
 
     "c31_incremental_dedup" ->
       """WITH b AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
