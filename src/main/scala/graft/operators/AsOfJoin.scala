@@ -58,11 +58,66 @@ object AsOfJoin {
     asofImpl(left, right, keys, leftTime, rightTime, payloadCols,
       rightTieBreak, forward = forward, tolerance = Some(tolerance))
 
-  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
-                       leftTime: String, rightTime: String,
-                       payloadCols: Seq[String], rightTieBreak: String,
-                       forward: Boolean,
-                       tolerance: Option[String] = None): DataFrame = {
+  /** Nearest as-of (pandas `merge_asof(direction='nearest')`): the right
+    * row minimizing |rightTime − leftTime| within the key group; an
+    * equally near earlier and later row resolves BACKWARD (the earlier
+    * row — state already in force beats state about to be). Among right
+    * rows at the matched timestamp the backward tie rule applies on the
+    * backward side (largest tie-break) and the forward rule on the
+    * forward side (smallest).
+    *
+    * ONE tagged union, ONE shuffle on the keys: the backward running
+    * payload (time ascending) and the forward one (time descending) are
+    * two Window passes over the SAME hash partitioning, so Spark reuses
+    * the exchange and pays only the second in-partition sort — never a
+    * second shuffle, never a range join. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  payloadCols: Seq[String], rightTieBreak: String,
+                  tolerance: Option[String] = None): DataFrame = {
+    val (unioned, leftCols) =
+      taggedUnion(left, right, keys, leftTime, rightTime, payloadCols, rightTieBreak)
+    val part = Window.partitionBy(keys.map(col): _*)
+    val wB = part
+      .orderBy(col("_t").asc_nulls_first, col("_side").asc,
+        col("_tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = part
+      .orderBy(col("_t").desc_nulls_first, col("_side").asc,
+        col("_tie").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = unioned
+      .withColumn("_back", last(col("_p"), ignoreNulls = true).over(wB))
+      .withColumn("_fwd", last(col("_p"), ignoreNulls = true).over(wF))
+      .filter(col("_side") === 1)
+    val bRt = col("_back").getField("_rt")
+    val fRt = col("_fwd").getField("_rt")
+    // gaps compare in the time column's OWN arithmetic (timestamp −
+    // timestamp is a comparable interval, long − long a long), keeping
+    // the operator time-type-agnostic like the directional variants; a
+    // left row at the same instant as a right row yields gap 0 on the
+    // backward side, which wins the <= tie as documented
+    val bGap = col("_t") - bRt
+    val fGap = fRt - col("_t")
+    val useBack = bRt.isNotNull && (fRt.isNull || bGap <= fGap)
+    val chosen = when(useBack, col("_back")).otherwise(col("_fwd"))
+    val within = tolerance.map { tol =>
+      val gap = when(useBack, col("_t") - bRt).otherwise(fRt - col("_t"))
+      gap <= expr(s"INTERVAL $tol")
+    }.getOrElse(lit(true))
+    windowed.select(leftCols.map(col) ++
+      payloadCols.map(c =>
+        when(within, chosen.getField(c)).as(s"asof_$c")): _*)
+  }
+
+  /** The tagged union both as-of shapes window over: left rows carry a
+    * null payload struct, right rows carry (payload..., rightTime) as
+    * `_p` with their tie-break; returns the union plus the original
+    * left column list. */
+  private def taggedUnion(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], leftTime: String,
+                          rightTime: String, payloadCols: Seq[String],
+                          rightTieBreak: String): (DataFrame, Seq[String]) = {
     val leftCols = left.columns.toSeq
     // The payload travels as ONE struct column: a struct of right-side
     // values is non-null even when every field is null, so
@@ -87,7 +142,16 @@ object AsOfJoin {
         struct(payloadCols.map(col) :+ col(rightTime).as("_rt"): _*).as("_p")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val unioned = l.unionByName(r)
+    (l.unionByName(r), leftCols)
+  }
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       payloadCols: Seq[String], rightTieBreak: String,
+                       forward: Boolean,
+                       tolerance: Option[String] = None): DataFrame = {
+    val (unioned, leftCols) =
+      taggedUnion(left, right, keys, leftTime, rightTime, payloadCols, rightTieBreak)
     // right rows (side 0) sort before left rows at equal time → inclusive
     // semantics in both directions; _tie orders concurrent right rows
     // deterministically. Forward scans time DESCENDING, so the running

@@ -845,4 +845,80 @@ object Dedup {
         round(sum(col("_chars")).cast("double") /
           first(col("_ncs")).cast("double"), 6).as("contam_frac"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, the
+    * MOSS algorithm): hash every character `k`-gram, slide a window of
+    * `w` consecutive hashes, and keep each window's MINIMUM — the
+    * distinct kept hashes are the document's fingerprint set. The
+    * guarantee that makes it a dedup primitive rather than a sampler:
+    * any substring of length ≥ k+w−1 shared by two documents
+    * contributes at least one COMMON selected fingerprint (both sides
+    * pick the same minimum inside the shared region), while only
+    * ~2/(w+1) of all gram hashes are kept.
+    *
+    * The whole selection is per-document array arithmetic inside one
+    * codegen projection — grams, hashes, window minima — with no
+    * explode until the final fingerprint relation, so nothing shuffles
+    * until the 8-byte (id, fp) rows.
+    *
+    * The positional tie rule of the paper (rightmost minimum) is
+    * deliberately irrelevant here: ties tie on the hash VALUE, and the
+    * output keeps distinct values per document, so which position wins
+    * cannot change the fingerprint set.
+    *
+    * `gramHash` defaults to mix64∘fingerprint64 — the engine-replicable
+    * full-avalanche chain (same discipline as SimHash's word hash), so
+    * an external oracle can replay the exact selected values. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, w: Int,
+                            gramHash: Column => Column =
+                              c => graft.functions.TextFunctions.mix64(
+                                graft.functions.TextFunctions.fingerprint64(c))): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    val t = col(textCol)
+    val nGrams = (length(t) - k + 1).cast("int")
+    val hashes = transform(
+      sequence(lit(1), nGrams),
+      i => gramHash(t.substr(i, lit(k))))
+    // shorter-than-k texts have no gram (sequence(1, n<1) would count
+    // DOWN — guard them out before the projection)
+    df.filter(length(t) >= k)
+      .select(col(idCol),
+        array_distinct(transform(
+          sequence(lit(1), greatest(nGrams - w + 1, lit(1))),
+          j => array_min(slice(hashes, j, lit(w))))).as("_fps"))
+      .select(col(idCol), explode(col("_fps")).as("fp"))
+  }
+
+  /** Winnowing overlap join: pairs of documents sharing ≥ `minShared`
+    * selected fingerprints — partial-overlap/plagiarism detection, the
+    * positional complement of set-Jaccard near-dup (`ngramJaccardPairs`
+    * asks "are the SETS similar"; this asks "do they share a long
+    * enough REGION").
+    *
+    * `maxDocFreq` drops fingerprints present in more than that many
+    * documents before pairing — boilerplate regions otherwise create a
+    * df² pair blowup per common fingerprint, the exact failure mode of
+    * every inverted-index join at corpus scale (MOSS applies the same
+    * cull). The document-frequency relation is (fp, df) — 8-byte keys,
+    * map-side combinable; the pair count shuffles on the (id_a, id_b)
+    * long pair only. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 20, w: Int = 5, minShared: Int = 3,
+                     maxDocFreq: Int = 10): DataFrame = {
+    require(minShared > 0 && maxDocFreq > 0,
+      s"minShared/maxDocFreq must be positive, got $minShared/$maxDocFreq")
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    kept.select(col("fp"), col(idCol).as("id_a"))
+      .join(kept.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -823,6 +823,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Bloom-prefiltered decontamination — value-identical to
+    * [[decontaminate]] (no false negatives: the bloom only ever lets
+    * extra candidates through, and the exact broadcast-join verify
+    * drops them), but the corpus-side scan probes a BLOOM FILTER of the
+    * benchmark shingles instead of hash-joining every shingle row.
+    *
+    * Why it matters at 100 TB: the exact benchmark shingle relation
+    * grows with the eval suite (hundreds of benchmarks × contamination
+    * n-grams) and must be broadcast in full to every executor; the
+    * bloom at ~10 bits/key with fpp=1 % is 10–50× smaller, the
+    * `might_contain` probe is a codegen-friendly per-row predicate
+    * (exactly the machinery Spark's own InjectRuntimeFilter ships to
+    * the fact side), and only the surviving ~fpp fraction of corpus
+    * shingles reaches the verify join. Both sides insert/probe the
+    * SAME `xxhash64(shingle)` longs, so membership is exact up to fpp.
+    *
+    * Two benchmark-sized passes (count to size the filter, aggregate to
+    * build it) are paid before the corpus scan — eval-set-sized, cheap
+    * next to what the prefilter saves. */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val benchShingles = benchmark
+      .select(explode(graft.operators.Dedup.shingles(col(textCol), shingleN)).as("_s"))
+      .distinct()
+    val n = math.max(benchShingles.count(), 1L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val bloomAgg = toCol(new BloomFilterAggregate(
+      toExpr(xxhash64(col("_s"))), Literal(n), Literal(numBits))
+      .toAggregateExpression())
+    // the collected sketch is model-sized (numBits/8 bytes — ~1.2 MB per
+    // million benchmark shingles at 1 %), the same driver-side hop
+    // Spark's runtime-filter subquery makes
+    val bloomBytes = benchShingles.agg(bloomAgg.as("_bf"))
+      .head().getAs[Array[Byte]]("_bf")
+    def mightContain(v: Column): Column = toCol(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType), toExpr(xxhash64(v))))
+    train
+      .select(col(idCol),
+        explode(graft.operators.Dedup.shingles(col(textCol), shingleN)).as("_s"))
+      .filter(mightContain(col("_s")))
+      .join(broadcast(benchShingles), "_s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** Source-overlap matrix: pairwise Jaccard similarity of the DISTINCT
     * word-`n`-gram sets of each `groupCol` (source/shard) — the lexical
     * twin of [[Similarity.centroidSimilarity]]'s embedding view, and

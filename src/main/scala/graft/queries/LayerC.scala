@@ -424,6 +424,20 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // c25 with the benchmark shingle set shipped as a BLOOM FILTER
+    // (might_contain prefilter + exact verify join) — value-identical
+    // by construction (no false negatives, FPs verified away), so it
+    // shares c25's oracle verbatim; the scale path when the eval suite
+    // outgrows an exact broadcast
+    "c93_bloom_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.decontaminateBloom(
+          d.filter(col("doc_id") % 29 =!= 0),
+          d.filter(col("doc_id") % 29 === 0),
+          "doc_id", "text", shingleN = 3)
+        .orderBy("doc_id")
+    },
+
     // quantile quality gate: keep docs at or above the exact P25 of
     // n_chars (drop the shortest quarter)
     "c26_quantile_filter" -> { (s, dir) =>
@@ -539,6 +553,17 @@ object LayerC {
         .groupBy(col("lang").as("true_lang"), col("pred").as("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy("true_lang", "pred_lang")
+    },
+
+    // winnowing (MOSS) fingerprint overlap: pairs sharing >= 3 selected
+    // k-gram minima — POSITIONAL overlap detection (a long shared
+    // region guarantees a shared fingerprint), the complement of the
+    // set-similarity family; boilerplate fingerprints in > 10 docs are
+    // culled before pairing, the inverted-index blowup guard
+    "c92_winnowing" -> { (s, dir) =>
+      Dedup.winnowingPairs(docs(s, dir), "doc_id", "text",
+          k = 20, w = 5, minShared = 3, maxDocFreq = 10)
+        .orderBy("id_a", "id_b")
     },
 
     // dup-cluster size histogram: how big do near-dup groups get — the
@@ -1089,6 +1114,27 @@ object LayerC {
   /** Shared CTE chain of the Naive-Bayes oracle (through `best`): the
     * c48 prediction derivation, reused by the c91 confusion rollup so
     * an edit to one cannot strand the other. */
+  // shingle emulation matches graft.functions.ShingleUtil: lowercase,
+  // split on \s+ keeping empties, starts = max(len-2, 1), shingle i =
+  // words[i .. min(i+2, len)] joined by space, per-doc distinct.
+  // Shared verbatim by c25 (exact broadcast join) and c93 (bloom
+  // prefilter + exact verify) — the two are value-identical.
+  private val decontamSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(ws) - 2, 1) + 1),
+      |    i -> array_to_string(list_slice(ws, i, least(i + 2, len(ws))), ' ')))
+      |    AS sl
+      |  FROM w),
+      |b AS (SELECT DISTINCT unnest(sl) AS s FROM sh WHERE doc_id % 29 = 0),
+      |t AS (SELECT doc_id, unnest(sl) AS s FROM sh WHERE doc_id % 29 <> 0)
+      |SELECT t.doc_id, count(1) AS n_shared_shingles
+      |FROM t JOIN b USING (s)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   private val nbBestCteSql: String =
     """WITH tok AS (
       |  SELECT doc_id, lang AS cls,
@@ -2019,6 +2065,35 @@ object LayerC {
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // c23's cluster labels rolled up to a size histogram
+    // the full winnowing pipeline replayed value-exact: per-position
+    // k-gram hashes through the shared Karp–Rabin + fmix64 chain,
+    // window minima as a signed BIGINT window min (how Spark's
+    // array_min compares), per-doc DISTINCT selection, the df <= 10
+    // boilerplate cull, and the >= 3 shared-fingerprint pair gate
+    "c92_winnowing" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, i, substring(text, i, 20) AS gram,
+         |    length(text) - 19 AS ng
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(range(1, length(text) - 18)) AS i) u
+         |  WHERE length(text) >= 20),
+         |${fmix64ChainSql("g", "gram", Seq("doc_id", "i", "ng"), "mxo")},
+         |h AS (SELECT doc_id, i, ng, $signedU AS h FROM mxo),
+         |wm AS (
+         |  SELECT doc_id, i, ng,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+         |  FROM h),
+         |sel AS (SELECT DISTINCT doc_id, fp FROM wm
+         |        WHERE i <= greatest(ng - 4, 1)),
+         |rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(1) <= 10),
+         |kept AS (SELECT doc_id, fp FROM sel JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_shared
+         |FROM kept a JOIN kept b USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(1) >= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "c90_cluster_sizes" ->
       s"""WITH RECURSIVE $shingleCteSql,
          |pairs AS (
@@ -2256,21 +2331,10 @@ object LayerC {
     // shingle emulation matches graft.functions.ShingleUtil: lowercase,
     // split on \s+ keeping empties, starts = max(len-2, 1), shingle i =
     // words[i .. min(i+2, len)] joined by space, per-doc distinct
-    "c25_decontam" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') ws
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(ws) - 2, 1) + 1),
-        |    i -> array_to_string(list_slice(ws, i, least(i + 2, len(ws))), ' ')))
-        |    AS sl
-        |  FROM w),
-        |b AS (SELECT DISTINCT unnest(sl) AS s FROM sh WHERE doc_id % 29 = 0),
-        |t AS (SELECT doc_id, unnest(sl) AS s FROM sh WHERE doc_id % 29 <> 0)
-        |SELECT t.doc_id, count(1) AS n_shared_shingles
-        |FROM t JOIN b USING (s)
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "c25_decontam" -> decontamSql,
+
+    // bloom prefilter + exact verify ≡ the exact join — same oracle
+    "c93_bloom_decontam" -> decontamSql,
 
     "c26_quantile_filter" ->
       """SELECT doc_id, n_chars FROM documents

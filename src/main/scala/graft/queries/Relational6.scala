@@ -85,10 +85,132 @@ object Relational6 {
           coalesce(col("revenue"), lit(0.0)).as("revenue"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
         .orderBy("month")
+    },
+
+    // gaps-and-islands: per-user runs of CONSECUTIVE active days. The
+    // island key is datediff-from-epoch minus the per-user row_number —
+    // constant within a run, and every window is PARTITIONED by user,
+    // so nothing ever global-sorts: the classic streak shape that
+    // scales as long as no single key's history is unbounded
+    "q99_streaks" -> { (s, dir) =>
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("d")
+      days
+        .withColumn("_grp",
+          datediff(col("d"), lit("1970-01-01").cast("date")) -
+            row_number().over(w))
+        .groupBy(col("user_id"), col("_grp"))
+        .agg(min(col("d")).as("streak_start"),
+          max(col("d")).as("streak_end"),
+          count(lit(1)).as("streak_days"))
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy("user_id", "streak_start")
+    },
+
+    // windowed COUNT(DISTINCT) — Spark rejects DISTINCT aggregates over
+    // windows outright, so this is THE workaround idiom: a
+    // first-occurrence flag (row_number()==1 per (user, type) ordered
+    // by time) summed over (a) the whole partition for the total and
+    // (b) a running frame for distinct-types-so-far. Every window is
+    // PARTITIONED by user — nothing global-sorts, and the flag trick
+    // costs one extra in-partition sort on the SAME user_id exchange
+    "q101_window_distinct" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val whole = Window.partitionBy("user_id")
+      val running = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("_fst",
+          when(row_number().over(byFirst) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          sum(col("_fst")).over(whole).as("n_types_total"),
+          sum(col("_fst")).over(running).as("n_types_so_far"))
+        .orderBy("event_id")
+    },
+
+    // nearest-direction as-of: each purchase picks the signup closest
+    // in time, earlier or later, with the equal-distance tie resolved
+    // backward — completes the as-of family (q36 back, q67 forward,
+    // q95 tolerance) on the same one-shuffle union-window machinery
+    "q100_asof_nearest" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"),
+          col("value").as("signup_value"))
+      graft.operators.AsOfJoin.asofNearest(purchases, signups,
+          Seq("user_id"), "ts", "ts",
+          payloadCols = Seq("signup_value"), rightTieBreak = "signup_id")
+        .orderBy("event_id")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // same island arithmetic on integer day numbers — no interval math
+    // to disagree on
+    "q99_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |r AS (
+        |  SELECT user_id, d,
+        |    date_diff('day', DATE '1970-01-01', d) -
+        |      row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |  FROM d)
+        |SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+        |  count(1) AS streak_days
+        |FROM r GROUP BY user_id, grp
+        |ORDER BY user_id, streak_start""".stripMargin,
+
+    // the same first-occurrence derivation (DuckDB would also accept a
+    // native windowed COUNT(DISTINCT) for the total, but the flag form
+    // keeps both columns on one definition); BIGINT casts pin the
+    // HUGEINT window sums to Spark's long
+    "q101_window_distinct" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN row_number() OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |    THEN 1 ELSE 0 END AS fst
+        |  FROM events)
+        |SELECT event_id, user_id, ts, event_type,
+        |  CAST(sum(fst) OVER (PARTITION BY user_id) AS BIGINT)
+        |    AS n_types_total,
+        |  CAST(sum(fst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types_so_far
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    // global argmin over |gap| with the exact tie ladder the operator
+    // implements: nearer wins; equal distance → backward; same-instant
+    // rows are backward matches; backward ties take the LARGEST
+    // signup_id, forward ties the smallest
+    "q100_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts, event_id AS signup_id, value AS signup_value
+        |      FROM events WHERE event_type = 'signup'),
+        |j AS (
+        |  SELECT p.event_id, s.signup_value,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+        |      CASE WHEN s.ts <= p.ts THEN p.ts - s.ts ELSE s.ts - p.ts END ASC,
+        |      CASE WHEN s.ts <= p.ts THEN 0 ELSE 1 END ASC,
+        |      CASE WHEN s.ts <= p.ts THEN -s.signup_id ELSE s.signup_id END ASC
+        |    ) AS rk
+        |  FROM p JOIN s ON p.user_id = s.user_id)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  j.signup_value AS asof_signup_value
+        |FROM p LEFT JOIN (SELECT event_id, signup_value FROM j WHERE rk = 1) j
+        |  ON p.event_id = j.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
     "q98_date_spine" ->
       """WITH o AS (SELECT * FROM orders WHERE o_totalprice > 490000),
         |b AS (

@@ -76,6 +76,45 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(fwd("before_real") == 50)
   }
 
+  test("asofNearest: nearer side wins; equal distance resolves backward") {
+    val right = Seq((1L, 3L, 30, 1L), (1L, 7L, 70, 2L)).toDF("k", "rt", "p", "rid")
+    val left = Seq(
+      (1L, 4L, "near_back"),  // |1| back vs |3| fwd → 30
+      (1L, 6L, "near_fwd"),   // |3| back vs |1| fwd → 70
+      (1L, 5L, "equidistant"),// |2| both → backward wins → 30
+      (1L, 7L, "same_t"),     // gap 0 backward (inclusive) → 70
+      (1L, 1L, "before_all"), // only forward exists → 30
+      (1L, 9L, "after_all"),  // only backward exists → 70
+      (2L, 5L, "no_right")    // no right rows for k=2 → null
+    ).toDF("k", "lt", "tag")
+    val rows = AsOfJoin.asofNearest(left, right, Seq("k"), "lt", "rt",
+      Seq("p"), "rid").collect()
+      .map(r => r.getAs[String]("tag") -> r.getAs[Any]("asof_p")).toMap
+    assert(rows("near_back") == 30)
+    assert(rows("near_fwd") == 70)
+    assert(rows("equidistant") == 30)
+    assert(rows("same_t") == 70)
+    assert(rows("before_all") == 30)
+    assert(rows("after_all") == 70)
+    assert(rows("no_right") == null)
+  }
+
+  test("asofNearest tie rules per side: backward largest rid, forward smallest") {
+    val right = Seq(
+      (1L, 3L, 31, 1L), (1L, 3L, 32, 2L),  // backward candidates at t=3
+      (1L, 9L, 91, 3L), (1L, 9L, 92, 4L)   // forward candidates at t=9
+    ).toDF("k", "rt", "p", "rid")
+    val left = Seq(
+      (1L, 4L, "back_tie"),  // t=3 nearer → backward rule: largest rid → 32
+      (1L, 8L, "fwd_tie")    // t=9 nearer → forward rule: smallest rid → 91
+    ).toDF("k", "lt", "tag")
+    val rows = AsOfJoin.asofNearest(left, right, Seq("k"), "lt", "rt",
+      Seq("p"), "rid").collect()
+      .map(r => r.getAs[String]("tag") -> r.getAs[Any]("asof_p")).toMap
+    assert(rows("back_tie") == 32)
+    assert(rows("fwd_tie") == 91)
+  }
+
   test("jaccard threshold boundary survives float overshoot (J exactly = t)") {
     // A: 452 words -> 450 shingles; B: prefix of 245 words -> 243 shingles
     // intersection 243, union 450 -> J = 0.54 exactly; 450*0.54 overshoots

@@ -344,6 +344,78 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == (("abc", 9L, 1L)), s"period trim: ${out(5L)}")
   }
 
+  test("winnowing: shared region ≥ k+w−1 guarantees a common fingerprint") {
+    // k=4, w=3 → any shared substring of length ≥ 6 must contribute at
+    // least one COMMON selected fingerprint (both sides pick the same
+    // window minimum inside the shared region) — the SWA guarantee
+    val shared = "UNIQUESHAREDREGIONXYZ" // length 21 ≥ 6
+    val docs = Seq(
+      (1L, s"aaaa bbbb $shared cccc dddd"),
+      (2L, s"zzzz $shared qqqq rrrr ssss tttt"),
+      (3L, "a totally different document with nothing in common here")
+    ).toDF("id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "id", "text",
+        k = 4, w = 3, minShared = 1, maxDocFreq = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"SWA guarantee violated: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("winnowing selection: fingerprints are window minima, ~2/(w+1) dense") {
+    // hand-replay the selection on the driver with the SAME hash chain:
+    // per-position gram hashes come from the engine's own expressions,
+    // window minima + distinct are recomputed in plain Scala
+    import graft.functions.TextFunctions.{fingerprint64, mix64}
+    import org.apache.spark.sql.functions.col
+    val text = "the quick brown fox jumps over the lazy dog the quick brown"
+    val (k, w) = (5, 4)
+    val grams = (0 to text.length - k).map(i => text.substring(i, i + k))
+    val hashes = grams.toDF("g")
+      .select(mix64(fingerprint64(col("g"))).as("h"))
+      .as[Long].collect()
+    val expected = hashes.sliding(w).map(_.min).toSeq.distinct.sorted
+    val got = Dedup.winnowingFingerprints(
+        Seq((1L, text)).toDF("id", "text"), "id", "text", k, w)
+      .select("fp").as[Long].collect().toSeq.sorted
+    assert(got == expected, s"selection mismatch: got $got expected $expected")
+    // density: selection keeps far fewer than all gram hashes
+    assert(got.size < hashes.length,
+      s"no compression: ${got.size} of ${hashes.length}")
+  }
+
+  test("winnowing boilerplate cull: df > maxDocFreq fingerprints drop exactly") {
+    // a boilerplate region in all 3 docs → its interior fingerprints
+    // have df=3 and must vanish at maxDocFreq=2. Selection near region
+    // boundaries is context-dependent (a gram can be the window min in
+    // two docs but lose to a neighbor in the third), so the expected
+    // culled output is REPLAYED from the fingerprint relation in plain
+    // Scala rather than assumed empty
+    val boiler = "COMMONBOILERPLATEFOOTER"
+    val docs = (1L to 3L).map(i => (i, s"doc number $i unique part $i$i $boiler"))
+      .toDF("id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, "id", "text", k = 4, w = 3)
+      .as[(Long, Long)].collect()
+    val byFp = fps.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byFp.values.exists(_.size == 3),
+      "precondition: boilerplate interior must reach all three docs")
+    // expected pairs after the df<=2 cull, recomputed independently
+    val expected = byFp.values.filter(_.size <= 2).toSeq
+      .flatMap(s => for (a <- s; b <- s if a < b) yield (a, b))
+      .groupBy(identity).map { case (p, occ) => p -> occ.size.toLong }
+    val got = Dedup.winnowingPairs(docs, "id", "text",
+        k = 4, w = 3, minShared = 1, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // without the cull every pair shares the boilerplate fingerprints
+    val all = Dedup.winnowingPairs(docs, "id", "text",
+        k = 4, w = 3, minShared = 1, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $all")
+    assert(all((1L, 2L)) > got.getOrElse((1L, 2L), 0L),
+      "the cull must strictly reduce the boilerplate pair's shared count")
+  }
+
   test("containmentPairs finds short-doc-inside-long-doc that Jaccard misses") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
     val short = (1 to 10).map(i => s"w$i").mkString(" ") // strict prefix of `long`

@@ -143,6 +143,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2L))
   }
 
+  test("decontaminateBloom equals the exact join, at tight AND loose fpp") {
+    // a corpus big enough that the bloom prefilter has real work to do:
+    // 60 clean docs with disjoint vocabularies plus 2 planted overlaps
+    val bench = Seq((100L, "the quick brown fox jumps over it")).toDF("doc_id", "text")
+    val train = ((1 to 60).map(i =>
+        (i.toLong, s"clean doc $i talks about topic$i only topic$i and t$i")) ++
+      Seq((61L, "a tale of the quick brown fox going home"),
+          (62L, "she saw the fox jumps over it yesterday")))
+      .toDF("doc_id", "text")
+    val exact = TextAnalysis.decontaminate(train, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == Set(61L, 62L), s"fixture precondition: $exact")
+    // tight fpp (the real configuration) and absurdly loose fpp (every
+    // probe may pass → verify join does ALL the work) must both equal
+    // the exact operator — FPs are verified away, FNs cannot exist
+    for (fpp <- Seq(0.01, 0.9)) {
+      val bloom = TextAnalysis.decontaminateBloom(
+          train, bench, "doc_id", "text", 3, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bloom == exact, s"fpp=$fpp: $bloom != $exact")
+    }
+  }
+
   test("perplexityBuckets: hand-computed smoothed score incl. OOV mass") {
     val target = Seq((10L, "a a b")).toDF("doc_id", "text")
     val corpus = Seq((1L, "a c")).toDF("doc_id", "text")
