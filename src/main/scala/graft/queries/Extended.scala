@@ -17,6 +17,17 @@ import graft.streaming.Streams
 object Extended {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-process work dir for replay inputs/checkpoints, WIPED on entry:
+    * bench reps reuse one path instead of leaking a replay corpus per
+    * invocation, and the `Tables.processWorkDir` shutdown hook removes
+    * the root at JVM exit. Wiping also guarantees a fresh streaming
+    * checkpoint — a stale one would silently resume, not replay. */
+  private def freshWork(name: String): String = {
+    val d = s"${Tables.processWorkDir}/$name"
+    Tables.deleteRecursively(d)
+    d
+  }
+
   val queries: Map[String, Q] = Map(
 
     // tumbling 1 h windows × event_type via Structured Streaming
@@ -110,7 +121,7 @@ object Extended {
     // so the result equals the global-dedup batch oracle.
     "s12_corpus_dedup" -> { (s, dir) =>
       val d = graft.Tables.load(s, dir, "documents")
-      val work = java.nio.file.Files.createTempDirectory("graft_s12").toString
+      val work = freshWork("s12")
       val schema = Streams.writeOrderedReplay(
         d.filter(col("doc_id") % 7 === 0)
           .select("doc_id", "source", "n_chars", "text")
@@ -147,7 +158,7 @@ object Extended {
       val fresh = e.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding")
       val codebooks = Similarity.pqTrain(base, "embedding", dim, m, ksub,
         seed = 7L, trainFraction = 0.25)
-      val root = java.nio.file.Files.createTempDirectory("graft_s13").toString
+      val root = freshWork("s13")
       AnnIndex.save(s, root, codebooks,
         Similarity.pqEncode(base, "vec_id", "embedding", codebooks, dim))
       val schema = Streams.writeOrderedReplay(fresh, "vec_id", 4, s"$root/replay")
@@ -197,7 +208,7 @@ object Extended {
       val denom = (nvRow.getLong(0) + nvRow.getLong(1)).toDouble
       val probs = freqs.select(col("token"),
         log((col("_f") + lit(1.0)) / lit(denom)).as("_lp"))
-      val work = java.nio.file.Files.createTempDirectory("graft_s17").toString
+      val work = freshWork("s17")
       val schema = Streams.writeOrderedReplay(
         d.filter(col("doc_id") % 29 === 0)
           .select("doc_id", "text")
@@ -235,7 +246,7 @@ object Extended {
     // bounded input
     "s14_stream_quality_gate" -> { (s, dir) =>
       val d = graft.Tables.load(s, dir, "documents")
-      val work = java.nio.file.Files.createTempDirectory("graft_s14").toString
+      val work = freshWork("s14")
       val schema = Streams.writeOrderedReplay(
         d.select("doc_id", "source", "n_chars", "text")
           .withColumn("ingest_ts",
@@ -263,7 +274,7 @@ object Extended {
           col("text"), 30, lowercase = false)).as("_w"))
         .select(xxhash64(col("_w")).as("_h"), col("_w").as("_bwin"))
         .distinct()
-      val work = java.nio.file.Files.createTempDirectory("graft_s15").toString
+      val work = freshWork("s15")
       val schema = Streams.writeOrderedReplay(
         d.filter(col("doc_id") % 29 =!= 0)
           .select("doc_id", "text")
