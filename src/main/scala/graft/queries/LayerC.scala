@@ -258,6 +258,39 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
+    // retrieval evaluation-as-a-query: recall@10 of the PRUNED IVF
+    // tier against the exact brute-force truth, swept over nProbe —
+    // the accuracy-vs-cost curve every ANN deployment publishes
+    // before choosing its operating point (c16/c44 pin the exact
+    // full-probe end; this measures the regime the prune actually
+    // runs in). Recall is provably monotone in nProbe (a truth row
+    // in any candidate subset outranks at most its 9 global
+    // superiors, so it always survives the top-10 cut — more probed
+    // cells can only add candidates) and exactly 1.0 at
+    // nProbe = nCells; SimilaritySpec pins both. Rows-only: the
+    // k-means centroids are not SQL-replayable.
+    "c94_recall_curve" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val qs = e.filter(col("vec_id") % 37 === 0).select("vec_id", "embedding")
+      val truth = Similarity
+        .bruteForceKnn(e, qs, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("nn_id"))
+      val truthN = truth.agg(count(lit(1)).as("n_truth"))
+      Seq(1, 2, 4, 16).map { p =>
+          Similarity.ivfKnn(e, qs, "vec_id", "embedding", k = 10,
+              nCells = 16, nProbe = p, seed = 7L)
+            .select(col("query_id"), col("nn_id"))
+            .join(truth, Seq("query_id", "nn_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(p).as("n_probe"), col("n_hits"))
+        }.reduce(_.unionByName(_))
+        .crossJoin(broadcast(truthN))
+        .select(col("n_probe"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 6)
+            .as("recall_at_10"))
+        .orderBy("n_probe")
+    },
+
     // IVF+PQ kNN: the composed production ANN architecture — coarse
     // cells prune the scan, PQ codes compress it, ADC scores it, exact
     // cosine reranks. Probing ALL cells with unbounded rerank makes the

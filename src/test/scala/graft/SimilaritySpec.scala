@@ -112,6 +112,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("c94 recall curve: monotone in nProbe, exactly 1.0 at full probe") {
+    // the query's two provable invariants: a truth row in any candidate
+    // subset outranks at most its 9 global superiors, so enlarging the
+    // probed-cell set can only add hits (monotone), and probing all 16
+    // cells makes IVF exhaustive (recall exactly 1.0)
+    val out = SparkEntry.queries("c94_recall_curve")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[Int]("n_probe") -> r.getAs[Double]("recall_at_10"))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 4, 16), s"probe sweep: ${out.toSeq}")
+    assert(out.sliding(2).forall(w => w(0)._2 <= w(1)._2),
+      s"recall not monotone in nProbe: ${out.toSeq}")
+    assert(out.last._2 == 1.0, s"full probe must be exhaustive: ${out.toSeq}")
+  }
+
   test("pqKnn: pruned rerank recall >= 0.8 vs brute force; unbounded rerank is exact") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter($"vec_id" < 20)
