@@ -15,13 +15,18 @@ import graft.functions.{AdcScore, CharNgrams, DotProduct, Fingerprint64, MaxAbs,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
         builder))
     }
+    // the whole-operator tier: plans TopKPerGroupNode as the bounded-
+    // heap partial/final pair (graft.plans); the programmatic route is
+    // spark.experimental.extraStrategies via TopKPerGroup.topKPerGroup
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -65,7 +70,11 @@ object GraftExtensions {
     ("adc_score",
       "adc_score(codes, lut, ksub) - asymmetric-distance PQ code scoring",
       (children: Seq[Expression]) =>
-        AdcScore(children(0), children(1), intLit(children(2), "adc_score"))))
+        AdcScore(children(0), children(1), intLit(children(2), "adc_score"))),
+    ("sliding_min",
+      "sliding_min(arr, w) - minimum of every w-wide window over array<bigint>",
+      (children: Seq[Expression]) =>
+        graft.functions.SlidingMin(children(0), intLit(children(1), "sliding_min"))))
 
   /** Register the same functions on an already-running session (temp
     * functions in the session registry). `spark.sql.extensions=

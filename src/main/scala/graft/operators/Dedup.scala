@@ -857,9 +857,16 @@ object Dedup {
     * ~2/(w+1) of all gram hashes are kept.
     *
     * The whole selection is per-document array arithmetic inside one
-    * codegen projection — grams, hashes, window minima — with no
-    * explode until the final fingerprint relation, so nothing shuffles
-    * until the 8-byte (id, fp) rows.
+    * projection — the codegen [[graft.functions.CharNgrams]] gram pass,
+    * one hash lambda over the gram array, and the codegen
+    * [[graft.functions.SlidingMin]] monotonic-deque window pass — with
+    * no explode until the final fingerprint relation, so nothing
+    * shuffles until the 8-byte (id, fp) rows. SlidingMin exists
+    * precisely because the composed built-in form
+    * (`array_min(slice(hashes, j, w))` per window position) re-evaluates
+    * the whole hash array per position after CollapseProject inlines
+    * it into the interpreted lambda — O(n²·k) per document, minutes
+    * instead of seconds at sf0.1.
     *
     * The positional tie rule of the paper (rightmost minimum) is
     * deliberately irrelevant here: ties tie on the hash VALUE, and the
@@ -876,17 +883,15 @@ object Dedup {
                                 graft.functions.TextFunctions.fingerprint64(c))): DataFrame = {
     require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
     val t = col(textCol)
-    val nGrams = (length(t) - k + 1).cast("int")
-    val hashes = transform(
-      sequence(lit(1), nGrams),
-      i => gramHash(t.substr(i, lit(k))))
-    // shorter-than-k texts have no gram (sequence(1, n<1) would count
-    // DOWN — guard them out before the projection)
+    // shorter-than-k texts have no gram; CharNgrams would emit one
+    // partial gram for them, so guard them out first
     df.filter(length(t) >= k)
       .select(col(idCol),
-        array_distinct(transform(
-          sequence(lit(1), greatest(nGrams - w + 1, lit(1))),
-          j => array_min(slice(hashes, j, lit(w))))).as("_fps"))
+        array_distinct(graft.functions.SlidingMinFunctions.sliding_min(
+          transform(
+            graft.functions.ChunkFunctions.char_ngrams(t, k, lowercase = false),
+            g => gramHash(g)),
+          w)).as("_fps"))
       .select(col(idCol), explode(col("_fps")).as("fp"))
   }
 

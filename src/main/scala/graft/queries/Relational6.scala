@@ -110,6 +110,21 @@ object Relational6 {
         .orderBy("user_id", "streak_start")
     },
 
+    // per-key top-k via the CUSTOM WHOLE-OPERATOR tier (logical node +
+    // strategy + bounded-heap partial/final SparkPlans,
+    // graft.plans.TopKPerGroup): each customer's 2 highest-value
+    // orders. Where q22's window idiom sorts every group completely,
+    // this ships at most k rows per (group, map partition) into the
+    // one hash exchange — the skew-proof shape at 100 TB
+    "q102_topk_per_group" -> { (s, dir) =>
+      graft.plans.TopKPerGroup.topKPerGroup(
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+          groupCols = Seq("o_custkey"),
+          order = Seq(("o_totalprice", true), ("o_orderkey", false)), k = 2)
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // windowed COUNT(DISTINCT) — Spark rejects DISTINCT aggregates over
     // windows outright, so this is THE workaround idiom: a
     // first-occurrence flag (row_number()==1 per (user, type) ordered
@@ -168,6 +183,17 @@ object Relational6 {
         |  count(1) AS streak_days
         |FROM r GROUP BY user_id, grp
         |ORDER BY user_id, streak_start""".stripMargin,
+
+    // the bounded-heap operator must equal the classic window idiom
+    "q102_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM r WHERE rk <= 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // the same first-occurrence derivation (DuckDB would also accept a
     // native windowed COUNT(DISTINCT) for the total, but the flag form

@@ -344,6 +344,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == (("abc", 9L, 1L)), s"period trim: ${out(5L)}")
   }
 
+  test("sliding_min: hand-computed deque minima, ties, and short arrays") {
+    import graft.functions.SlidingMinFunctions.sliding_min
+    import org.apache.spark.sql.functions.col
+    def mins(xs: Seq[Long], w: Int): Seq[Long] =
+      Seq(Tuple1(xs)).toDF("a")
+        .select(sliding_min(col("a"), w).as("m"))
+        .as[Seq[Long]].collect().head
+    assert(mins(Seq(5L, 3L, 8L, 1L, 9L), 3) == Seq(3L, 1L, 1L))
+    assert(mins(Seq(2L, 2L, 2L), 2) == Seq(2L, 2L))         // ties
+    assert(mins(Seq(7L, 6L, 5L), 1) == Seq(7L, 6L, 5L))     // w=1 identity
+    assert(mins(Seq(4L, 9L), 5) == Seq(4L))                 // partial window
+    assert(mins(Seq(-3L, Long.MinValue, 0L), 2) ==
+      Seq(Long.MinValue, Long.MinValue))                    // extremes
+    assert(mins(Seq.empty[Long], 3) == Seq.empty[Long])
+  }
+
   test("winnowing: shared region ≥ k+w−1 guarantees a common fingerprint") {
     // k=4, w=3 → any shared substring of length ≥ 6 must contribute at
     // least one COMMON selected fingerprint (both sides pick the same
