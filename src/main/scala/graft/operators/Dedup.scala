@@ -895,6 +895,72 @@ object Dedup {
       .select(col(idCol), explode(col("_fps")).as("fp"))
   }
 
+  /** Position-keeping variant of [[winnowingFingerprints]]: one row per
+    * (document, selected fingerprint) with the FIRST and LAST window
+    * start positions (1-based) where that fingerprint was selected —
+    * the raw material for locating shared regions, not just counting
+    * them. Same selection, same hash chain; the per-(id, fp) aggregate
+    * replaces the in-projection distinct. */
+  def winnowingFingerprintSpans(df: DataFrame, idCol: String, textCol: String,
+                                k: Int, w: Int,
+                                gramHash: Column => Column =
+                                  c => graft.functions.TextFunctions.mix64(
+                                    graft.functions.TextFunctions.fingerprint64(c))): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    val t = col(textCol)
+    df.filter(length(t) >= k)
+      .select(col(idCol),
+        posexplode(graft.functions.SlidingMinFunctions.sliding_min(
+          transform(
+            graft.functions.ChunkFunctions.char_ngrams(t, k, lowercase = false),
+            g => gramHash(g)),
+          w)).as(Seq("_j", "fp")))
+      .groupBy(col(idCol), col("fp"))
+      .agg((min(col("_j")) + 1).as("first_pos"),
+        (max(col("_j")) + 1).as("last_pos"))
+  }
+
+  /** MOSS-style overlap-extent report: for each document pair sharing
+    * ≥ `minShared` selected fingerprints, the approximate CHAR SPAN of
+    * the shared material in EACH document — where the overlap lives,
+    * not just that it exists (the plagiarism-report complement of
+    * [[winnowingPairs]]).
+    *
+    * A fingerprint selected at window start j covers grams j…j+w−1 of
+    * k chars each, i.e. chars j…j+k+w−2; the reported span is
+    * [min start, max start + k+w−2] per doc. Honest approximation
+    * bound: winnowing guarantees a common fingerprint only for shared
+    * regions ≥ k+w−1 chars, so edges under-cover by up to that much —
+    * an extent ESTIMATE, exactly what MOSS itself reports.
+    *
+    * Same df-cull and scale shape as [[winnowingPairs]]; the join
+    * carries one row per (doc, fp) regardless of how often a
+    * fingerprint repeats inside a document (repetitive text cannot
+    * blow up the pair join). */
+  def winnowingOverlapSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 20, w: Int = 5, minShared: Int = 3,
+                            maxDocFreq: Int = 10): DataFrame = {
+    require(minShared > 0 && maxDocFreq > 0,
+      s"minShared/maxDocFreq must be positive, got $minShared/$maxDocFreq")
+    val spans = winnowingFingerprintSpans(df, idCol, textCol, k, w)
+    val rare = spans.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq)
+      .select(col("fp"))
+    val kept = spans.join(rare, Seq("fp"))
+    val ext = k + w - 2
+    kept.select(col("fp"), col(idCol).as("id_a"),
+        col("first_pos").as("_fa"), col("last_pos").as("_la"))
+      .join(kept.select(col("fp"), col(idCol).as("id_b"),
+        col("first_pos").as("_fb"), col("last_pos").as("_lb")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("_fa")).as("a_start"), (max(col("_la")) + ext).as("a_end"),
+        min(col("_fb")).as("b_start"), (max(col("_lb")) + ext).as("b_end"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Winnowing overlap join: pairs of documents sharing ≥ `minShared`
     * selected fingerprints — partial-overlap/plagiarism detection, the
     * positional complement of set-Jaccard near-dup (`ngramJaccardPairs`

@@ -482,19 +482,39 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
              seed: Long = 7L, trainFraction: Double = 1.0,
-             centroidJoinFrom: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+             centroidJoinFrom: Int = 256): DataFrame =
+    ivfKnnFromCentroids(corpus, queries, idCol, vecCol, k,
+      ivfTrainCentroids(corpus, vecCol, nCells, seed, trainFraction),
+      nProbe, centroidJoinFrom)
+
+  /** The coarse-quantizer fit alone: k-means centroids over (a seeded
+    * fraction of) the corpus — split out so an nProbe SWEEP (c94's
+    * recall curve) trains ONCE and probes many times instead of
+    * refitting an identical model per operating point. */
+  def ivfTrainCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
+                        seed: Long = 7L,
+                        trainFraction: Double = 1.0): Seq[Seq[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val c = corpus
-      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", l2norm(col("cv")))
+    val c = corpus.select(col(vecCol).cast("array<double>").as("cv"))
     val trainSet =
       if (trainFraction >= 1.0) c else c.sample(trainFraction, seed)
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("_fv").setPredictionCol("_cell")
       .fit(trainSet.select(array_to_vector(col("cv")).as("_fv")))
-    val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    model.clusterCenters.map(_.toArray.toSeq).toSeq
+  }
+
+  /** IVF search against a pre-trained coarse quantizer. */
+  def ivfKnnFromCentroids(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, k: Int,
+                          centroids: Seq[Seq[Double]], nProbe: Int,
+                          centroidJoinFrom: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nCells = centroids.size
+    val c = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))

@@ -38,6 +38,15 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * does the same trick for the GLOBAL top-k; this is its per-key
   * generalization.)
   *
+  * Known bound, stated honestly: the in-memory heap map holds k rows
+  * per DISTINCT group per partition and does not spill — the right
+  * trade when groups-per-partition × k fits in task memory (the usual
+  * top-k-per-entity shape). For ultra-high-cardinality grouping where
+  * even k rows per group overflows a task, the sort-based window
+  * idiom's external sort is the safer plan; pick per cardinality, the
+  * same judgement call Spark itself makes between hash and sort
+  * aggregation.
+  *
   * Ties are total-ordered by the caller's sort spec (callers append a
   * unique tie-break column, same contract as the window idiom), so
   * results are deterministic and oracle-comparable.

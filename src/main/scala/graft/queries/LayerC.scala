@@ -276,9 +276,13 @@ object LayerC {
         .bruteForceKnn(e, qs, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("nn_id"))
       val truthN = truth.agg(count(lit(1)).as("n_truth"))
+      // ONE coarse-quantizer fit shared across the whole sweep — the
+      // operating points differ only in how many cells they probe
+      val cents = Similarity.ivfTrainCentroids(e, "embedding",
+        nCells = 16, seed = 7L)
       Seq(1, 2, 4, 16).map { p =>
-          Similarity.ivfKnn(e, qs, "vec_id", "embedding", k = 10,
-              nCells = 16, nProbe = p, seed = 7L)
+          Similarity.ivfKnnFromCentroids(e, qs, "vec_id", "embedding",
+              k = 10, cents, nProbe = p)
             .select(col("query_id"), col("nn_id"))
             .join(truth, Seq("query_id", "nn_id"))
             .agg(count(lit(1)).as("n_hits"))
@@ -595,6 +599,15 @@ object LayerC {
     // culled before pairing, the inverted-index blowup guard
     "c92_winnowing" -> { (s, dir) =>
       Dedup.winnowingPairs(docs(s, dir), "doc_id", "text",
+          k = 20, w = 5, minShared = 3, maxDocFreq = 10)
+        .orderBy("id_a", "id_b")
+    },
+
+    // c92's pairs upgraded to a MOSS-style extent report: WHERE the
+    // shared material lives in each document (min/max selected-
+    // fingerprint char spans), the plagiarism-report readout
+    "c95_overlap_spans" -> { (s, dir) =>
+      Dedup.winnowingOverlapSpans(docs(s, dir), "doc_id", "text",
           k = 20, w = 5, minShared = 3, maxDocFreq = 10)
         .orderBy("id_a", "id_b")
     },
@@ -2122,6 +2135,34 @@ object LayerC {
          |rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(1) <= 10),
          |kept AS (SELECT doc_id, fp FROM sel JOIN rare USING (fp))
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_shared
+         |FROM kept a JOIN kept b USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(1) >= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // c92's selection chain with positions kept: per-(doc, fp) first/
+    // last window starts, spans extended by k+w-2 = 23 chars
+    "c95_overlap_spans" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, i, substring(text, i, 20) AS gram,
+         |    length(text) - 19 AS ng
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(range(1, length(text) - 18)) AS i) u
+         |  WHERE length(text) >= 20),
+         |${fmix64ChainSql("g", "gram", Seq("doc_id", "i", "ng"), "mxo")},
+         |h AS (SELECT doc_id, i, ng, $signedU AS h FROM mxo),
+         |wm AS (
+         |  SELECT doc_id, i, ng,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+         |  FROM h),
+         |selp AS (SELECT doc_id, fp, min(i) AS fi, max(i) AS li FROM wm
+         |         WHERE i <= greatest(ng - 4, 1) GROUP BY 1, 2),
+         |rare AS (SELECT fp FROM selp GROUP BY fp HAVING count(1) <= 10),
+         |kept AS (SELECT doc_id, fp, fi, li FROM selp JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_shared,
+         |  min(a.fi) AS a_start, max(a.li) + 23 AS a_end,
+         |  min(b.fi) AS b_start, max(b.li) + 23 AS b_end
          |FROM kept a JOIN kept b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(1) >= 3

@@ -432,6 +432,39 @@ class DedupSpec extends AnyFunSuite {
       "the cull must strictly reduce the boilerplate pair's shared count")
   }
 
+  test("winnowingOverlapSpans localizes the planted shared region") {
+    // doc A = P + S, doc B = S + Q: the only matchable fingerprints
+    // come from grams fully inside S, so the reported spans must land
+    // on S (up to winnowing's stated k+w-1 edge granularity)
+    val p = "left padding material that is entirely unique here "  // 51 chars
+    val s = "THE-SHARED-REGION-BOTH-DOCUMENTS-CARRY-VERBATIM-" +
+      "WITH-ENOUGH-LENGTH-TO-SELECT-FINGERPRINTS"                  // 89 chars
+    val q = " and a completely different unique tail afterwards"
+    val (k, w) = (8, 4)
+    val docs = Seq((1L, p + s), (2L, s + q)).toDF("id", "text")
+    val rows = Dedup.winnowingOverlapSpans(docs, "id", "text",
+        k = k, w = w, minShared = 1, maxDocFreq = 2)
+      .collect()
+    assert(rows.length == 1, s"expected one pair: ${rows.toSeq}")
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    val (aS, aE, bS, bE) = (r.getAs[Int]("a_start"), r.getAs[Int]("a_end"),
+      r.getAs[Int]("b_start"), r.getAs[Int]("b_end"))
+    val (pLen, sLen) = (p.length, s.length)
+    // A's span sits on S (chars pLen+1 .. pLen+sLen), edge slack w-1
+    assert(aS >= pLen + 2 - w && aE <= pLen + sLen + w - 1, s"A span ($aS,$aE)")
+    // B's span sits on S at the front (chars 1 .. sLen)
+    assert(bS >= 1 && bE <= sLen + w - 1, s"B span ($bS,$bE)")
+    // and each span covers most of S, not just a sliver
+    assert(aE - aS + 1 >= sLen - 2 * (k + w), s"A covers too little ($aS,$aE)")
+    assert(bE - bS + 1 >= sLen - 2 * (k + w), s"B covers too little ($bS,$bE)")
+    // the pair's fingerprint count agrees with winnowingPairs exactly
+    val n = Dedup.winnowingPairs(docs, "id", "text",
+        k = k, w = w, minShared = 1, maxDocFreq = 2)
+      .collect().head.getAs[Long]("n_shared")
+    assert(r.getAs[Long]("n_shared") == n)
+  }
+
   test("containmentPairs finds short-doc-inside-long-doc that Jaccard misses") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
     val short = (1 to 10).map(i => s"w$i").mkString(" ") // strict prefix of `long`
