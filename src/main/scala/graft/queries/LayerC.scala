@@ -603,6 +603,38 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
+    // MinHash estimator calibration (evaluation-as-a-query, the c94
+    // pattern for the text-dedup stack): per near-dup pair, the exact
+    // shingle Jaccard next to the 16-component MinHash ESTIMATE (the
+    // fraction of equal signature slots, E[est] = J) — how much the
+    // sketch the LSH tier banded over actually deviates from the truth
+    // it approximates. Signatures use the oracle-replicable
+    // mix64∘fingerprint64 seeded chain (the c39 discipline), NOT
+    // xxhash64, precisely so DuckDB can replay the exact slot values
+    "c96_minhash_error" -> { (s, dir) =>
+      import graft.functions.TextFunctions.{fingerprint64, mix64}
+      val d = docs(s, dir)
+      val nH = 16
+      val sh = d.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("_s"))
+      val mins = (0 until nH).map(i =>
+        min(mix64(fingerprint64(concat(lit(s"$i:"), col("_s"))))).as(s"_h$i"))
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until nH).map(i => col(s"_h$i")): _*).as("_sig"))
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", shingleN = 3, threshold = 0.2)
+        .join(sig.select(col("doc_id").as("id_a"), col("_sig").as("_sa")), Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("_sig").as("_sb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(aggregate(
+            zip_with(col("_sa"), col("_sb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), _ + _).cast("double") / nH, 6).as("minhash_est"))
+        .orderBy("id_a", "id_b")
+    },
+
     // c92's pairs upgraded to a MOSS-style extent report: WHERE the
     // shared material lives in each document (min/max selected-
     // fingerprint char spans), the plagiarism-report readout
@@ -2138,6 +2170,30 @@ object LayerC {
          |FROM kept a JOIN kept b USING (fp)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(1) >= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the 16-seed chain replayed per (doc, shingle, seed); min over the
+    // SIGNED view matches Spark's BIGINT min; pairs from the c4 chain
+    // at threshold 0.2
+    "c96_minhash_error" ->
+      s"""WITH $shingleCteSql,
+         |sx AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |sd AS (SELECT doc_id, seed,
+         |         CAST(seed AS VARCHAR) || ':' || shingle AS kk
+         |       FROM sx CROSS JOIN (SELECT unnest(range(16)) AS seed) z),
+         |${fmix64ChainSql("sd", "kk", Seq("doc_id", "seed"), "mx")},
+         |ms AS (SELECT doc_id, seed, min($signedU) AS v FROM mx GROUP BY 1, 2),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        round($jaccardExprSql, 6) AS jaccard
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE $jaccardExprSql >= 0.2)
+         |SELECT p.id_a, p.id_b, p.jaccard,
+         |  round(sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) / 16.0, 6)
+         |    AS minhash_est
+         |FROM p
+         |JOIN ms ma ON ma.doc_id = p.id_a
+         |JOIN ms mb ON mb.doc_id = p.id_b AND mb.seed = ma.seed
+         |GROUP BY 1, 2, 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     // c92's selection chain with positions kept: per-(doc, fp) first/

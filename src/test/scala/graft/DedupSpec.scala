@@ -432,6 +432,51 @@ class DedupSpec extends AnyFunSuite {
       "the cull must strictly reduce the boilerplate pair's shared count")
   }
 
+  test("c96 minhash estimate: independent signature replay + exact endpoints") {
+    import graft.functions.TextFunctions.{fingerprint64, mix64}
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical → J=1
+      (3L, "alpha beta gamma delta nine ten eleven twelve")  // partial overlap
+    ).toDF("doc_id", "text")
+    // the query reads parquet fixtures; drive its signature pipeline
+    // inline on this corpus instead
+    val sh = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.explode(
+        Dedup.shingles(col("text"), 3)).as("_s"))
+    // independent driver-side replay: collect (doc, shingle), hash each
+    // (seed, shingle) through the SAME engine expressions one at a
+    // time, then do min/match arithmetic in plain Scala
+    val pairsDS = sh.as[(Long, String)].collect()
+    val shingleSet = pairsDS.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val allShingles: Seq[String] = shingleSet.values.flatten.toSet.toSeq
+    val allKeys: Seq[(Int, String)] =
+      for (i <- 0 until 16; s <- allShingles) yield (i, s)
+    val hashed = allKeys.toDF("seed", "s")
+      .select(col("seed"), col("s"),
+        mix64(fingerprint64(concat(col("seed").cast("string"), lit(":"), col("s"))))
+          .as("h"))
+      .as[(Int, String, Long)].collect()
+      .map { case (i, s, h) => (i, s) -> h }.toMap
+    def sig(id: Long): Seq[Long] =
+      (0 until 16).map(i => shingleSet(id).map(s => hashed((i, s))).min)
+    def est(a: Long, b: Long): Double =
+      sig(a).zip(sig(b)).count { case (x, y) => x == y } / 16.0
+    // engine side: the same signature aggregation the query uses
+    val mins = (0 until 16).map(i =>
+      org.apache.spark.sql.functions.min(
+        mix64(fingerprint64(concat(lit(s"$i:"), col("_s"))))).as(s"_h$i"))
+    val engine = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(i => r.getLong(i + 1)))
+      .toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(engine(id) == sig(id), s"signature mismatch for doc $id")
+    assert(est(1L, 2L) == 1.0, "identical docs must match every slot")
+    assert(est(1L, 3L) < 1.0, "partial overlap must miss some slot")
+  }
+
   test("winnowingOverlapSpans localizes the planted shared region") {
     // doc A = P + S, doc B = S + Q: the only matchable fingerprints
     // come from grams fully inside S, so the reported spans must land
