@@ -603,6 +603,35 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
+    // Count-Min-Sketch heavy-hitter calibration — the third leg of the
+    // sketch-accuracy triad (q53/q97 HLL cardinality, c96 MinHash
+    // similarity, this one FREQUENCY): the 20 most frequent tokens with
+    // exact counts next to the CMS estimate from one seeded mergeable
+    // sketch pass. CMS never underestimates (every slot counts the
+    // token plus colliders), so est ≥ truth always — pinned in the
+    // spec with the eps·N overshoot bound. Rows-only: the sketch's
+    // internal hashing is not SQL-replayable. The sketch is KB-sized
+    // and mergeable — at 100 TB each executor folds its partition into
+    // a local sketch, the driver merges sketch objects, and only the
+    // 20-row report ever leaves the cluster
+    "c97_cms_heavyhitters" -> { (s, dir) =>
+      import s.implicits._
+      val tokens = docs(s, dir)
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val topTrue = tokens.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("token"))
+        .limit(20)
+      val cms = tokens.stat.countMinSketch(
+        "token", eps = 0.001, confidence = 0.99, seed = 7)
+      topTrue.collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1),
+          cms.estimateCount(r.getString(0))))
+        .toDF("token", "n_true", "cms_est")
+        .orderBy(col("n_true").desc, col("token"))
+    },
+
     // MinHash estimator calibration (evaluation-as-a-query, the c94
     // pattern for the text-dedup stack): per near-dup pair, the exact
     // shingle Jaccard next to the 16-component MinHash ESTIMATE (the

@@ -109,4 +109,25 @@ class ApproxSpec extends AnyFunSuite {
       }
     } finally orders.unpersist()
   }
+
+  test("CMS heavy hitters: never underestimates, overshoot within eps·N (c97 tier)") {
+    val out = SparkEntry.queries("c97_cms_heavyhitters")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20, s"expected top-20, got ${rows.length}")
+    val total = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), "\\s+")))
+      .count()
+    for ((tok, t, e) <- rows) {
+      assert(e >= t, s"CMS underestimated '$tok': $e < $t")
+      // deterministic seeded sketch: the eps·N overshoot bound holds
+      // with confidence 0.99 per query; 3x slack keeps the pin robust
+      assert(e - t <= 3 * 0.001 * total + 1,
+        s"'$tok' overshoot ${e - t} exceeds 3·eps·N=${3 * 0.001 * total}")
+    }
+  }
 }
