@@ -110,6 +110,29 @@ object Relational6 {
         .orderBy("user_id", "streak_start")
     },
 
+    // grouped MEDIAN (exact, interpolated — Spark's median == DuckDB's
+    // quantile_cont(0.5)) + MODE with an explicit tie rule. Spark's
+    // built-in mode() is nondeterministic on ties, so the mode is
+    // DERIVED: per-(group, value) counts ranked by (count desc, value
+    // asc) — deterministic on both engines, and the count relation is
+    // map-side combinable where a naive mode over raw rows is not
+    "q103_mode_median" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("_n").desc, col("o_orderpriority"))
+      val modes = o.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("_n"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"))
+      o.groupBy(col("o_orderstatus"))
+        .agg(round(median(col("o_totalprice")), 6).as("median_price"))
+        .join(modes, Seq("o_orderstatus"))
+        .select("o_orderstatus", "median_price", "mode_priority")
+        .orderBy("o_orderstatus")
+    },
+
     // per-key top-k via the CUSTOM WHOLE-OPERATOR tier (logical node +
     // strategy + bounded-heap partial/final SparkPlans,
     // graft.plans.TopKPerGroup): each customer's 2 highest-value
@@ -183,6 +206,26 @@ object Relational6 {
         |  count(1) AS streak_days
         |FROM r GROUP BY user_id, grp
         |ORDER BY user_id, streak_start""".stripMargin,
+
+    // quantile_cont(0.5) is the same exact interpolated median Spark's
+    // median() computes; the mode derivation mirrors the Spark ranking
+    "q103_mode_median" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY n DESC, o_orderpriority) AS rk
+        |  FROM c),
+        |md AS (
+        |  SELECT o_orderstatus,
+        |    round(quantile_cont(o_totalprice, 0.5), 6) AS median_price
+        |  FROM orders GROUP BY 1)
+        |SELECT md.o_orderstatus AS o_orderstatus, md.median_price,
+        |  m.mode_priority
+        |FROM md JOIN m ON md.o_orderstatus = m.o_orderstatus AND m.rk = 1
+        |ORDER BY md.o_orderstatus""".stripMargin,
 
     // the bounded-heap operator must equal the classic window idiom
     "q102_topk_per_group" ->

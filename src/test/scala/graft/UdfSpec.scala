@@ -24,6 +24,14 @@ class UdfSpec extends AnyFunSuite {
     assert(viaUdf.sameElements(viaBuiltin))
   }
 
+  test("sliding_min is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val m = spark.sql(
+        "SELECT sliding_min(array(5L, 3L, 8L, 1L), 2) AS m")
+      .collect().head.getSeq[Long](0)
+    assert(m == Seq(3L, 3L, 1L), s"got $m")
+  }
+
   test("typed flatMap generator (UDTF shape): one row per word with index") {
     val out = Seq((1L, "a b c"), (2L, "x")).toDF("id", "text")
       .as[(Long, String)]
