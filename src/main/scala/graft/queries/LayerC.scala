@@ -603,6 +603,38 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
+    // dedup threshold-sensitivity curve: pairs flagged and docs touched
+    // as the Jaccard knob sweeps 0.2→0.9 — the operator-TUNING readout
+    // (how aggressive does near-dedup get per setting) every pipeline
+    // reads before fixing its threshold. ONE pair relation computed at
+    // the loosest setting, eight cumulative counts derived from it —
+    // the expensive candidate join never reruns per knob
+    "c98_dedup_sensitivity" -> { (s, dir) =>
+      import s.implicits._
+      // the spine brackets the corpus's bimodal reality: a boilerplate
+      // cloud below ~0.1 and true near-dups above 0.9 — the curve's job
+      // is to SHOW that cliff so the threshold lands inside it
+      val ths = Seq(0.02, 0.05, 0.1, 0.2, 0.5, 0.9)
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.02)
+      val sweep = pairs.select(
+          explode(array(ths.map(lit): _*)).as("threshold"),
+          col("jaccard"), col("id_a"), col("id_b"))
+        .filter(col("jaccard") >= col("threshold"))
+      val nPairs = sweep.groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = sweep
+        .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("_id"))
+        .distinct()
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_docs"))
+      ths.toDF("threshold")
+        .join(nPairs, Seq("threshold"), "left")
+        .join(nDocs, Seq("threshold"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_docs"))
+        .orderBy("threshold")
+    },
+
     // Count-Min-Sketch heavy-hitter calibration — the third leg of the
     // sketch-accuracy triad (q53/q97 HLL cardinality, c96 MinHash
     // similarity, this one FREQUENCY): the 20 most frequent tokens with
@@ -2200,6 +2232,28 @@ object LayerC {
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(1) >= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the c4 pair chain at 0.2, swept over a threshold spine; unrounded
+    // jaccard vs threshold on both engines (identical IEEE division)
+    "c98_dedup_sensitivity" ->
+      s"""WITH $shingleCteSql,
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        $jaccardExprSql AS jacc
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE $jaccardExprSql >= 0.02),
+         |t AS (SELECT unnest([0.02, 0.05, 0.1, 0.2, 0.5, 0.9])
+         |        AS threshold),
+         |s AS (SELECT t.threshold, p.id_a, p.id_b
+         |      FROM t JOIN p ON p.jacc >= t.threshold),
+         |np AS (SELECT threshold, count(1) AS n_pairs FROM s GROUP BY 1),
+         |nd AS (SELECT threshold, count(1) AS n_docs FROM (
+         |        SELECT DISTINCT threshold, unnest([id_a, id_b]) AS i
+         |        FROM s) GROUP BY 1)
+         |SELECT t.threshold, coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_docs, 0) AS n_docs
+         |FROM t LEFT JOIN np USING (threshold)
+         |LEFT JOIN nd USING (threshold)
+         |ORDER BY threshold""".stripMargin,
 
     // the 16-seed chain replayed per (doc, shingle, seed); min over the
     // SIGNED view matches Spark's BIGINT min; pairs from the c4 chain
