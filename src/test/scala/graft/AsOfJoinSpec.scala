@@ -99,6 +99,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(rows("no_right") == null)
   }
 
+  test("asofNearest: null timestamps match nothing on either side") {
+    // null-time right rows are dropped in the tagged union; a null-time
+    // left row sorts first under BOTH window orderings (nulls_first asc
+    // and desc_nulls_first), so both running payloads are null
+    val right = Seq(
+      (1L, Option.empty[Long], 666, 9L), // undefined time — never a match
+      (1L, Some(5L), 50, 1L)
+    ).toDF("k", "rt", "p", "rid")
+    val left = Seq(
+      (1L, Some(4L), "real"),
+      (1L, Option.empty[Long], "null_left"),
+      (2L, Some(3L), "no_rights")
+    ).toDF("k", "lt", "tag")
+    val rows = AsOfJoin.asofNearest(left, right, Seq("k"), "lt", "rt",
+      Seq("p"), "rid").collect()
+      .map(r => r.getAs[String]("tag") -> r.getAs[Any]("asof_p")).toMap
+    assert(rows("real") == 50)
+    assert(rows("null_left") == null)
+    assert(rows("no_rights") == null)
+  }
+
   test("asofNearest tie rules per side: backward largest rid, forward smallest") {
     val right = Seq(
       (1L, 3L, 31, 1L), (1L, 3L, 32, 2L),  // backward candidates at t=3

@@ -21,6 +21,47 @@ class PropertySpec extends AnyFunSuite {
   private val word = Gen.oneOf("spark", "data", "row", "join", "the", "fast", "x1", "y2")
   private val text = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
 
+  test("sliding_min equals the naive per-window minimum on random arrays") {
+    import graft.functions.SlidingMinFunctions.sliding_min
+    import org.apache.spark.sql.functions.col
+    val arrGen = for {
+      n  <- Gen.chooseNum(0, 40)
+      xs <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      w  <- Gen.chooseNum(1, 45) // deliberately allowed to exceed n
+    } yield (xs, w)
+    samples(arrGen, 25).foreach { case (xs, w) =>
+      val naive =
+        if (xs.isEmpty) Seq.empty[Long]
+        else if (xs.length < w) Seq(xs.min)
+        else xs.sliding(w).map(_.min).toSeq
+      val got = Seq(Tuple1(xs)).toDF("a")
+        .select(sliding_min(col("a"), w).as("m"))
+        .as[Seq[Long]].collect().head
+      assert(got == naive, s"n=${xs.length} w=$w: $got != $naive")
+    }
+  }
+
+  test("topKPerGroup equals the window idiom on random grouped data") {
+    import org.apache.spark.sql.functions._
+    val rowsGen = for {
+      n  <- Gen.chooseNum(1, 120)
+      gs <- Gen.listOfN(n, Gen.chooseNum(0, 6))
+      vs <- Gen.listOfN(n, Gen.chooseNum(-50, 50)) // narrow range → many ties
+      k  <- Gen.chooseNum(1, 5)
+    } yield (gs.zip(vs).zipWithIndex.map { case ((g, v), i) => (g.toLong, i.toLong, v.toDouble) }, k)
+    samples(rowsGen, 12).foreach { case (rows, k) =>
+      val df = rows.toDF("g", "id", "v")
+      val mine = graft.plans.TopKPerGroup.topKPerGroup(
+          df, Seq("g"), Seq(("v", true), ("id", false)), k)
+        .select("id").as[Long].collect().sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").desc, col("id"))
+      val ref = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).select("id").as[Long].collect().sorted.toSeq
+      assert(mine == ref, s"k=$k: $mine != $ref")
+    }
+  }
+
   test("filter then project == project then filter") {
     samples(Gen.listOfN(30, Gen.chooseNum(-100, 100))).foreach { xs =>
       val df = xs.zipWithIndex.toDF("v", "i")
