@@ -846,6 +846,48 @@ object Dedup {
           first(col("_ncs")).cast("double"), 6).as("contam_frac"))
   }
 
+  /** Cluster MEDOID selection: per near-dup cluster (transitive closure
+    * of `ngramJaccardPairs` at `threshold`, via [[dupClusters]]), the
+    * member with the LARGEST total shared-shingle count summed over the
+    * cluster's qualifying near-dup pairs — the "most representative"
+    * keep rule, where
+    * [[clusterKeepBest]]-style rules keep the best-scored and
+    * [[dupClusters]] labels by min id. Ties break to the smaller id;
+    * singleton clusters keep their only member.
+    *
+    * Scores are INTEGER intersection-count sums — exact and
+    * associative, so the ranking cannot flip between engines (or
+    * partial-aggregation orders) the way a float similarity sum can on
+    * near-ties. The pairwise term ranges over in-cluster pairs only.
+    * Output: (cluster_rep, cluster_size, medoid_id). */
+  def clusterMedoids(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleN, threshold)
+      .select("id_a", "id_b")
+    val sets = df.select(col(idCol), shingles(col(textCol), shingleN).as("_sh"))
+    val wpairs = pairs
+      .join(sets.select(col(idCol).as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("_w"))
+    val labels = dupClusters(pairs, df, idCol)
+    val wedges = wpairs.select(col("id_a").as("_n"), col("_w"))
+      .unionByName(wpairs.select(col("id_b").as("_n"), col("_w")))
+    val scores = wedges
+      .join(labels.select(col(idCol).as("_n"), col("cluster_rep")), Seq("_n"))
+      .groupBy(col("cluster_rep"), col("_n"))
+      .agg(sum(col("_w")).as("_s"))
+    val w = Window.partitionBy("cluster_rep").orderBy(col("_s").desc, col("_n"))
+    val medoids = scores
+      .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .select(col("cluster_rep"), col("_n").as("medoid_id"))
+    labels.groupBy(col("cluster_rep")).agg(count(lit(1)).as("cluster_size"))
+      .join(medoids, Seq("cluster_rep"), "left")
+      .select(col("cluster_rep"), col("cluster_size"),
+        coalesce(col("medoid_id"), col("cluster_rep")).as("medoid_id"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, the
     * MOSS algorithm): hash every character `k`-gram, slide a window of
     * `w` consecutive hashes, and keep each window's MINIMUM — the

@@ -603,6 +603,19 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
+    // cluster MEDOID selection: per near-dup cluster, the member with
+    // the largest total shared-shingle count to its cluster-mates — the
+    // "most representative" keep rule, vs c33's best-quality and c23's
+    // min-id. Scores are INTEGER intersection-count sums (exact and
+    // associative — a float similarity sum would rank-flip between
+    // engines on near-ties); singleton clusters keep their only member.
+    // Pairwise term ranges over in-cluster pairs only
+    "c99_cluster_medoid" -> { (s, dir) =>
+      Dedup.clusterMedoids(docs(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .orderBy("cluster_rep")
+    },
+
     // dedup threshold-sensitivity curve: pairs flagged and docs touched
     // as the Jaccard knob sweeps 0.2→0.9 — the operator-TUNING readout
     // (how aggressive does near-dedup get per setting) every pipeline
@@ -2232,6 +2245,39 @@ object LayerC {
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(1) >= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // c23's recursive reachability + integer intersection-weight sums;
+    // the HUGEINT score only ranks, never surfaces
+    "c99_cluster_medoid" ->
+      s"""WITH RECURSIVE $shingleCteSql,
+         |wpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS w
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardExprSql >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM wpairs
+         |  UNION ALL SELECT id_b, id_a FROM wpairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+         |lbl AS (SELECT node AS doc_id, min(r) AS cluster_rep
+         |        FROM reach GROUP BY node),
+         |wed AS (SELECT id_a AS n, w FROM wpairs
+         |        UNION ALL SELECT id_b, w FROM wpairs),
+         |sc AS (SELECT l.cluster_rep, wed.n, sum(wed.w) AS s
+         |       FROM wed JOIN lbl l ON l.doc_id = wed.n GROUP BY 1, 2),
+         |rkd AS (SELECT cluster_rep, n, row_number() OVER (
+         |          PARTITION BY cluster_rep ORDER BY s DESC, n) AS rk
+         |        FROM sc),
+         |sz AS (SELECT cluster_rep, count(1) AS cluster_size
+         |       FROM lbl GROUP BY 1)
+         |SELECT sz.cluster_rep, sz.cluster_size,
+         |  coalesce(m.n, sz.cluster_rep) AS medoid_id
+         |FROM sz LEFT JOIN (SELECT cluster_rep, n FROM rkd WHERE rk = 1) m
+         |  USING (cluster_rep)
+         |ORDER BY sz.cluster_rep""".stripMargin,
 
     // the c4 pair chain at 0.2, swept over a threshold spine; unrounded
     // jaccard vs threshold on both engines (identical IEEE division)

@@ -432,6 +432,24 @@ class DedupSpec extends AnyFunSuite {
       "the cull must strictly reduce the boilerplate pair's shared count")
   }
 
+  test("clusterMedoids: chain cluster keeps the middle; singletons keep themselves") {
+    // sliding 20-word windows of one 30-word sequence: A–B and B–C pair
+    // at J≈0.57, A–C stays below threshold (J≈0.29) — one transitive
+    // cluster whose MIDDLE member shares most with its mates. min-id
+    // labeling would keep A; the medoid rule must keep B
+    val words = (1 to 30).map(i => s"tok$i")
+    def span(a: Int, b: Int) = words.slice(a - 1, b).mkString(" ")
+    val docs = Seq(
+      (10L, span(1, 20)), (20L, span(6, 25)), (30L, span(11, 30)),
+      (40L, "a completely unrelated document entirely on its own")
+    ).toDF("id", "text")
+    val out = Dedup.clusterMedoids(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(10L) == ((3L, 20L)), s"chain cluster: $out")
+    assert(out(40L) == ((1L, 40L)), s"singleton: $out")
+    assert(out.keySet == Set(10L, 40L), s"unexpected clusters: $out")
+  }
+
   test("c96 minhash estimate: independent signature replay + exact endpoints") {
     import graft.functions.TextFunctions.{fingerprint64, mix64}
     import org.apache.spark.sql.functions.{col, concat, lit}
