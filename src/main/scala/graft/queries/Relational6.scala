@@ -110,6 +110,21 @@ object Relational6 {
         .orderBy("user_id", "streak_start")
     },
 
+    // explode_outer: the null-PRESERVING lateral — rows whose array is
+    // empty survive with a null element where plain explode silently
+    // drops them (the q32 shape loses 106 of 500 docs on this filter).
+    // The preserved rows are exactly what an audit query needs; null
+    // ordering pinned explicitly because Spark defaults NULLS FIRST
+    // where most engines default LAST
+    "q104_explode_outer" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode_outer(expr(
+            "filter(split(lower(text), '\\\\s+'), w -> length(w) >= 8)"))
+            .as("long_word"))
+        .orderBy(col("doc_id"), col("long_word").asc_nulls_first)
+    },
+
     // grouped MEDIAN (exact, interpolated — Spark's median == DuckDB's
     // quantile_cont(0.5)) + MODE with an explicit tie rule. Spark's
     // built-in mode() is nondeterministic on ties, so the mode is
@@ -206,6 +221,19 @@ object Relational6 {
         |  count(1) AS streak_days
         |FROM r GROUP BY user_id, grp
         |ORDER BY user_id, streak_start""".stripMargin,
+
+    // unnest of a [NULL] placeholder emulates the outer explode
+    "q104_explode_outer" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> length(x) >= 8) AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(ws) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |         ELSE ws END) AS long_word
+        |FROM w
+        |ORDER BY doc_id, long_word NULLS FIRST""".stripMargin,
 
     // quantile_cont(0.5) is the same exact interpolated median Spark's
     // median() computes; the mode derivation mirrors the Spark ranking
