@@ -407,6 +407,37 @@ object Extended {
         .orderBy("mime")
     },
 
+    // pHash hamming-threshold sensitivity (the c98 tuning-readout
+    // pattern for the image modality): near-dup pairs and images
+    // touched as the distance knob sweeps 0..7 — ONE banded pair
+    // relation at the recall-total bound (8 bands → every pair within
+    // hamming ≤ 7 shares a clean band), eight cumulative counts derived
+    // from it. Rows-only: DuckDB cannot decode the images
+    "m7_phash_sensitivity" -> { (s, dir) =>
+      import s.implicits._
+      val hashed = Multimodal.imageHashes(
+        Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+      val pairs = Multimodal.hashNearDupPairs(
+        hashed, "doc_id", "phash", maxHamming = 7)
+      val sweep = pairs.select(
+          explode(array((0 to 7).map(lit): _*)).as("max_hamming"),
+          col("hamming"), col("id_a"), col("id_b"))
+        .filter(col("hamming") <= col("max_hamming"))
+      val nP = sweep.groupBy(col("max_hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nD = sweep
+        .select(col("max_hamming"),
+          explode(array(col("id_a"), col("id_b"))).as("_id"))
+        .distinct()
+        .groupBy(col("max_hamming"))
+        .agg(count(lit(1)).as("n_images"))
+      (0 to 7).toDF("max_hamming")
+        .join(nP, Seq("max_hamming"), "left")
+        .join(nD, Seq("max_hamming"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_images"))
+        .orderBy("max_hamming")
+    },
+
     // video perceptual signatures: per-frame aHash from REAL MJPEG/AVI
     // decode, folded into a temporal majority-bit hash robust to
     // dropped/reordered frames (rows-only — DuckDB cannot decode AVI;

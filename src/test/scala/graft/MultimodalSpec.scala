@@ -341,6 +341,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.head._3 <= 7)
   }
 
+  test("m7 sensitivity sweep: monotone in the hamming knob, dup floor at 0") {
+    val out = SparkEntry.queries("m7_phash_sensitivity")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == (0 to 7), s"spine: ${out.toSeq}")
+    // cumulative counts can only grow with the threshold
+    assert(out.sliding(2).forall(w => w(0)._2 <= w(1)._2 && w(0)._3 <= w(1)._3),
+      s"not monotone: ${out.toSeq}")
+    // the fixture plants exact/near image duplicates — the widest
+    // setting must see at least as many pairs as strictly exact ones,
+    // and every counted pair touches two images at most
+    assert(out.last._2 >= out.head._2 && out.last._2 > 0,
+      s"no pairs at the widest setting: ${out.toSeq}")
+    assert(out.forall { case (_, p, d) => d <= 2 * p || p == 0 },
+      s"docs exceed 2×pairs: ${out.toSeq}")
+  }
+
   test("perceptualHash survives a clipped brightness shift that aHash misses") {
     // The photometric edit that separates the tiers: a LOW-CONTRAST
     // spectrally-rich texture (cells within a few luma units of the
