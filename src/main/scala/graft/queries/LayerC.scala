@@ -616,6 +616,46 @@ object LayerC {
         .orderBy("cluster_rep")
     },
 
+    // per-node triangle counts over the customer co-purchase graph
+    // (customers linked by >= 3 distinct shared parts) — the clustering
+    // structure readout (community density, link-spam detection) a
+    // crawl-graph curation pass runs. Degree orientation bounds the
+    // wedge join at O(sqrt(m)) out-degree, so a hub customer cannot
+    // explode the self-join — the reason naive neighbor-pairing dies at
+    // scale and compact-forward does not
+    "c100_triangle_count" -> { (s, dir) =>
+      val b = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val e = b.as("x").join(b.as("y"),
+          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        .groupBy(col("x.c").as("u"), col("y.c").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .select("u", "v")
+      Graph.triangleCounts(e, "u", "v").orderBy("node")
+    },
+
+    // link-prediction neighborhood Jaccard: supplier pairs scored by
+    // overlap of their customer sets — "who could substitute for whom",
+    // the collaborative-filtering readout. Integer common/degree counts
+    // with ONE double division (identical IEEE result on both engines);
+    // jaccard rounded at presentation only. maxItemDeg=0: exact (the
+    // capped variant trades a lower-bound jaccard for bounded wedges at
+    // corpus scale — SURVEY row states the knob)
+    "c101_link_jaccard" -> { (s, dir) =>
+      val b = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      Graph.neighborJaccard(b, "s", "c", minCommon = 170L)
+        .select(col("id_a"), col("id_b"), col("common"),
+          col("deg_a"), col("deg_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
     // dedup threshold-sensitivity curve: pairs flagged and docs touched
     // as the Jaccard knob sweeps 0.2→0.9 — the operator-TUNING readout
     // (how aggressive does near-dedup get per setting) every pipeline
@@ -2278,6 +2318,50 @@ object LayerC {
          |FROM sz LEFT JOIN (SELECT cluster_rep, n FROM rkd WHERE rk = 1) m
          |  USING (cluster_rep)
          |ORDER BY sz.cluster_rep""".stripMargin,
+
+    // triangle enumeration with u<v ordering counts each triangle once:
+    // (a,b),(b,c),(a,c) with a<b<c — the orientation-free equivalent of
+    // the Spark side's degree-oriented compact-forward
+    "c100_triangle_count" ->
+      """WITH b AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (
+        |  SELECT a.c AS u, bb.c AS v FROM b a
+        |  JOIN b bb ON a.p = bb.p AND a.c < bb.c
+        |  GROUP BY 1, 2 HAVING count(1) >= 3),
+        |deg AS (
+        |  SELECT node, CAST(count(1) AS BIGINT) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT node, CAST(count(1) AS BIGINT) AS triangles FROM (
+        |    SELECT a AS node FROM tri UNION ALL
+        |    SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node, d.degree,
+        |  CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles
+        |FROM deg d LEFT JOIN corners t ON d.node = t.node
+        |ORDER BY d.node""".stripMargin,
+
+    // integer common/degree counts, one double division — deterministic
+    "c101_link_jaccard" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deg AS (SELECT s, CAST(count(1) AS BIGINT) AS d FROM b GROUP BY s),
+        |p AS (
+        |  SELECT a.s AS id_a, bb.s AS id_b, CAST(count(1) AS BIGINT) AS common
+        |  FROM b a JOIN b bb ON a.c = bb.c AND a.s < bb.s
+        |  GROUP BY 1, 2 HAVING count(1) >= 170)
+        |SELECT p.id_a, p.id_b, p.common, da.d AS deg_a, db.d AS deg_b,
+        |  round(CAST(p.common AS DOUBLE) / (da.d + db.d - p.common), 6) AS jaccard
+        |FROM p JOIN deg da ON da.s = p.id_a JOIN deg db ON db.s = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
 
     // the c4 pair chain at 0.2, swept over a threshold spine; unrounded
     // jaccard vs threshold on both engines (identical IEEE division)

@@ -26,6 +26,84 @@ object Relational6 {
     // sketch's picked elements have no DuckDB-equal value; the rank
     // error bound (≤ 1/accuracy) is asserted in ApproxSpec vs the
     // exact tier on the same data
+    // per-group winsorization: clip each price into its return-flag's
+    // [p05, p95] band — outlier taming that keeps row count (vs
+    // c26's quantile FILTER which drops). Exact interpolated
+    // percentiles (Spark `percentile` == DuckDB `quantile_cont`, the
+    // q103 median precedent); cuts are a groups-sized broadcast, the
+    // clip itself is a pure codegen projection — two passes, no window
+    "q107_winsorize" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"))
+      val cuts = li.groupBy("l_returnflag").agg(
+        percentile(col("l_extendedprice"), lit(0.05)).as("_p05"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("_p95"))
+      li.join(broadcast(cuts), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"),
+          round(least(greatest(col("l_extendedprice"), col("_p05")),
+            col("_p95")), 6).as("winsorized"),
+          (col("l_extendedprice") < col("_p05") ||
+            col("l_extendedprice") > col("_p95")).as("clipped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // linear time-series interpolation: per-user daily purchase volume
+    // over the user's own [first, last] day spine, gap days filled by
+    // interpolating between the surrounding OBSERVED days — the
+    // gap-repair rung above q83's fill-forward (carry) and q98's spine
+    // (zero-fill). Per-user windows only (the spine join and both
+    // IGNORE-NULLS scans key on user_id — no global order); observed
+    // sums rounded to 6 BEFORE interpolating so both engines
+    // interpolate from identical inputs, and the day-fraction is a
+    // division of exact small ints
+    "q106_interpolate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val obs = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(round(sum(col("value")), 6).as("v"))
+      val spine = obs.groupBy("user_id")
+        .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+            .as("d"))
+      val j = spine.join(obs, Seq("user_id", "d"), "left")
+      val back = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val fwd = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val obsD = when(col("v").isNotNull, col("d"))
+      j.withColumn("_pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("_pd", last(obsD, ignoreNulls = true).over(back))
+        .withColumn("_nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("_nd", first(obsD, ignoreNulls = true).over(fwd))
+        .select(col("user_id"), col("d"),
+          round(when(col("v").isNotNull, col("v"))
+            .otherwise(col("_pv") + (col("_nv") - col("_pv")) *
+              (datediff(col("d"), col("_pd")).cast("double") /
+                datediff(col("_nd"), col("_pd")))), 6).as("value"),
+          col("v").isNotNull.as("observed"))
+        .orderBy("user_id", "d")
+    },
+
+    // 2D Pareto frontier (skyline): urgent orders where no other urgent
+    // order is both >= in price and <= in date — the multi-objective
+    // "best trade-off set" without an arbitrary score weighting. The
+    // Spark side is the sort-free scan (Skyline.pareto2d: per-x min,
+    // range partitions + local running strict-min + model-sized
+    // boundary prefix); the oracle states the dominance definition
+    // directly as NOT EXISTS — O(n²), which is exactly why the engine
+    // side doesn't compute it that way
+    "q105_skyline" -> { (s, dir) =>
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      graft.operators.Skyline.pareto2d(urgent, "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
     "q96_approx_percentiles" -> { (s, dir) =>
       val acc = 100 // rank error ≤ 1/acc = 1% — the 100 TB setting
       t(s, dir, "orders")
@@ -207,6 +285,72 @@ object Relational6 {
   )
 
   val oracle: Map[String, String] = Map(
+    // quantile_cont == Spark percentile (exact interpolated, q103
+    // precedent); the clip is least/greatest on identical doubles
+    "q107_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  l.l_extendedprice,
+        |  round(least(greatest(l.l_extendedprice, c.p05), c.p95), 6)
+        |    AS winsorized,
+        |  (l.l_extendedprice < c.p05 OR l.l_extendedprice > c.p95)
+        |    AS clipped
+        |FROM lineitem l JOIN cuts c USING (l_returnflag)
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    // same op tree for the interpolation arithmetic (pv + (nv-pv)*frac,
+    // frac an exact int division) so the doubles agree bit-for-bit
+    "q106_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(min(d), max(d), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM obs GROUP BY user_id),
+        |j AS (
+        |  SELECT sp.user_id, sp.d, o.v FROM sp
+        |  LEFT JOIN obs o ON o.user_id = sp.user_id AND o.d = sp.d),
+        |w AS (
+        |  SELECT user_id, d, v,
+        |    last_value(v IGNORE NULLS) OVER bk AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER bk AS pd,
+        |    first_value(v IGNORE NULLS) OVER fw AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER fw AS nd
+        |  FROM j
+        |  WINDOW bk AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  fw AS (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, d,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(date_diff('day', pd, d) AS DOUBLE) /
+        |        date_diff('day', pd, nd)) END, 6) AS value,
+        |  (v IS NOT NULL) AS observed
+        |FROM w ORDER BY user_id, d""".stripMargin,
+
+    // dominance stated directly: the O(n²) NOT EXISTS the engine side
+    // replaces with a partitioned scan
+    "q105_skyline" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderkey, o_totalprice, o_orderdate FROM u o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM u o2
+        |  WHERE o2.o_totalprice >= o.o_totalprice
+        |    AND o2.o_orderdate <= o.o_orderdate
+        |    AND (o2.o_totalprice > o.o_totalprice
+        |         OR o2.o_orderdate < o.o_orderdate))
+        |ORDER BY o_orderkey""".stripMargin,
+
     // same island arithmetic on integer day numbers — no interval math
     // to disagree on
     "q99_streaks" ->

@@ -67,4 +67,66 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(out("a") - 0.15) < 1e-12)
     assert(math.abs(out("b") - 1.0) < 1e-12)
   }
+
+  private def triMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("triangleCounts: complete K4 — every node in C(3,2)=3 triangles") {
+    val k4 = (for (u <- 1 to 4; v <- (u + 1) to 4) yield (u, v)).toDF("s", "d")
+    val out = triMap(Graph.triangleCounts(k4, "s", "d"))
+    assert(out == (1L to 4L).map(n => n -> (3L, 3L)).toMap)
+  }
+
+  test("triangleCounts: square plus one diagonal — two triangles") {
+    // 1-2-3-4-1 with diagonal 1-3: triangles {1,2,3} and {1,3,4};
+    // nodes 1,3 in both, nodes 2,4 in one
+    val g = Seq((1, 2), (2, 3), (3, 4), (4, 1), (1, 3)).toDF("s", "d")
+    val out = triMap(Graph.triangleCounts(g, "s", "d"))
+    assert(out == Map(1L -> (3L, 2L), 2L -> (2L, 1L),
+      3L -> (3L, 2L), 4L -> (2L, 1L)))
+  }
+
+  test("triangleCounts: hub star has zero triangles; leaves reported") {
+    val star = Seq((9, 1), (9, 2), (9, 3), (9, 4)).toDF("s", "d")
+    val out = triMap(Graph.triangleCounts(star, "s", "d"))
+    assert(out(9L) == (4L, 0L))
+    assert((1L to 4L).forall(out(_) == (1L, 0L)))
+  }
+
+  test("triangleCounts: duplicate, reversed, and self-loop edges collapse") {
+    val noisy = Seq((1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)).toDF("s", "d")
+    val out = triMap(Graph.triangleCounts(noisy, "s", "d"))
+    assert(out == Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
+  }
+
+  test("neighborJaccard: hand-computed overlap and minCommon cut") {
+    // e1 items {a,b,c}, e2 items {b,c,d}, e3 items {z}
+    val rel = Seq((1, "a"), (1, "b"), (1, "c"), (2, "b"), (2, "c"), (2, "d"),
+      (3, "z")).toDF("e", "i")
+    val out = Graph.neighborJaccard(rel, "e", "i", minCommon = 1L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((1, 2, 2L, 3L, 3L)))
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-15) // 2/(3+3-2)
+    // floor above the overlap removes the pair
+    assert(Graph.neighborJaccard(rel, "e", "i", minCommon = 3L).count() == 0)
+  }
+
+  test("neighborJaccard: maxItemDeg prune lower-bounds common, keeps true degrees") {
+    // item "hot" shared by all three entities; 1 and 2 also share "q"
+    val rel = Seq((1, "hot"), (2, "hot"), (3, "hot"), (1, "q"), (2, "q"))
+      .toDF("e", "i")
+    val exact = Graph.neighborJaccard(rel, "e", "i", minCommon = 1L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(exact == Map((1, 2) -> 2L, (1, 3) -> 1L, (2, 3) -> 1L))
+    // cap at 2 drops "hot" from candidate gen: only (1,2) survives via "q",
+    // its common undercounts to 1 but degrees stay the unpruned 2 and 2
+    val pruned = Graph.neighborJaccard(rel, "e", "i", minCommon = 1L,
+      maxItemDeg = 2L).collect()
+    assert(pruned.length == 1)
+    val p = pruned.head
+    assert((p.getInt(0), p.getInt(1), p.getLong(2), p.getLong(3), p.getLong(4))
+      == ((1, 2, 1L, 2L, 2L)))
+  }
 }
