@@ -237,6 +237,49 @@ object Multimodal {
       }(enc)
   }
 
+  /** Scene-cut detection: per video, the count of consecutive-frame
+    * boundaries whose luma-histogram L1 distance exceeds `threshold`
+    * (plus the max and mean boundary distance) — the shot-segmentation
+    * readout a video-curation pass uses to split footage into clips
+    * before per-clip dedup/captioning. Distances are in [0, 2] (L1 of
+    * two L1-normalized 16-bin histograms); identical frames score
+    * exactly 0.
+    *
+    * Scale shape: same as [[videoSignatures]] — one iterator-to-iterator
+    * mapPartitions decode pass, per-row state is one histogram pair,
+    * output is one row per video. Rows-only check (no SQL engine can
+    * decode AVI); boundary arithmetic is value-pinned in MultimodalSpec
+    * with planted two-scene videos. */
+  def sceneCutStats(withBinary: DataFrame, threshold: Double): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("n_cuts", IntegerType, nullable = false),
+      StructField("max_delta", DoubleType, nullable = false),
+      StructField("mean_delta", DoubleType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary
+      .filter(col("meta.mime").startsWith("video/"))
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeAviFrames(r.getAs[Array[Byte]]("payload")).map {
+            case (frames, _) =>
+              val hists = frames.map(lumaHistogram)
+              val deltas = hists.sliding(2).collect { case Seq(a, b) =>
+                var d = 0.0; var i = 0
+                while (i < 16) { d += math.abs(a(i) - b(i)).toDouble; i += 1 }
+                d
+              }.toSeq
+              val cuts = deltas.count(_ > threshold)
+              Row(r.getLong(0), frames.length, cuts,
+                if (deltas.isEmpty) 0.0 else deltas.max,
+                if (deltas.isEmpty) 0.0 else deltas.sum / deltas.length)
+          }
+        }
+      }(enc)
+  }
+
   /** Decode-health scan: per mime type, how many payloads actually
     * decode with the modality's real decoder (ImageIO / WAV / AVI) —
     * the corrupt-file detector a media pipeline runs before paying

@@ -364,6 +364,22 @@ object Extended {
         .orderBy("mime")
     },
 
+    // scene-cut detection: per video, consecutive-frame luma-histogram
+    // L1 deltas thresholded into shot boundaries — the clip splitter a
+    // video pipeline runs before per-clip dedup/captioning. Rows-only
+    // (no SQL engine decodes AVI); the boundary arithmetic is
+    // value-pinned in MultimodalSpec with planted two-scene videos
+    // (identical frames score exactly 0, the planted cut scores > 0)
+    "m8_scene_cuts" -> { (s, dir) =>
+      Multimodal.sceneCutStats(
+          Multimodal.attachBinary(Tables.load(s, dir, "documents")),
+          threshold = 0.2)
+        .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+          round(col("max_delta"), 6).as("max_delta"),
+          round(col("mean_delta"), 6).as("mean_delta"))
+        .orderBy("doc_id")
+    },
+
     // REAL video frame sampling: MJPEG/AVI payloads decode to frames,
     // 4 evenly-spaced frames re-encode as PNG rows per video
     "m2_frame_sample" -> { (s, dir) =>

@@ -538,4 +538,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((2L, 102L)),
       s"expected only the planted duplicate pair, got $pairs")
   }
+
+  test("sceneCutStats: planted two-scene video scores exactly one cut, flat video zero") {
+    val spark2 = spark
+    import spark2.implicits._
+    def solidJpeg(v: Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // bin midpoints (24 → bin 1, 232 → bin 14) so JPEG noise of a few
+    // luma levels cannot cross a 16-wide bin boundary
+    val dark = solidJpeg(24)
+    val bright = solidJpeg(232)
+    val twoScene = Multimodal.encodeAviFromJpegs(
+      Seq(dark, dark, dark, bright, bright, bright, bright), 16, 16)
+    val flat = Multimodal.encodeAviFromJpegs(Seq(dark, dark, dark, dark), 16, 16)
+    val vids = Seq((1L, twoScene), (2L, flat)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("video/avi").as("mime"),
+        lit(16).as("width"), lit(16).as("height"), lit(0L).as("duration_ms")))
+    val out = Multimodal.sceneCutStats(vids, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val two = out(1L)
+    assert(two.getInt(1) == 7)
+    assert(two.getInt(2) == 1, s"expected exactly one cut, got ${two.getInt(2)}")
+    // the two scenes occupy disjoint luma bins → boundary L1 is the
+    // maximum 2.0; identical frames within a scene score exactly 0
+    assert(math.abs(two.getDouble(3) - 2.0) < 1e-9, s"max ${two.getDouble(3)}")
+    assert(math.abs(two.getDouble(4) - 2.0 / 6) < 1e-9, s"mean ${two.getDouble(4)}")
+    val one = out(2L)
+    assert(one.getInt(1) == 4 && one.getInt(2) == 0)
+    assert(one.getDouble(3) == 0.0 && one.getDouble(4) == 0.0)
+  }
 }
