@@ -528,6 +528,64 @@ object Dedup {
         coalesce(col("new_text"), lit("")).as("new_text"))
   }
 
+  /** Boilerplate-segment removal (the CCNet/RefinedWeb line-filter
+    * semantics, on the same word-window segment notion as [[spanDedup]]):
+    * a segment is boilerplate when it occurs in MORE THAN `maxDocs`
+    * distinct documents of the SAME source — nav chrome, headers,
+    * footers, cookie banners — and then EVERY occurrence is dropped,
+    * including the first. That frequency rule is what distinguishes this
+    * from [[spanDedup]]'s first-occurrence-keeps dedup: dedup preserves
+    * one copy of repeated content; boilerplate removal decides the
+    * content itself is template noise and keeps none. Scoping the
+    * frequency to the source is load-bearing — a segment that is chrome
+    * on one site can be organic text on another.
+    *
+    * Output: (id, n_segments, n_boiler, new_text) — `n_boiler` counts
+    * this document's dropped segment occurrences; `new_text` is "" when
+    * the whole document was template.
+    *
+    * Scale shape: one codegen WordChunks pass → one explode; the
+    * doc-frequency aggregation and the drop anti-join are both keyed on
+    * xxhash64(source, segment) — 8-byte leading keys, map-side partial
+    * aggregation, segment text rides as payload and is compared exactly
+    * only on hash-equal rows. The boilerplate relation is output-side
+    * tiny at sane thresholds (segments repeated across many docs), so
+    * AQE broadcasts the anti-join side; nothing is collected. */
+  def boilerplateSegments(df: DataFrame, idCol: String, srcCol: String,
+                          textCol: String, segWords: Int = 10,
+                          maxDocs: Int = 1): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val base = df
+      .select(col(idCol), col(srcCol), graft.functions.ChunkFunctions.word_chunks(
+        col(textCol), segWords, segWords,
+        lowercase = false, fullOnly = false).as("_segs"))
+      .withColumn("n_segments", size(col("_segs")))
+    val exploded = base.select(col(idCol), col(srcCol),
+        posexplode(col("_segs")).as(Seq("_idx", "_seg")))
+      .withColumn("_h", xxhash64(col(srcCol), col("_seg")))
+    val boiler = exploded
+      .groupBy(col("_h"), col(srcCol), col("_seg"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxDocs)
+      .select(col("_h"), col(srcCol), col("_seg"))
+    val kept = exploded.join(boiler, Seq("_h", srcCol, "_seg"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        // collect_list order is nondeterministic; sort on the per-doc
+        // unique position before joining segments back
+        array_join(transform(
+          array_sort(collect_list(struct(col("_idx"), col("_seg")))),
+          x => x.getField("_seg")), " ").as("new_text"))
+    base.select(col(idCol), col("n_segments"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_segments"),
+        (col("n_segments").cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_boiler"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
   /** Canonical-selection dedup: given the (id, cluster_rep) output of
     * `dupClusters`, keep the highest-quality member of each cluster
     * instead of the smallest-id one — quality-aware dedup (e.g. keep

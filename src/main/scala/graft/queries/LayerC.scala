@@ -491,6 +491,17 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // boilerplate-segment removal: segments occurring in >1 distinct
+    // docs of the SAME source are template noise (nav chrome, footers)
+    // and EVERY occurrence is dropped — the frequency-threshold
+    // complement of c27's first-occurrence-keeps dedup, and per-source
+    // scoped so one site's chrome cannot delete another's organic text
+    "c102_boilerplate" -> { (s, dir) =>
+      Dedup.boilerplateSegments(docs(s, dir), "doc_id", "source", "text",
+          segWords = 10, maxDocs = 1)
+        .orderBy("doc_id")
+    },
+
     // temperature-scaled domain mixture weights (alpha = 0.5) per source
     "c28_mixture_weights" -> { (s, dir) =>
       graft.operators.Curation.mixtureWeights(docs(s, dir), "source", "text",
@@ -2705,6 +2716,34 @@ object LayerC {
         |SELECT w.doc_id,
         |  CAST((len(ws) + 9) // 10 AS INTEGER) AS n_spans,
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(new_text, '') AS new_text
+        |FROM w LEFT JOIN reb ON w.doc_id = reb.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
+    // segment derivation mirrors c27's; the filter is doc-frequency per
+    // (source, segment) > 1 with ALL occurrences dropped (anti join),
+    // not first-occurrence-keeps
+    "c102_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, source, i AS idx,
+        |    array_to_string(list_slice(ws, i*10 + 1, (i+1)*10), ' ') AS seg
+        |  FROM w, LATERAL (SELECT unnest(range((len(ws) + 9) // 10)) AS i) u),
+        |b AS (
+        |  SELECT source, seg FROM sp
+        |  GROUP BY source, seg HAVING count(DISTINCT doc_id) > 1),
+        |k AS (
+        |  SELECT sp.doc_id, sp.idx, sp.seg FROM sp
+        |  ANTI JOIN b ON sp.source = b.source AND sp.seg = b.seg),
+        |reb AS (
+        |  SELECT doc_id, count(1) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY idx) AS new_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST((len(ws) + 9) // 10 AS INTEGER) AS n_segments,
+        |  CAST((len(ws) + 9) // 10 - coalesce(n_kept, 0) AS BIGINT) AS n_boiler,
         |  coalesce(new_text, '') AS new_text
         |FROM w LEFT JOIN reb ON w.doc_id = reb.doc_id
         |ORDER BY w.doc_id""".stripMargin,

@@ -545,4 +545,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out.keySet == Set((1L, 2L)), s"got $out")
     assert(out((1L, 2L)) == 1.0, s"full containment expected: ${out((1L, 2L))}")
   }
+
+  test("boilerplateSegments drops ALL occurrences per source, keeps cross-source") {
+    val docs = Seq(
+      (1L, "srcA", "nav bar alpha beta"),   // "nav bar" shared with doc 2
+      (2L, "srcA", "nav bar gamma delta"),
+      (3L, "srcB", "nav bar solo text"),    // other source: "nav bar" organic
+      (4L, "srcA", "nav bar nav bar")       // pure template: both segs drop
+    ).toDF("id", "source", "text")
+    val out = Dedup.boilerplateSegments(docs, "id", "source", "text",
+        segWords = 2, maxDocs = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // frequency semantics: the FIRST occurrence drops too (contrast with
+    // spanDedup, which would keep doc 1's copy)
+    assert(out(1L) == ((2, 1L, "alpha beta")), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2, 1L, "gamma delta")), s"doc2: ${out(2L)}")
+    // per-source scoping: srcB's identical segment is untouched
+    assert(out(3L) == ((2, 0L, "nav bar solo text")), s"doc3: ${out(3L)}")
+    // a whole-template document empties out
+    assert(out(4L) == ((2, 2L, "")), s"doc4: ${out(4L)}")
+    // spanDedup on the same corpus DOES keep a first copy — the two
+    // operators are genuinely different rules
+    val span = Dedup.spanDedup(docs, "id", "text", spanWords = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(span(1L).startsWith("nav bar"), s"spanDedup keeps first: $span")
+  }
 }
