@@ -280,6 +280,59 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio quality gate: per clip, the curation stats an audio pipeline
+    * filters on before paying for transcription — peak level, RMS
+    * loudness in dBFS (floored at −100 for digital silence), clipped
+    * ratio (samples at ≥ `clipLevel` of full scale — sustained clipping
+    * means the recording chain saturated), and silence ratio (samples
+    * below `silenceLevel` ≈ −60 dBFS). Defaults: clip 0.999, silence
+    * 0.001 of full scale.
+    *
+    * Scale shape: one iterator-to-iterator mapPartitions decode pass
+    * (the declared multimodal exception), per-row state four running
+    * scalars, output one row per clip. Rows-only (no SQL engine decodes
+    * WAV); the arithmetic is value-pinned in MultimodalSpec on planted
+    * silent / full-scale-square / known-amplitude-sine clips. */
+  def audioQualityStats(withBinary: DataFrame, clipLevel: Double = 0.999,
+                        silenceLevel: Double = 0.001): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("peak", DoubleType, nullable = false),
+      StructField("rms_dbfs", DoubleType, nullable = false),
+      StructField("clip_ratio", DoubleType, nullable = false),
+      StructField("silence_ratio", DoubleType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary
+      .filter(col("meta.mime").startsWith("audio/"))
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWav(r.getAs[Array[Byte]]("payload")).map {
+            case (samples, durMs) =>
+              var sum2 = 0.0; var peak = 0.0
+              var clips = 0; var silent = 0; var i = 0
+              while (i < samples.length) {
+                val a = math.abs(samples(i).toDouble)
+                sum2 += a * a
+                if (a > peak) peak = a
+                if (a >= clipLevel) clips += 1
+                if (a < silenceLevel) silent += 1
+                i += 1
+              }
+              val n = samples.length
+              val rmsDb =
+                if (n == 0 || sum2 <= 0.0) -100.0
+                else math.max(10.0 * math.log10(sum2 / n), -100.0)
+              Row(r.getLong(0), n, durMs, peak, rmsDb,
+                if (n == 0) 0.0 else clips.toDouble / n,
+                if (n == 0) 0.0 else silent.toDouble / n)
+          }
+        }
+      }(enc)
+  }
+
   /** Decode-health scan: per mime type, how many payloads actually
     * decode with the modality's real decoder (ImageIO / WAV / AVI) —
     * the corrupt-file detector a media pipeline runs before paying

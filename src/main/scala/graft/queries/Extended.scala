@@ -380,6 +380,22 @@ object Extended {
         .orderBy("doc_id")
     },
 
+    // audio quality gate: per clip peak / RMS-dBFS / clipped ratio /
+    // silence ratio — the filter an audio pipeline runs before paying
+    // for transcription. Rows-only (no SQL engine decodes WAV); the
+    // arithmetic is value-pinned in MultimodalSpec on planted silent,
+    // full-scale-square, and known-amplitude-sine clips
+    "m9_audio_quality" -> { (s, dir) =>
+      Multimodal.audioQualityStats(
+          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+        .select(col("doc_id"), col("n_samples"), col("duration_ms"),
+          round(col("peak"), 6).as("peak"),
+          round(col("rms_dbfs"), 6).as("rms_dbfs"),
+          round(col("clip_ratio"), 6).as("clip_ratio"),
+          round(col("silence_ratio"), 6).as("silence_ratio"))
+        .orderBy("doc_id")
+    },
+
     // REAL video frame sampling: MJPEG/AVI payloads decode to frames,
     // 4 evenly-spaced frames re-encode as PNG rows per video
     "m2_frame_sample" -> { (s, dir) =>

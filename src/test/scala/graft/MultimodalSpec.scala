@@ -539,6 +539,50 @@ class MultimodalSpec extends AnyFunSuite {
       s"expected only the planted duplicate pair, got $pairs")
   }
 
+  test("audioQualityStats: silent, clipped, and known-amplitude clips score exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    import javax.sound.sampled._
+    def pcmWav(samples: Array[Short]): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val silence = pcmWav(Array.fill[Short](800)(0))
+    val square = pcmWav(Array.tabulate[Short](800)(i =>
+      if (i % 2 == 0) 32767 else -32768))
+    val sine = Multimodal.encodeWav(seed = 0L, durationMs = 500L) // amp 0.25
+    val clips = Seq((1L, silence), (2L, square), (3L, sine))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("audio/wav").as("mime"),
+        lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms")))
+    val out = Multimodal.audioQualityStats(clips)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val s1 = out(1L)
+    assert(s1.getInt(1) == 800 && s1.getLong(2) == 100L)
+    assert(s1.getDouble(3) == 0.0 && s1.getDouble(4) == -100.0)
+    assert(s1.getDouble(5) == 0.0 && s1.getDouble(6) == 1.0)
+    val s2 = out(2L)
+    assert(s2.getDouble(5) == 1.0, s"square must be fully clipped: $s2")
+    assert(s2.getDouble(6) == 0.0)
+    assert(s2.getDouble(4) > -0.01, s"full-scale square is ~0 dBFS: ${s2.getDouble(4)}")
+    val s3 = out(3L)
+    // sine at amplitude 0.25: RMS = 0.25/sqrt(2) → ~-15.05 dBFS
+    assert(math.abs(s3.getDouble(4) - (-15.05)) < 0.2, s"sine dBFS ${s3.getDouble(4)}")
+    assert(math.abs(s3.getDouble(3) - 0.25) < 0.01, s"sine peak ${s3.getDouble(3)}")
+    assert(s3.getDouble(5) == 0.0)
+  }
+
   test("sceneCutStats: planted two-scene video scores exactly one cut, flat video zero") {
     val spark2 = spark
     import spark2.implicits._
