@@ -333,6 +333,69 @@ object Multimodal {
       }(enc)
   }
 
+  /** Image quality gate: per image, the curation stats an image pipeline
+    * filters on before paying for captioning/embedding — decoded
+    * dimensions and aspect ratio (tiny/extreme-aspect images are chrome,
+    * icons, trackers), mean luma and luma standard deviation (contrast —
+    * near-zero std is a solid placeholder), and 16-bin luma-histogram
+    * entropy in bits (0 for solid fills, up to 4 for full tonal range).
+    *
+    * Scale shape: one iterator-to-iterator mapPartitions decode pass
+    * (the declared multimodal exception), per-row state three running
+    * scalars plus one 16-bin histogram, one output row per image.
+    * Rows-only (no SQL engine decodes JPEG/PNG); arithmetic value-pinned
+    * in MultimodalSpec on lossless planted solid / half-and-half PNGs. */
+  def imageQualityStats(withBinary: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("aspect", DoubleType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false),
+      StructField("std_luma", DoubleType, nullable = false),
+      StructField("entropy_bits", DoubleType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary
+      .filter(col("meta.mime").startsWith("image/"))
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]]("payload")).map { img =>
+            val w = img.getWidth; val h = img.getHeight
+            val row = new Array[Int](w)
+            var sum = 0.0; var sum2 = 0.0
+            val bins = new Array[Long](16)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val rgb = row(x)
+                val luma = math.min((0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)).toInt, 255)
+                sum += luma; sum2 += luma.toDouble * luma
+                bins(luma / 16) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toDouble * h
+            val mean = sum / n
+            val varr = math.max(sum2 / n - mean * mean, 0.0)
+            var ent = 0.0; var i = 0
+            while (i < 16) {
+              if (bins(i) > 0L) {
+                val p = bins(i) / n
+                ent -= p * math.log(p) / math.log(2.0)
+              }
+              i += 1
+            }
+            Row(r.getLong(0), w, h, w.toDouble / h, mean, math.sqrt(varr), ent)
+          }
+        }
+      }(enc)
+  }
+
   /** Decode-health scan: per mime type, how many payloads actually
     * decode with the modality's real decoder (ImageIO / WAV / AVI) —
     * the corrupt-file detector a media pipeline runs before paying

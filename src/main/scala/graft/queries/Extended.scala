@@ -396,6 +396,22 @@ object Extended {
         .orderBy("doc_id")
     },
 
+    // image quality gate: per image dims / aspect / mean luma /
+    // contrast (luma std) / histogram entropy — the filter an image
+    // pipeline runs before paying for captioning. Rows-only (no SQL
+    // engine decodes JPEG/PNG); arithmetic value-pinned in
+    // MultimodalSpec on lossless planted PNGs
+    "m10_image_quality" -> { (s, dir) =>
+      Multimodal.imageQualityStats(
+          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("aspect"), 6).as("aspect"),
+          round(col("mean_luma"), 6).as("mean_luma"),
+          round(col("std_luma"), 6).as("std_luma"),
+          round(col("entropy_bits"), 6).as("entropy_bits"))
+        .orderBy("doc_id")
+    },
+
     // REAL video frame sampling: MJPEG/AVI payloads decode to frames,
     // 4 evenly-spaced frames re-encode as PNG rows per video
     "m2_frame_sample" -> { (s, dir) =>

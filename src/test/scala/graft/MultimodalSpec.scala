@@ -539,6 +539,38 @@ class MultimodalSpec extends AnyFunSuite {
       s"expected only the planted duplicate pair, got $pairs")
   }
 
+  test("imageQualityStats: solid and half-and-half PNGs score exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    def pngOf(w: Int, h: Int)(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, paint(x, y))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val solid = pngOf(20, 10)((_, _) => gray(100))
+    val half = pngOf(16, 16)((x, _) => if (x < 8) gray(0) else gray(255))
+    val imgs = Seq((1L, solid), (2L, half)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("image/png").as("mime"),
+        lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms")))
+    val out = Multimodal.imageQualityStats(imgs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val s = out(1L)
+    assert(s.getInt(1) == 20 && s.getInt(2) == 10)
+    assert(s.getDouble(3) == 2.0)
+    // PNG is lossless: solid gray 100 has luma exactly 100, no spread,
+    // zero histogram entropy
+    assert(s.getDouble(4) == 100.0 && s.getDouble(5) == 0.0)
+    assert(s.getDouble(6) == 0.0)
+    val t = out(2L)
+    // half luma-0 / half luma-255: mean 127.5, std 127.5, entropy 1 bit
+    assert(t.getDouble(4) == 127.5, s"mean ${t.getDouble(4)}")
+    assert(t.getDouble(5) == 127.5, s"std ${t.getDouble(5)}")
+    assert(math.abs(t.getDouble(6) - 1.0) < 1e-12, s"entropy ${t.getDouble(6)}")
+  }
+
   test("audioQualityStats: silent, clipped, and known-amplitude clips score exactly") {
     val spark2 = spark
     import spark2.implicits._
