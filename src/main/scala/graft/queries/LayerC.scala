@@ -667,6 +667,37 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
+    // embedding-space health: the distribution of cosines between
+    // deterministically paired vectors (even id ↔ its odd successor —
+    // an equi-join, no global sort) plus the mean L2 norm. The
+    // collapse/anisotropy diagnostic an embedding pipeline reads before
+    // trusting ANN recall: a healthy space has random-pair cosines
+    // centered near 0 with spread; a collapsed encoder pushes the whole
+    // distribution toward 1
+    "c103_embedding_health" -> { (s, dir) =>
+      val e = embs(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val a = e.filter(col("vec_id") % 2 === 0)
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("vid_b"), col("e").as("e_b"))
+      val pairStats = a
+        .join(b, col("vec_id") + 1 === col("vid_b"))
+        .select(Similarity.cosine(col("e"), col("e_b")).as("c"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("c")), 6).as("mean_cos"),
+          round(stddev_pop(col("c")), 6).as("std_cos"),
+          round(min(col("c")), 6).as("min_cos"),
+          round(expr("percentile(c, 0.25)"), 6).as("p25_cos"),
+          round(expr("percentile(c, 0.5)"), 6).as("p50_cos"),
+          round(expr("percentile(c, 0.75)"), 6).as("p75_cos"),
+          round(max(col("c")), 6).as("max_cos"))
+      val normStats = e
+        .select(sqrt(aggregate(col("e"), lit(0.0),
+          (acc, x) => acc + x * x)).as("nrm"))
+        .agg(round(avg(col("nrm")), 6).as("mean_norm"))
+      pairStats.crossJoin(normStats)
+    },
+
     // dedup threshold-sensitivity curve: pairs flagged and docs touched
     // as the Jaccard knob sweeps 0.2→0.9 — the operator-TUNING readout
     // (how aggressive does near-dedup get per setting) every pipeline
@@ -2373,6 +2404,28 @@ object LayerC {
         |  round(CAST(p.common AS DOUBLE) / (da.d + db.d - p.common), 6) AS jaccard
         |FROM p JOIN deg da ON da.s = p.id_a JOIN deg db ON db.s = p.id_b
         |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    // even-id ↔ odd-successor pairing (equi-join, deterministic), the
+    // c5 list_cosine_similarity path, exact percentile_cont = Spark's
+    // exact percentile (the q40 precedent)
+    "c103_embedding_health" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |p AS (
+        |  SELECT list_cosine_similarity(a.e, b.e) AS c
+        |  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0),
+        |ps AS (
+        |  SELECT count(1) AS n_pairs,
+        |    round(avg(c), 6) AS mean_cos,
+        |    round(stddev_pop(c), 6) AS std_cos,
+        |    round(min(c), 6) AS min_cos,
+        |    round(percentile_cont(0.25) WITHIN GROUP (ORDER BY c), 6) AS p25_cos,
+        |    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c), 6) AS p50_cos,
+        |    round(percentile_cont(0.75) WITHIN GROUP (ORDER BY c), 6) AS p75_cos,
+        |    round(max(c), 6) AS max_cos
+        |  FROM p),
+        |ns AS (
+        |  SELECT round(avg(sqrt(list_dot_product(e, e))), 6) AS mean_norm FROM v)
+        |SELECT * FROM ps CROSS JOIN ns""".stripMargin,
 
     // the c4 pair chain at 0.2, swept over a threshold spine; unrounded
     // jaccard vs threshold on both engines (identical IEEE division)
