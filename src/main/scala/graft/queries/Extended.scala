@@ -193,6 +193,23 @@ object Extended {
         .orderBy("window_start")
     },
 
+    // streaming leaderboard: tumbling counts aggregate IN the stream
+    // (s1 machinery, watermark-bounded state); the top-3-per-window rank
+    // is a batch post-pass on the completed sink — append-mode streaming
+    // aggregates cannot host window functions, so ranking at the serving
+    // layer is the real-world shape. Ties break on event_type for a
+    // total order
+    "s19_stream_topk" -> { (s, dir) =>
+      val counts = Streams.runToCompletion(s,
+        Streams.tumblingCounts(Streams.eventStream(s, dir)), "s19_topk")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start"))
+        .orderBy(desc("n"), asc("event_type"))
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    },
+
     // streaming drift monitor: the held-out slice (doc_id % 29 == 0)
     // replayed as a stream, each window's tokens scored -ln p under the
     // static train-corpus LM (add-one smoothed) — c82 at ingest, equal
@@ -543,6 +560,18 @@ object Extended {
     // streaming/batch identity is structural: s18 runs the SAME oracle
     // string as the batch c88 (an edit to one cannot strand the other)
     "s18_stream_anomaly" -> LayerC.oracle("c88_rate_anomaly"),
+
+    "s19_stream_topk" ->
+      """WITH wc AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |    event_type, count(1) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY window_start ORDER BY n DESC, event_type) AS rnk
+        |  FROM wc)
+        |SELECT window_start, event_type, n, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
 
     // the batch equivalent of the streamed drift monitor: c82's LM
     // arithmetic, windowed on the synthesized ingest timeline
