@@ -667,6 +667,26 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
+    // bounded-round k-core peeling (k=3, 8 rounds) over the customer
+    // co-purchase graph — the dense-community extractor (link-spam
+    // cores, coordinated rings). Exactly-8-rounds, not to-fixpoint, so
+    // both engines run the identical bounded computation; a converged
+    // round is a no-op
+    "c104_kcore" -> { (s, dir) =>
+      val b = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val e = b.as("x").join(b.as("y"),
+          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        .groupBy(col("x.c").as("u"), col("y.c").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .select("u", "v")
+      Graph.kCoreBounded(e, "u", "v", k = 3, rounds = 8).orderBy("node")
+    },
+
     // embedding-space health: the distribution of cosines between
     // deterministically paired vectors (even id ↔ its odd successor —
     // an equi-join, no global sort) plus the mean L2 norm. The
@@ -1506,6 +1526,34 @@ object LayerC {
     * key "seed:s:id" through the shared [[fmix64ChainSql]], signed
     * compare (how Spark's struct max orders the hash field), shard id
     * as tie-break. */
+  /** Unrolled k-core peeling oracle: c100's co-purchase edge CTE, then
+    * exactly `rounds` peel steps — each an IN-subquery restriction to
+    * nodes of degree >= k, mirroring Graph.kCoreBounded's semi-joins
+    * round for round. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round three times, so non-materialized CTEs would inline 3^rounds
+    // copies of the whole chain (observed as a file-handle explosion)
+    val steps = (0 until rounds).map { i =>
+      s""",
+         |k$i AS MATERIALIZED (SELECT u FROM e$i GROUP BY u HAVING count(1) >= $k),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT u, v FROM e$i
+         |  WHERE u IN (SELECT u FROM k$i) AND v IN (SELECT u FROM k$i))"""
+        .stripMargin
+    }.mkString
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |pe AS MATERIALIZED (
+       |  SELECT a.c AS u, bb.c AS v FROM b a
+       |  JOIN b bb ON a.p = bb.p AND a.c < bb.c
+       |  GROUP BY 1, 2 HAVING count(1) >= 3),
+       |e0 AS MATERIALIZED (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe)$steps
+       |SELECT u AS node, CAST(count(1) AS BIGINT) AS degree
+       |FROM e$rounds GROUP BY u ORDER BY node""".stripMargin
+  }
+
   private def rendezvousSql(seed: Long, nShards: Int): String =
     s"""WITH ks AS (
        |  SELECT doc_id, s,
@@ -2404,6 +2452,11 @@ object LayerC {
         |  round(CAST(p.common AS DOUBLE) / (da.d + db.d - p.common), 6) AS jaccard
         |FROM p JOIN deg da ON da.s = p.id_a JOIN deg db ON db.s = p.id_b
         |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    // c100's edge CTE, then 8 unrolled peel rounds (generated SQL —
+    // the rendezvousSql precedent); IN-subquery per round = the Spark
+    // side's semi-joins
+    "c104_kcore" -> kcoreSql(3, 8),
 
     // even-id ↔ odd-successor pairing (equi-join, deterministic), the
     // c5 list_cosine_similarity path, exact percentile_cont = Spark's

@@ -129,4 +129,28 @@ class GraphSpec extends AnyFunSuite {
     assert((p.getInt(0), p.getInt(1), p.getLong(2), p.getLong(3), p.getLong(4))
       == ((1, 2, 1L, 2L, 2L)))
   }
+
+  test("kCoreBounded: tail chain peels in cascading rounds, clique survives") {
+    // 4-clique {1,2,3,4} plus a tail 4-5-6: node 6 falls in round 1
+    // (degree 1 < 2), which DEMOTES 5 to degree 1 → falls in round 2 —
+    // the cascade is why peeling iterates
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val out = Graph.kCoreBounded(edges, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $out")
+    // one round is NOT enough: 5 still present (degree 2 incl. the
+    // not-yet-peeled 6... after 6 drops, 5 has degree 1 but survives
+    // the single round that removed 6's edges only at the NEXT degree
+    // recount)
+    val oneRound = Graph.kCoreBounded(edges, "a", "b", k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound.contains(5L), s"round 1 must not yet peel node 5: $oneRound")
+    // converged rounds are no-ops: more rounds give the identical core
+    val more = Graph.kCoreBounded(edges, "a", "b", k = 2, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == out)
+    // k above the clique degree empties the graph
+    assert(Graph.kCoreBounded(edges, "a", "b", k = 4, rounds = 5).count() == 0)
+  }
 }
