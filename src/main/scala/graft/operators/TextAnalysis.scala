@@ -763,6 +763,64 @@ object TextAnalysis {
         round(score, 6).as("score"), col("rk"))
   }
 
+  /** Sparse TF-IDF document similarity: each document is reduced to its
+    * `topTerms` highest-TF-IDF tokens (L2-normalized over that truncated
+    * vector), and pairs sharing at least `minShared` of those terms are
+    * scored by sparse cosine. The lexical near-dup/related-doc candidate
+    * generator that complements dense-embedding ANN: TF-IDF top terms
+    * are by construction rare, so the inverted-index join meets few
+    * false pairs, and no embedding model is needed.
+    *
+    * Scale shape: the TF-IDF chain is two map-side-combined aggregations
+    * (token counts, then doc frequency derived from the distinct
+    * (doc, token) relation — no second corpus pass); top-terms is a
+    * per-doc window over ≤ vocabulary-per-doc rows, never a global sort;
+    * candidate pairs come from ONE self-join keyed on the token (only
+    * docs sharing a top term ever meet). The skew axis is a token in the
+    * top set of many docs — `maxPostings` drops tokens whose posting
+    * list exceeds the cap before pairing (the neighborJaccard
+    * frequent-item prune; capped pairs lose those contributions, so
+    * reported cosine is a lower bound). 0 disables the cap. */
+  def tfidfSimilarPairs(df: DataFrame, idCol: String, textCol: String,
+                        topTerms: Int = 5, minShared: Int = 2,
+                        maxPostings: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topTerms > 0 && minShared > 0,
+      s"need positive topTerms/minShared, got $topTerms/$minShared")
+    val tokens = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tokens.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+    val nDocs = df.agg(count(lit(1)).as("_n"))
+    val score = col("tf").cast("double") *
+      log(col("_n").cast("double") / col("_df").cast("double"))
+    val w = Window.partitionBy(col(idCol)).orderBy(score.desc, col("token").asc)
+    val top = tf.join(docFreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= topTerms)
+      .select(col(idCol), col("token"), score.as("_s"))
+    val norm = top.groupBy(col(idCol))
+      .agg(sqrt(sum(col("_s") * col("_s"))).as("_nn"))
+    val weighted = top.join(norm, Seq(idCol))
+      .select(col(idCol), col("token"), (col("_s") / col("_nn")).as("_w"))
+    val postings =
+      if (maxPostings <= 0L) weighted
+      else weighted.join(
+        weighted.groupBy("token").agg(count(lit(1)).as("_pl"))
+          .filter(col("_pl") <= maxPostings).select("token"),
+        Seq("token"), "left_semi")
+    postings.as("a").join(postings.as("b"),
+        col("a.token") === col("b.token") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("a._w") * col("b._w")).as("cosine"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** PII patterns shared by the redaction operator and its tests.
     * Kept RE2-compatible (no backreferences or lookaround) so the same
     * patterns run identically under Java regex (Spark) and RE2-family

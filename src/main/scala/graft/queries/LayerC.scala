@@ -1006,6 +1006,19 @@ object LayerC {
         .orderBy("doc_id", "rk")
     },
 
+    // sparse TF-IDF document similarity: docs reduced to their 5
+    // highest-TF-IDF terms (L2-normalized), pairs sharing >= 2 of them
+    // scored by sparse cosine — the lexical related-doc candidate
+    // generator that needs no embedding model (complements dense ANN).
+    // maxPostings=0: exact (the capped variant trades lower-bound
+    // cosine for bounded wedges at corpus scale — SURVEY states the knob)
+    "c105_tfidf_knn" -> { (s, dir) =>
+      TextAnalysis.tfidfSimilarPairs(docs(s, dir), "doc_id", "text",
+          topTerms = 5, minShared = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    },
+
     // incremental ingestion dedup: the "new crawl" (doc_id % 7 == 0)
     // deduped within itself, then against the existing corpus (the rest)
     "c31_incremental_dedup" -> { (s, dir) =>
@@ -2904,6 +2917,40 @@ object LayerC {
         |  FROM tf JOIN df USING (token) CROSS JOIN n)
         |SELECT doc_id, token, tf, round(raw, 6) AS score, rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // c30's TF-IDF chain extended: per-doc top-5 terms, L2 normalize,
+    // token-keyed pair join, sparse-cosine sum; same ln + row_number
+    // tie-break as c30 so both engines pick identical term sets
+    "c105_tfidf_knn" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tok WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(1) AS tf FROM t2 GROUP BY doc_id, token),
+        |df AS (SELECT token, count(1) AS dfreq FROM tf GROUP BY token),
+        |n AS (SELECT count(1) AS n FROM documents),
+        |r AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      ln(CAST(n.n AS DOUBLE) / CAST(df.dfreq AS DOUBLE)) AS s,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) *
+        |        ln(CAST(n.n AS DOUBLE) / CAST(df.dfreq AS DOUBLE)) DESC,
+        |        tf.token ASC) AS rk
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |top AS (SELECT doc_id, token, s FROM r WHERE rk <= 5),
+        |nrm AS (SELECT doc_id, sqrt(sum(s * s)) AS nn FROM top GROUP BY doc_id),
+        |w AS (
+        |  SELECT t.doc_id, t.token, t.s / nrm.nn AS w
+        |  FROM top t JOIN nrm USING (doc_id)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(1) AS n_shared, sum(a.w * b.w) AS cosine
+        |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(1) >= 2)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  round(cosine, 6) AS cosine
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
 
     // int8 quantization: floor(x*scale+0.5) is exact IEEE arithmetic on
     // both engines (round() half-case semantics differ across dialects —

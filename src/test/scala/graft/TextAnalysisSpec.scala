@@ -388,4 +388,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == ((4L, 3L, 0.75)))
     assert(out(4L) == ((1L, 1L, 1.0)))
   }
+
+  test("tfidfSimilarPairs: identical docs hit cosine 1, maxPostings prunes hubs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "hub zebra quark"),
+      (2L, "hub zebra quark"),   // identical to 1: truncated cosine = 1
+      (3L, "hub misc1 misc2"),
+      (4L, "other stuff here")   // no top-term overlap with anyone
+    ).toDF("doc_id", "text")
+    val exact = TextAnalysis.tfidfSimilarPairs(docs, "doc_id", "text",
+        topTerms = 5, minShared = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(exact.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $exact")
+    assert(exact((1L, 2L))._1 == 3L)
+    assert(math.abs(exact((1L, 2L))._2 - 1.0) < 1e-12,
+      s"identical docs must score 1: ${exact((1L, 2L))}")
+    // (1,3)/(2,3) share only the hub term
+    assert(exact((1L, 3L))._1 == 1L && exact((2L, 3L))._1 == 1L)
+    // the hub posting list (3 docs) exceeds a cap of 2: those
+    // contributions vanish — (1,3)/(2,3) disappear entirely and (1,2)
+    // drops to its 2 non-hub shared terms
+    val capped = TextAnalysis.tfidfSimilarPairs(docs, "doc_id", "text",
+        topTerms = 5, minShared = 1, maxPostings = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 2L), s"got $capped")
+  }
 }
