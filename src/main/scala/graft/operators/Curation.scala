@@ -320,4 +320,51 @@ object Curation {
     df.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= cap)
   }
+
+  /** Epoch upsampling: materialize [[mixtureWeights]]'s implied epochs
+    * as actual row multiplicities — the WITH-REPLACEMENT complement of
+    * [[mixtureSample]]'s without-replacement draw, and how mixtures
+    * with epochs > 1 (rare high-value sources seen several times per
+    * training pass) actually reach the trainer. Each document gets
+    * `floor(e)` copies plus one more iff its deterministic uniform
+    * (the c49 `seededKey/2⁶⁴ + 0.5` recipe — engine-replicable, unlike
+    * `rand()`) falls below `frac(e)`, so E[copies] = e exactly and the
+    * draw repeats bit-for-bit across runs, partitionings, and engines.
+    * Sources with e < 1 downsample by the same rule. Epochs are the
+    * UNROUNDED `sample_weight / token_share` — presentation rounding
+    * must not decide a Bernoulli boundary.
+    *
+    * Output: (groupCol, idCol, copy_idx) with copy_idx in [1, copies].
+    *
+    * Scale shape: the epochs relation is group-sized and broadcast;
+    * the multiplicity decision is one codegen projection per row; the
+    * explode emits only actual copies (no corpus-sized intermediate
+    * beyond the output itself). No shuffle at all until the caller
+    * aggregates. */
+  def epochUpsample(df: DataFrame, idCol: String, groupCol: String,
+                    textCol: String, alpha: Double = 0.5,
+                    seed: Long = 7L): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val tok = df
+      .select(col(groupCol), size(split(col(textCol), "\\s+")).cast("long").as("_t"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_t")).as("_tokens"))
+    val totals = tok.agg(
+      sum(col("_tokens")).as("_total"),
+      sum(pow(col("_tokens").cast("double"), alpha)).as("_ptot"))
+    val e = (pow(col("_tokens").cast("double"), alpha) / col("_ptot")) /
+      (col("_tokens").cast("double") / col("_total").cast("double"))
+    val grpEpochs = tok.crossJoin(broadcast(totals))
+      .select(col(groupCol), e.as("_e"))
+    val u = graft.functions.TextFunctions.seededKey(col(idCol), seed)
+      .cast("double") / 1.8446744073709552E19 + 0.5
+    df.select(col(idCol), col(groupCol))
+      .join(broadcast(grpEpochs), Seq(groupCol))
+      .withColumn("_n",
+        (floor(col("_e")) +
+          when(u < col("_e") - floor(col("_e")), 1L).otherwise(0L)).cast("int"))
+      .filter(col("_n") > 0)
+      .select(col(groupCol), col(idCol),
+        explode(sequence(lit(1), col("_n"))).as("copy_idx"))
+  }
 }

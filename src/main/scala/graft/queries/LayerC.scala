@@ -1019,6 +1019,21 @@ object LayerC {
         .orderBy("id_a", "id_b")
     },
 
+    // epoch upsampling: c28's implied epochs materialized as actual row
+    // multiplicities — floor(e) copies + 1 more iff the deterministic
+    // per-doc uniform < frac(e) (E[copies] = e, engine-replicable) —
+    // the with-replacement complement of c72's quota draw. Per-source
+    // totals + an integer multiplicity checksum keep the output bounded
+    "c106_epoch_upsample" -> { (s, dir) =>
+      graft.operators.Curation.epochUpsample(docs(s, dir),
+          "doc_id", "source", "text", alpha = 0.5, seed = 7L)
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          sum(col("doc_id") * col("copy_idx")).as("checksum"))
+        .orderBy("source")
+    },
+
     // incremental ingestion dedup: the "new crawl" (doc_id % 7 == 0)
     // deduped within itself, then against the existing corpus (the rest)
     "c31_incremental_dedup" -> { (s, dir) =>
@@ -1566,6 +1581,45 @@ object LayerC {
        |SELECT u AS node, CAST(count(1) AS BIGINT) AS degree
        |FROM e$rounds GROUP BY u ORDER BY node""".stripMargin
   }
+
+  /** DuckDB replica of `Curation.epochUpsample`: c28's unrounded epochs
+    * chain, the c49 `seededKey/2⁶⁴ + 0.5` uniform via the shared
+    * [[fmix64ChainSql]], floor(e)+Bernoulli(frac(e)) multiplicities,
+    * range-unnest materialization, per-source totals. */
+  private val epochUpsampleSql: String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+       |    sum(power(CAST(tokens AS DOUBLE), 0.5)) AS ptot FROM tok),
+       |ep AS (
+       |  SELECT source,
+       |    (power(CAST(tokens AS DOUBLE), 0.5) / ptot) /
+       |      (CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS e
+       |  FROM tok CROSS JOIN tot),
+       |sk AS (
+       |  SELECT doc_id, source, '7:' || CAST(doc_id AS VARCHAR) AS kk
+       |  FROM documents),
+       |${fmix64ChainSql("sk", "kk", Seq("doc_id", "source"), "mx")},
+       |un AS (
+       |  SELECT doc_id, source,
+       |    CAST($signedU AS DOUBLE) / 18446744073709551616.0 + 0.5 AS u
+       |  FROM mx),
+       |nc AS (
+       |  SELECT un.doc_id, un.source,
+       |    CAST(floor(e) +
+       |      (CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END) AS INTEGER) AS n
+       |  FROM un JOIN ep USING (source)),
+       |x AS (
+       |  SELECT doc_id, source, unnest(range(1, n + 1)) AS copy_idx
+       |  FROM nc WHERE n > 0)
+       |SELECT source,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(1) AS BIGINT) AS n_rows,
+       |  CAST(sum(doc_id * copy_idx) AS BIGINT) AS checksum
+       |FROM x GROUP BY source ORDER BY source""".stripMargin
 
   private def rendezvousSql(seed: Long, nShards: Int): String =
     s"""WITH ks AS (
@@ -2470,6 +2524,8 @@ object LayerC {
     // the rendezvousSql precedent); IN-subquery per round = the Spark
     // side's semi-joins
     "c104_kcore" -> kcoreSql(3, 8),
+
+    "c106_epoch_upsample" -> epochUpsampleSql,
 
     // even-id ↔ odd-successor pairing (equi-join, deterministic), the
     // c5 list_cosine_similarity path, exact percentile_cont = Spark's

@@ -458,4 +458,45 @@ class CurationSpec extends AnyFunSuite {
     // rand()-based sampling does NOT have)
     assert(draw(docs.repartition(7)) == got)
   }
+
+  test("epochUpsample: alpha=1 is an exact identity, fractional epochs bound copies") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "big", "a b c d e f g h"), (2L, "big", "a b c d e f g h"),
+      (3L, "big", "a b c d e f g h"), (4L, "big", "a b c d e f g h"),
+      (5L, "rare", "x y"), (6L, "rare", "x y")
+    ).toDF("doc_id", "source", "text")
+    // alpha = 1: sample_weight == token_share exactly (integer token
+    // counts are exact in double), epochs == 1.0, every doc exactly once
+    val flat = Curation.epochUpsample(docs, "doc_id", "source", "text",
+        alpha = 1.0, seed = 7L)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(flat.sorted.toSeq == (1L to 6L).map(d => (d, 1)), s"got ${flat.toSeq}")
+    // alpha = 0.5: rare upsamples (e > 1), big downsamples (e < 1);
+    // copies per doc must be floor(e) or floor(e)+1
+    val e = { // replay the epochs formula
+      val tokens = Map("big" -> 32.0, "rare" -> 4.0)
+      val ptot = tokens.values.map(math.sqrt).sum
+      val total = tokens.values.sum
+      tokens.map { case (s, t) => s -> (math.sqrt(t) / ptot) / (t / total) }
+    }
+    assert(e("rare") > 1.0 && e("big") < 1.0, s"fixture must split epochs: $e")
+    val up = Curation.epochUpsample(docs, "doc_id", "source", "text",
+        alpha = 0.5, seed = 7L)
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    up.foreach { case ((src, id), n) =>
+      val lo = math.floor(e(src)).toLong
+      assert(n == lo || n == lo + 1, s"doc $id of $src drew $n copies, e=${e(src)}")
+    }
+    // every rare doc appears (floor(e) >= 1); big docs may drop to 0
+    assert(Seq(5L, 6L).forall(d => up.contains(("rare", d))))
+    // the draw repeats bit-for-bit across runs and partitionings
+    val again = Curation.epochUpsample(docs.repartition(5), "doc_id", "source",
+        "text", alpha = 0.5, seed = 7L)
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == up)
+  }
 }
