@@ -322,6 +322,34 @@ object Extended {
       Streams.runToCompletion(s, joined, "s6_static").orderBy("c_mktsegment")
     },
 
+    // SCD2 temporal enrichment at ingest: each event joined to the
+    // slowly-changing dimension row VALID AT EVENT TIME (q84's validity
+    // intervals derived from orders — half-open [from, next-from), so an
+    // event matches at most one row), then aggregated. The non-equi
+    // stream-static join broadcasts the interval dimension per
+    // micro-batch; events before a customer's first interval (or with no
+    // dimension rows at all) keep a '(none)' bucket via left_outer —
+    // "what priority tier was this customer in when the event happened"
+    "s20_scd2_enrich" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+      val dim = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("valid_from"),
+          col("o_orderpriority").as("dim_prio"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      val ev = Streams.eventStream(s, dir)
+      val joined = ev.join(dim,
+          ev("user_id") === dim("o_custkey") &&
+            ev("ts") >= dim("valid_from") &&
+            (dim("valid_to").isNull || ev("ts") < dim("valid_to")),
+          "left_outer")
+        .groupBy(coalesce(col("dim_prio"), lit("(none)")).as("prio"))
+        .agg(count(lit(1)).as("n"))
+      Streams.runToCompletion(s, joined, "s20_scd2").orderBy("prio")
+    },
+
     // sliding (overlapping) windows via Structured Streaming — the
     // streaming counterpart of the batch q70, sharing its oracle
     "s7_stream_sliding" -> { (s, dir) =>
@@ -560,6 +588,19 @@ object Extended {
     // streaming/batch identity is structural: s18 runs the SAME oracle
     // string as the batch c88 (an edit to one cannot strand the other)
     "s18_stream_anomaly" -> LayerC.oracle("c88_rate_anomaly"),
+
+    "s20_scd2_enrich" ->
+      """WITH dim AS (
+        |  SELECT o_custkey, o_orderpriority AS prio,
+        |    CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+        |    lead(CAST(o_orderdate AS TIMESTAMP)) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders)
+        |SELECT coalesce(d.prio, '(none)') AS prio, count(1) AS n
+        |FROM events e LEFT JOIN dim d
+        |  ON e.user_id = d.o_custkey AND e.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
 
     "s19_stream_topk" ->
       """WITH wc AS (
