@@ -182,6 +182,27 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // deterministic shard manifest: per rendezvous shard (c61's HRW
+    // assignment) the row count, char volume, and an order-free
+    // bit_xor membership checksum over the seeded 64-bit doc keys —
+    // the release-engineering artifact a reproducible data drop ships
+    // so any consumer can re-verify shard membership without re-reading
+    // text. XOR folding is commutative, so the checksum is partition-
+    // order independent by construction
+    "c107_shard_manifest" -> { (s, dir) =>
+      docs(s, dir)
+        .select(
+          graft.operators.Curation.rendezvousShard(col("doc_id"),
+            nShards = 4, seed = 7).as("shard"),
+          length(col("text")).cast("long").as("n_chars"),
+          graft.functions.TextFunctions.seededKey(col("doc_id"), 7L).as("mh"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          expr("bit_xor(mh)").as("membership_hash"))
+        .orderBy("shard")
+    },
+
     // inter-domain similarity matrix: per-label embedding centroid,
     // cosine between every centroid pair — the domain-overlap map a
     // mixture planner reads. 45 pairs from 10 labels; corpus touched
@@ -1512,7 +1533,8 @@ object LayerC {
     * copy, so the replicas cannot drift apart. `src` must expose
     * `carries` and the string column `keyCol`. */
   private def fmix64ChainSql(src: String, keyCol: String,
-                             carries: Seq[String], out: String): String = {
+                             carries: Seq[String], out: String,
+                             pfx: String = ""): String = {
     def mul(k: Long): String = {
       val hi = k >>> 32
       val lo = k & 0xffffffffL
@@ -1521,17 +1543,17 @@ object LayerC {
     }
     val xs = "xor(v, v // 8589934592::HUGEINT)"
     val c = carries.map(_ + ", ").mkString
-    s"""kr AS (
+    s"""${pfx}kr AS (
        |  SELECT ${c}list_reduce(list_prepend(0::HUGEINT,
        |    [CAST(('0x' || substring(hex(encode($keyCol)), 2*i+1, 2)) AS INTEGER)::HUGEINT
        |     FOR i IN range(length(hex(encode($keyCol)))//2)]),
        |    (acc, x) -> (acc * 31 + x) % $P64) AS v
        |  FROM $src),
-       |mx1 AS (SELECT $c$xs AS v FROM kr),
-       |mx2 AS (SELECT $c${mul(0xff51afd7ed558ccdL)} AS v FROM mx1),
-       |mx3 AS (SELECT $c$xs AS v FROM mx2),
-       |mx4 AS (SELECT $c${mul(0xc4ceb9fe1a85ec53L)} AS v FROM mx3),
-       |$out AS (SELECT $c$xs AS u FROM mx4)""".stripMargin
+       |${pfx}mx1 AS (SELECT $c$xs AS v FROM ${pfx}kr),
+       |${pfx}mx2 AS (SELECT $c${mul(0xff51afd7ed558ccdL)} AS v FROM ${pfx}mx1),
+       |${pfx}mx3 AS (SELECT $c$xs AS v FROM ${pfx}mx2),
+       |${pfx}mx4 AS (SELECT $c${mul(0xc4ceb9fe1a85ec53L)} AS v FROM ${pfx}mx3),
+       |$out AS (SELECT $c$xs AS u FROM ${pfx}mx4)""".stripMargin
   }
 
   /** Signed-BIGINT view of the chain's unsigned `u` — how Spark's
@@ -1620,6 +1642,37 @@ object LayerC {
        |  CAST(count(1) AS BIGINT) AS n_rows,
        |  CAST(sum(doc_id * copy_idx) AS BIGINT) AS checksum
        |FROM x GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB replica of the c107 shard manifest: the rendezvous chain
+    * assigns shards, a SECOND fmix64 chain (prefixed CTE names) hashes
+    * the membership keys, and bit_xor folds them order-free. */
+  private def shardManifestSql(seed: Long, nShards: Int): String =
+    s"""WITH ks AS (
+       |  SELECT doc_id, s,
+       |    '$seed:' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS kk
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(range(0, $nShards)) AS s)),
+       |${fmix64ChainSql("ks", "kk", Seq("doc_id", "s"), "mx")},
+       |r AS (
+       |  SELECT doc_id, s,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY $signedU DESC, s ASC) AS rn
+       |  FROM mx),
+       |shards AS (SELECT doc_id, s AS shard FROM r WHERE rn = 1),
+       |mk AS (
+       |  SELECT doc_id, '$seed:' || CAST(doc_id AS VARCHAR) AS kk
+       |  FROM documents),
+       |${fmix64ChainSql("mk", "kk", Seq("doc_id"), "mh", pfx = "m_")},
+       |mh2 AS (SELECT doc_id, $signedU AS h FROM mh),
+       |j AS (
+       |  SELECT sh.shard, d.doc_id, length(d.text) AS n_chars, mh2.h
+       |  FROM documents d JOIN shards sh USING (doc_id)
+       |  JOIN mh2 USING (doc_id))
+       |SELECT CAST(shard AS INTEGER) AS shard,
+       |  CAST(count(1) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  bit_xor(h) AS membership_hash
+       |FROM j GROUP BY shard ORDER BY shard""".stripMargin
 
   private def rendezvousSql(seed: Long, nShards: Int): String =
     s"""WITH ks AS (
@@ -2526,6 +2579,8 @@ object LayerC {
     "c104_kcore" -> kcoreSql(3, 8),
 
     "c106_epoch_upsample" -> epochUpsampleSql,
+
+    "c107_shard_manifest" -> shardManifestSql(7, 4),
 
     // even-id ↔ odd-successor pairing (equi-join, deterministic), the
     // c5 list_cosine_similarity path, exact percentile_cont = Spark's
