@@ -280,6 +280,42 @@ object Multimodal {
       }(enc)
   }
 
+  /** Within-video frame redundancy: per video, distinct frames by
+    * 64-bit aHash vs total frames — the static-scene detector a video
+    * pipeline runs before paying per-frame captioning/embedding (a
+    * slideshow-like video with 2 distinct frames out of 300 should be
+    * billed as 2). `redundancy` = 1 − distinct/total, 0 for all-unique
+    * footage. Complements [[sceneCutStats]]: scene cuts count
+    * TRANSITIONS, this counts unique CONTENT.
+    *
+    * Scale shape: one iterator-to-iterator mapPartitions decode pass
+    * (the declared multimodal exception), per-row state one HashSet of
+    * ≤ n_frames longs, one output row per video. Rows-only (no SQL
+    * engine decodes AVI); arithmetic pinned in MultimodalSpec on a
+    * planted slideshow. */
+  def frameRedundancy(withBinary: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("redundancy", DoubleType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary
+      .filter(col("meta.mime").startsWith("video/"))
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeAviFrames(r.getAs[Array[Byte]]("payload")).map {
+            case (frames, _) =>
+              val distinct = frames.map(averageHash).toSet.size
+              Row(r.getLong(0), frames.length, distinct,
+                if (frames.isEmpty) 0.0
+                else 1.0 - distinct.toDouble / frames.length)
+          }
+        }
+      }(enc)
+  }
+
   /** Audio quality gate: per clip, the curation stats an audio pipeline
     * filters on before paying for transcription — peak level, RMS
     * loudness in dBFS (floored at −100 for digital silence), clipped

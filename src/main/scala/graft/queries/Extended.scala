@@ -457,6 +457,18 @@ object Extended {
         .orderBy("doc_id")
     },
 
+    // within-video frame redundancy: distinct frames by aHash vs total —
+    // the static-scene detector billing a slideshow as its unique
+    // content, not its frame count. Rows-only (no SQL engine decodes
+    // AVI); planted-slideshow arithmetic pinned in MultimodalSpec
+    "m11_frame_redundancy" -> { (s, dir) =>
+      Multimodal.frameRedundancy(
+          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+        .select(col("doc_id"), col("n_frames"), col("n_distinct"),
+          round(col("redundancy"), 6).as("redundancy"))
+        .orderBy("doc_id")
+    },
+
     // REAL video frame sampling: MJPEG/AVI payloads decode to frames,
     // 4 evenly-spaced frames re-encode as PNG rows per video
     "m2_frame_sample" -> { (s, dir) =>

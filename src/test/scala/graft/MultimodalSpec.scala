@@ -615,6 +615,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(s3.getDouble(5) == 0.0)
   }
 
+  test("frameRedundancy: slideshow bills as its unique content") {
+    val spark2 = spark
+    import spark2.implicits._
+    def jpeg(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, paint(x, y))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val grad = jpeg((x, _) => gray(math.min(x * 16, 255)))
+    val check = jpeg((x, y) => gray(if (((x / 4) + (y / 4)) % 2 == 0) 230 else 20))
+    // slideshow: 6 frames, only 2 structurally distinct
+    val slide = Multimodal.encodeAviFromJpegs(
+      Seq(grad, grad, grad, check, check, check), 16, 16)
+    val vids = Seq((1L, slide)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("video/avi").as("mime"),
+        lit(16).as("width"), lit(16).as("height"), lit(0L).as("duration_ms")))
+    val r = Multimodal.frameRedundancy(vids).collect().head
+    assert(r.getInt(1) == 6 && r.getInt(2) == 2, s"got $r")
+    assert(math.abs(r.getDouble(3) - (1.0 - 2.0 / 6)) < 1e-12)
+  }
+
   test("sceneCutStats: planted two-scene video scores exactly one cut, flat video zero") {
     val spark2 = spark
     import spark2.implicits._
