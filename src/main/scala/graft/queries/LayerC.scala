@@ -1354,6 +1354,46 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // shared-content-vs-quality diagnostic: does template-laden content
+    // score differently on quality proxies? Per doc, the fraction of
+    // its 10-word segments also present in ANOTHER doc (the c27 segment
+    // notion), then group means of the quality proxies for contaminated
+    // vs fully-original docs — the evidence behind "dedup/boilerplate
+    // removal improves average quality". Group means, not corr: corr's
+    // zero-variance division crashes under ANSI when a scale factor has
+    // no shared segments, while an empty group's avg is NULL in both
+    // engines. Segment multiplicity from ONE hash-keyed aggregation
+    "c108_shared_quality" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val segs = d.select(col("doc_id"),
+          explode(graft.functions.ChunkFunctions.word_chunks(
+            col("text"), 10, 10,
+            lowercase = false, fullOnly = false)).as("_seg"))
+        .withColumn("_h", xxhash64(col("_seg")))
+      val perSeg = segs.groupBy(col("_h"), col("_seg"))
+        .agg(countDistinct(col("doc_id")).as("_nd"))
+      val perDoc = segs.join(perSeg, Seq("_h", "_seg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      val qf = TextAnalysis.qualityFeatures(d, "doc_id", "text")
+        .select(col("doc_id"), col("stopword_ratio"), col("mean_word_len"))
+      perDoc.join(qf, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+          round(avg(col("n_shared").cast("double") /
+            col("n_segments").cast("double")), 6).as("mean_shared_ratio"),
+          round(avg(when(col("n_shared") === 0, col("stopword_ratio"))), 6)
+            .as("mean_stopword_original"),
+          round(avg(when(col("n_shared") > 0, col("stopword_ratio"))), 6)
+            .as("mean_stopword_contaminated"),
+          round(avg(when(col("n_shared") === 0, col("mean_word_len"))), 6)
+            .as("mean_wordlen_original"),
+          round(avg(when(col("n_shared") > 0, col("mean_word_len"))), 6)
+            .as("mean_wordlen_contaminated"))
+    },
+
     // token counting (whitespace + BPE-ish regex)
     "c9_token_count" -> { (s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
@@ -3486,6 +3526,45 @@ object LayerC {
          |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) /
          |    greatest(length(text), 1) AS upper_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // c27's segment derivation + per-segment distinct-doc counts +
+    // c8's quality expressions; empty-group avg is NULL in both engines
+    "c108_shared_quality" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(ws, i*10 + 1, (i+1)*10), ' ') AS seg
+         |  FROM w, LATERAL (SELECT unnest(range((len(ws) + 9) // 10)) AS i) u),
+         |ps AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM sp GROUP BY seg),
+         |pd AS (
+         |  SELECT sp.doc_id, count(1) AS n_segments,
+         |    sum(CASE WHEN ps.nd > 1 THEN 1 ELSE 0 END) AS n_shared
+         |  FROM sp JOIN ps USING (seg) GROUP BY sp.doc_id),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      w -> list_contains($stoplistSql, lower(w)))) AS DOUBLE) /
+         |      greatest(len(string_split_regex(text, '\\s+')), 1) AS stopword_ratio,
+         |    CAST(length(text) AS DOUBLE) /
+         |      greatest(len(string_split_regex(text, '\\s+')), 1) AS mean_word_len
+         |  FROM documents),
+         |j AS (SELECT pd.*, q.stopword_ratio, q.mean_word_len
+         |      FROM pd JOIN q USING (doc_id))
+         |SELECT CAST(count(1) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  round(avg(CAST(n_shared AS DOUBLE) / CAST(n_segments AS DOUBLE)), 6)
+         |    AS mean_shared_ratio,
+         |  round(avg(CASE WHEN n_shared = 0 THEN stopword_ratio END), 6)
+         |    AS mean_stopword_original,
+         |  round(avg(CASE WHEN n_shared > 0 THEN stopword_ratio END), 6)
+         |    AS mean_stopword_contaminated,
+         |  round(avg(CASE WHEN n_shared = 0 THEN mean_word_len END), 6)
+         |    AS mean_wordlen_original,
+         |  round(avg(CASE WHEN n_shared > 0 THEN mean_word_len END), 6)
+         |    AS mean_wordlen_contaminated
+         |FROM j""".stripMargin,
 
     "c12_char_ngrams" ->
       """WITH tri AS (
