@@ -1031,11 +1031,17 @@ object LayerC {
     // highest-TF-IDF terms (L2-normalized), pairs sharing >= 2 of them
     // scored by sparse cosine — the lexical related-doc candidate
     // generator that needs no embedding model (complements dense ANN).
-    // maxPostings=0: exact (the capped variant trades lower-bound
-    // cosine for bounded wedges at corpus scale — SURVEY states the knob)
+    // Runs on the deterministic doc_id % 10 slice (the c98 sampling
+    // discipline): the fixture's CLOSED 31-token vocabulary makes every
+    // token a hub as the corpus grows — uncapped pairs cost 18 s at
+    // sf0.1 (measured round 8) and any live maxPostings cap empties the
+    // result outright — while real corpora have rare top terms; on the
+    // slice the join is exact and SF-stable. maxPostings stays the
+    // open-vocabulary scale knob (spec-pinned)
     "c105_tfidf_knn" -> { (s, dir) =>
-      TextAnalysis.tfidfSimilarPairs(docs(s, dir), "doc_id", "text",
-          topTerms = 5, minShared = 2)
+      TextAnalysis.tfidfSimilarPairs(
+          docs(s, dir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", topTerms = 5, minShared = 2)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     },
@@ -3069,17 +3075,19 @@ object LayerC {
         |SELECT doc_id, token, tf, round(raw, 6) AS score, rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
-    // c30's TF-IDF chain extended: per-doc top-5 terms, L2 normalize,
+    // c30's TF-IDF chain on the doc_id % 10 slice (idf's n and df are
+    // slice-scoped, matching the operator's input), L2 normalize,
     // token-keyed pair join, sparse-cosine sum; same ln + row_number
     // tie-break as c30 so both engines pick identical term sets
     "c105_tfidf_knn" ->
-      """WITH tok AS (
+      """WITH d AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
-        |  FROM documents),
+        |  FROM d),
         |t2 AS (SELECT * FROM tok WHERE token <> ''),
         |tf AS (SELECT doc_id, token, count(1) AS tf FROM t2 GROUP BY doc_id, token),
         |df AS (SELECT token, count(1) AS dfreq FROM tf GROUP BY token),
-        |n AS (SELECT count(1) AS n FROM documents),
+        |n AS (SELECT count(1) AS n FROM d),
         |r AS (
         |  SELECT tf.doc_id, tf.token,
         |    CAST(tf.tf AS DOUBLE) *

@@ -24,15 +24,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 # oracles quadratic in corpus size (shingle self-joins / recursive
-# reachability; c105's pair relation is quadratic on the fixture's
-# CLOSED vocabulary — top TF-IDF terms are rare on real corpora) —
-# run them at sf0.01, skip at sf0.1 sweeps
+# reachability) — run them at sf0.01, skip at sf0.1 sweeps
 QUADRATIC = ["c2_dedup_minhash", "c4_ngram_jaccard", "c23_dup_clusters",
              "c33_cluster_keep_best", "c34_incremental_neardup",
              "c70_neardup_index", "c73_edit_dedup", "c78_containment_dedup",
              "c90_cluster_sizes", "c96_minhash_error",
-             "c98_dedup_sensitivity", "c99_cluster_medoid",
-             "c105_tfidf_knn"]
+             "c98_dedup_sensitivity", "c99_cluster_medoid"]
 
 
 def canon(v):
