@@ -182,6 +182,33 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // temporal train/embargo/test split: the third standard leak-free
+    // split next to hash (c18) and cluster (c63) — time-ordered data
+    // must TEST ON THE FUTURE, and the embargo gap between train and
+    // test absorbs label/feature lookahead leakage (the financial-ML
+    // purged-split discipline). Boundaries at 70 %/80 % of the observed
+    // time range in EXACT integer microsecond arithmetic (t0 +
+    // (t1−t0)·k/10 — no float rounding can move an event across a
+    // boundary between engines); one broadcast 1-row bounds relation,
+    // split assignment is a codegen projection
+    "c109_temporal_split" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val bounds = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      ev.crossJoin(broadcast(bounds))
+        // `div`, not `/`: Column `/` is double division, and a rounded
+        // double boundary could strand an event on the wrong side of
+        // the exact integer cut
+        .withColumn("split",
+          when(col("us") < expr("t0 + (t1 - t0) * 7 div 10"), "train")
+            .when(col("us") < expr("t0 + (t1 - t0) * 8 div 10"), "embargo")
+            .otherwise("test"))
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+        .orderBy("split", "event_type")
+    },
+
     // deterministic shard manifest: per rendezvous shard (c61's HRW
     // assignment) the row count, char volume, and an order-free
     // bit_xor membership checksum over the seeded 64-bit doc keys —
@@ -2627,6 +2654,21 @@ object LayerC {
     "c106_epoch_upsample" -> epochUpsampleSql,
 
     "c107_shard_manifest" -> shardManifestSql(7, 4),
+
+    // integer microsecond boundary arithmetic (epoch_us = Spark's
+    // unix_micros); same 7/10, 8/10 integer divisions
+    "c109_temporal_split" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT min(us) AS t0, max(us) AS t1 FROM e),
+        |s AS (
+        |  SELECT event_type, us,
+        |    CASE WHEN us < t0 + (t1 - t0) * 7 // 10 THEN 'train'
+        |         WHEN us < t0 + (t1 - t0) * 8 // 10 THEN 'embargo'
+        |         ELSE 'test' END AS split
+        |  FROM e CROSS JOIN b)
+        |SELECT split, event_type, CAST(count(1) AS BIGINT) AS n,
+        |  min(us) AS min_us, max(us) AS max_us
+        |FROM s GROUP BY split, event_type ORDER BY split, event_type""".stripMargin,
 
     // even-id ↔ odd-successor pairing (equi-join, deterministic), the
     // c5 list_cosine_similarity path, exact percentile_cont = Spark's
