@@ -175,4 +175,87 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("boilerplateSegments conserves segments; solo-source docs never change") {
+    import org.apache.spark.sql.functions.col
+    val corpusGen = for {
+      n    <- Gen.chooseNum(2, 8)
+      txts <- Gen.listOfN(n, text)
+      srcs <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+    } yield txts.zip(srcs).zipWithIndex.map { case ((t, s), i) => (i.toLong, s, t) }
+    samples(corpusGen, 15).foreach { docs =>
+      val df = docs.toDF("id", "src", "text")
+      val out = Dedup.boilerplateSegments(df, "id", "src", "text", segWords = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+      // conservation: kept words + dropped segments cover the doc
+      docs.foreach { case (id, _, t) =>
+        val (nSeg, nBoiler, nt) = out(id)
+        val expSegs = (t.split("\\s+").length + 1) / 2
+        assert(nSeg == expSegs, s"doc $id segment count")
+        val keptSegs = if (nt.isEmpty) 0 else (nt.split("\\s+").length + 1) / 2
+        assert(keptSegs + nBoiler == nSeg,
+          s"doc $id: $keptSegs kept + $nBoiler dropped != $nSeg")
+      }
+      // a doc alone in its source can never lose a segment
+      val soloSrcs = docs.groupBy(_._2).filter(_._2.size == 1).keySet
+      docs.filter(d => soloSrcs(d._2)).foreach { case (id, _, t) =>
+        assert(out(id)._3 == t, s"solo doc $id was modified")
+      }
+    }
+  }
+
+  test("kCoreBounded at full rounds: every survivor keeps >= k surviving neighbors") {
+    import graft.operators.Graph
+    val edgeGen = for {
+      n  <- Gen.chooseNum(4, 14)
+      m  <- Gen.chooseNum(3, 25)
+      es <- Gen.listOfN(m, for {
+        u <- Gen.chooseNum(0, n - 1); v <- Gen.chooseNum(0, n - 1)
+      } yield (u.toLong, v.toLong))
+    } yield es.filter(e => e._1 != e._2)
+    samples(edgeGen, 12).filter(_.nonEmpty).foreach { es =>
+      val df = es.toDF("u", "v")
+      // rounds = node count guarantees the peel has converged
+      val n = es.flatMap(e => Seq(e._1, e._2)).distinct.length
+      val out = Graph.kCoreBounded(df, "u", "v", k = 2, rounds = math.max(n, 1))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val survivors = out.keySet
+      val und = es.flatMap(e => Seq(e, e.swap)).distinct
+      out.foreach { case (node, deg) =>
+        val within = und.filter(e => e._1 == node && survivors(e._2))
+          .map(_._2).distinct.length
+        assert(deg == within, s"node $node reported $deg, actual $within")
+        assert(deg >= 2, s"node $node survived with degree $deg < k")
+      }
+    }
+  }
+
+  test("epochUpsample totals are bounded by the per-source floor/ceil envelope") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Curation
+    val corpusGen = for {
+      n    <- Gen.chooseNum(3, 10)
+      txts <- Gen.listOfN(n, text)
+      srcs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield txts.zip(srcs).zipWithIndex.map { case ((t, s), i) => (i.toLong, s, t) }
+    samples(corpusGen, 10).foreach { docs =>
+      val df = docs.toDF("id", "src", "text")
+      val counts = Curation.epochUpsample(df, "id", "src", "text", alpha = 0.5)
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tokens = docs.groupBy(_._2).view
+        .mapValues(_.map(_._3.split("\\s+").length.toLong).sum).toMap
+      val total = tokens.values.sum.toDouble
+      val ptot = tokens.values.map(t => math.sqrt(t.toDouble)).sum
+      docs.groupBy(_._2).foreach { case (src, ds) =>
+        val e = (math.sqrt(tokens(src).toDouble) / ptot) / (tokens(src) / total)
+        val lo = math.floor(e).toLong * ds.size
+        val hi = math.ceil(e).toLong * ds.size
+        val got = counts.getOrElse(src, 0L)
+        assert(got >= lo && got <= hi,
+          s"source $src drew $got copies outside [$lo, $hi] (e=$e)")
+      }
+    }
+  }
 }
