@@ -609,6 +609,26 @@ object Multimodal {
     * PCM/WAV payload whose metadata duration matches its frame count;
     * video gets a REAL MJPEG/AVI payload whose frames decode via
     * javax.imageio and whose metadata duration matches the header. */
+  /** [[attachBinary]] over the documents table of `dir`, synthesized
+    * ONCE per (process, dir) and kept persisted. The fixture has no
+    * stored binary column, so every m-query must synthesize payloads —
+    * but a real pipeline READS stored binaries; paying the encode per
+    * query (and per bench rep) over-charged every media query for
+    * fixture synthesis that is not part of the operator under
+    * measurement. The persisted table is the moral equivalent of the
+    * parquet binary column the fixture would ship at scale (~tens of MB
+    * at sf0.1 — memory-resident, spills to disk if ever larger). */
+  private val binaryCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def attachBinaryCached(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    binaryCache.getOrElseUpdate(dir, {
+      val df = attachBinary(graft.Tables.load(spark, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly so no query pays a partial build
+      df
+    })
+
   def attachBinary(docs: DataFrame): DataFrame = {
     val enc = Encoders.row(payloadSchema)
     docs.select(col("doc_id").cast("long"), col("text"))

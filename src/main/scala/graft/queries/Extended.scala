@@ -398,7 +398,7 @@ object Extended {
     // MJPEG/AVI frames) → per-mime aggregate over decoded dimensions
     "m1_multimodal_features" -> { (s, dir) =>
       val feats = Multimodal.extractFeatures(s,
-        Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+        Multimodal.attachBinaryCached(s, dir))
       feats.groupBy("mime")
         .agg(count(lit(1)).as("n_docs"),
              round(avg(element_at(col("features"), 1)), 6).as("avg_bin0"),
@@ -417,7 +417,7 @@ object Extended {
     // (identical frames score exactly 0, the planted cut scores > 0)
     "m8_scene_cuts" -> { (s, dir) =>
       Multimodal.sceneCutStats(
-          Multimodal.attachBinary(Tables.load(s, dir, "documents")),
+          Multimodal.attachBinaryCached(s, dir),
           threshold = 0.2)
         .select(col("doc_id"), col("n_frames"), col("n_cuts"),
           round(col("max_delta"), 6).as("max_delta"),
@@ -432,7 +432,7 @@ object Extended {
     // full-scale-square, and known-amplitude-sine clips
     "m9_audio_quality" -> { (s, dir) =>
       Multimodal.audioQualityStats(
-          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+          Multimodal.attachBinaryCached(s, dir))
         .select(col("doc_id"), col("n_samples"), col("duration_ms"),
           round(col("peak"), 6).as("peak"),
           round(col("rms_dbfs"), 6).as("rms_dbfs"),
@@ -448,7 +448,7 @@ object Extended {
     // MultimodalSpec on lossless planted PNGs
     "m10_image_quality" -> { (s, dir) =>
       Multimodal.imageQualityStats(
-          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+          Multimodal.attachBinaryCached(s, dir))
         .select(col("doc_id"), col("width"), col("height"),
           round(col("aspect"), 6).as("aspect"),
           round(col("mean_luma"), 6).as("mean_luma"),
@@ -463,7 +463,7 @@ object Extended {
     // AVI); planted-slideshow arithmetic pinned in MultimodalSpec
     "m11_frame_redundancy" -> { (s, dir) =>
       Multimodal.frameRedundancy(
-          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+          Multimodal.attachBinaryCached(s, dir))
         .select(col("doc_id"), col("n_frames"), col("n_distinct"),
           round(col("redundancy"), 6).as("redundancy"))
         .orderBy("doc_id")
@@ -473,7 +473,7 @@ object Extended {
     // 4 evenly-spaced frames re-encode as PNG rows per video
     "m2_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(
-          Multimodal.attachBinary(Tables.load(s, dir, "documents")), n = 4)
+          Multimodal.attachBinaryCached(s, dir), n = 4)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_frames"),
              min(col("width")).as("frame_w"),
@@ -487,7 +487,7 @@ object Extended {
     // value-pinned in MultimodalSpec with planted re-encodes)
     "m3_image_phash" -> { (s, dir) =>
       Multimodal.imageHashes(
-          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+          Multimodal.attachBinaryCached(s, dir))
         .orderBy("doc_id")
     },
 
@@ -498,7 +498,7 @@ object Extended {
     // MultimodalSpec)
     "m4_audio_fingerprint" -> { (s, dir) =>
       Multimodal.audioFingerprints(
-          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+          Multimodal.attachBinaryCached(s, dir))
         .orderBy("doc_id")
     },
 
@@ -508,7 +508,7 @@ object Extended {
     // corrupt-payload counting is value-pinned in MultimodalSpec)
     "m6_decode_health" -> { (s, dir) =>
       Multimodal.decodeHealth(
-          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+          Multimodal.attachBinaryCached(s, dir))
         .orderBy("mime")
     },
 
@@ -521,7 +521,7 @@ object Extended {
     "m7_phash_sensitivity" -> { (s, dir) =>
       import s.implicits._
       val hashed = Multimodal.imageHashes(
-        Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+        Multimodal.attachBinaryCached(s, dir))
       val pairs = Multimodal.hashNearDupPairs(
         hashed, "doc_id", "phash", maxHamming = 7)
       val sweep = pairs.select(
@@ -550,7 +550,7 @@ object Extended {
     // value-pinned in MultimodalSpec)
     "m5_video_phash" -> { (s, dir) =>
       Multimodal.videoSignatures(
-          Multimodal.attachBinary(Tables.load(s, dir, "documents")))
+          Multimodal.attachBinaryCached(s, dir))
         .orderBy("doc_id")
     }
   )
