@@ -68,7 +68,19 @@ object Bench {
       else {
         // unmeasured warmup rep: absorbs first-touch page faults and
         // JIT/janino compilation of this query's generated code
-        if (runOnce(name, fn) < 0) (name, -1.0)
+        val warm = runOnce(name, fn)
+        if (warm < 0) (name, -1.0)
+        else if (warm > 2.0) {
+          // adaptive reps (round 8): a 250-query surface at warmup+3
+          // reps costs ~17 min wall at sf0.1, most of it under the
+          // handful of multi-second queries — exactly where the median's
+          // noise protection matters least (their fault/JIT tax is
+          // already amortized by the warmup and their relative jitter is
+          // small). One measured rep for them caps the wall without
+          // touching the cheap queries' median-of-3
+          val s = runOnce(name, fn)
+          (name, s)
+        }
         else {
           val samples = Iterator.continually(runOnce(name, fn))
             .take(reps).takeWhile(_ >= 0).toSeq
