@@ -340,11 +340,7 @@ object Extended {
           col("o_orderpriority").as("dim_prio"))
         .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
       val ev = Streams.eventStream(s, dir)
-      val joined = ev.join(dim,
-          ev("user_id") === dim("o_custkey") &&
-            ev("ts") >= dim("valid_from") &&
-            (dim("valid_to").isNull || ev("ts") < dim("valid_to")),
-          "left_outer")
+      val joined = Streams.scd2JoinAtEventTime(ev, dim, "o_custkey")
         .groupBy(coalesce(col("dim_prio"), lit("(none)")).as("prio"))
         .agg(count(lit(1)).as("n"))
       Streams.runToCompletion(s, joined, "s20_scd2").orderBy("prio")

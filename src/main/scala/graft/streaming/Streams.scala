@@ -60,6 +60,23 @@ object Streams {
   def tumblingCounts(events: DataFrame): DataFrame =
     windowCounts(events, None)
 
+  /** SCD2 point-in-time join: each event matched to the dimension row
+    * valid AT ITS EVENT TIME. `dim` carries half-open validity
+    * [valid_from, valid_to) with NULL valid_to on the current row, so an
+    * event matches at most one dimension row and an event exactly AT a
+    * boundary belongs to the NEWER interval — the convention that makes
+    * consecutive intervals partition time with no gap and no overlap
+    * (spec-pinned in StreamingSpec). left_outer keeps events before any
+    * interval. Works identically on a streaming `events` side (the
+    * static dim is broadcast per micro-batch — s20's configuration). */
+  def scd2JoinAtEventTime(events: DataFrame, dim: DataFrame,
+                          keyCol: String): DataFrame =
+    events.join(dim,
+      events("user_id") === dim(keyCol) &&
+        events("ts") >= dim("valid_from") &&
+        (dim("valid_to").isNull || events("ts") < dim("valid_to")),
+      "left_outer")
+
   /** Sliding (overlapping) window counts per event type: 1 h windows
     * every 30 min, so each event lands in two windows. Same state-
     * eviction story as tumbling — the watermark retires a window once it

@@ -306,4 +306,29 @@ class StreamingSpec extends AnyFunSuite {
       "resident state must suppress the duplicate")
     Tables.deleteRecursively(work)
   }
+
+  test("scd2JoinAtEventTime: boundary event takes the NEWER interval, gaps stay null") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // customer 1: tier A valid [Jan 1, Feb 1), tier B [Feb 1, open)
+    val dim = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), Option(ts("2024-02-01 00:00:00"))),
+      (1L, "B", ts("2024-02-01 00:00:00"), None: Option[java.sql.Timestamp])
+    ).toDF("cust", "tier", "valid_from", "valid_to")
+    val events = Seq(
+      (10L, 1L, ts("2024-01-15 12:00:00")),  // mid-A
+      (11L, 1L, ts("2024-02-01 00:00:00")),  // EXACTLY the boundary → B
+      (12L, 1L, ts("2024-03-01 00:00:00")),  // open-ended current → B
+      (13L, 1L, ts("2023-12-01 00:00:00")),  // before any interval → null
+      (14L, 2L, ts("2024-01-15 00:00:00"))   // unknown customer → null
+    ).toDF("event_id", "user_id", "ts")
+    val out = Streams.scd2JoinAtEventTime(events, dim, "cust")
+      .select(col("event_id"), col("tier"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(10L -> Some("A"), 11L -> Some("B"), 12L -> Some("B"),
+      13L -> None, 14L -> None), s"got $out")
+    // every event appears exactly once: intervals partition time
+    assert(Streams.scd2JoinAtEventTime(events, dim, "cust").count() == 5)
+  }
 }
