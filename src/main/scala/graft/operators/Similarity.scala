@@ -79,6 +79,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Scatter-gather kNN: the corpus is split into shards (caller
+    * supplies the shard expression — rendezvous/HRW in the c110
+    * configuration), each shard is searched INDEPENDENTLY for its local
+    * top-k, and the global answer is the top-k of the union. Exact by
+    * the top-k distribution law: every global top-k neighbor is in its
+    * own shard's local top-k, so the merge loses nothing — verified by
+    * sharing the brute-force oracle. This is the distributed ANN
+    * SERVING shape: at corpus scale each shard is an executor-resident
+    * index (the c68 persisted artifacts, one per shard) searched in
+    * parallel, and only nShards×k candidate rows per query — never
+    * corpus-sized data — cross the wire to the merge.
+    *
+    * Scale shape: the local rank window partitions by (query, shard) —
+    * each window chunk sorts one shard's candidates; the global rank
+    * sees ≤ nShards×k rows per query. Tie-break (cosine DESC, id ASC)
+    * totalizes both phases, so shard count can never change the
+    * answer. */
+  def shardedKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, shardExpr: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("nn_id"),
+        col(vecCol).cast("array<double>").as("cv"), shardExpr.as("shard"))
+      .withColumn("cn", l2norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val wLocal = Window.partitionBy("query_id", "shard")
+      .orderBy(desc("cosine"), asc("nn_id"))
+    val wGlobal = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("nn_id"))
+    q.join(broadcast(c), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("shard"), col("nn_id"),
+        cosineOrNull(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .withColumn("_lrank", row_number().over(wLocal))
+      .filter(col("_lrank") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "cosine", "rank")
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor in
     * `queries`, the top-`k` corpus neighbors whose exact cosine lies in
     * [lo, hi) — close enough to be informative negatives, strictly

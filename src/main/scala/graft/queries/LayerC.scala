@@ -77,6 +77,20 @@ object LayerC {
         .orderBy("query_id", "rank")
     },
 
+    // scatter-gather kNN: corpus split into 4 HRW shards, each searched
+    // independently, global top-5 = top-5 of the union — exact by the
+    // top-k distribution law, so it shares the brute-force oracle. The
+    // distributed ANN serving shape: per-shard indexes searched in
+    // parallel, only nShards×k candidate rows per query cross the wire
+    "c110_sharded_knn" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.shardedKnn(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5,
+          graft.operators.Curation.rendezvousShard(col("vec_id"), 4, 7))
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank")
+    },
+
     // hard-negative mining: per anchor, top-5 neighbors inside the
     // cosine band [0.1, 0.35) — informative negatives for contrastive
     // training, with the near-dup band above 0.35 excluded as positives
@@ -2906,6 +2920,9 @@ object LayerC {
     "c5_cosine_topk" -> oracleC5,
 
     "c6_knn" -> knnOracleSql,
+    // sharded scatter-gather search is EXACT (top-k distributes over
+    // any partition of the corpus), so c110 shares c6's oracle verbatim
+    "c110_sharded_knn" -> knnOracleSql,
 
     "c61_rendezvous_shards" -> rendezvousSql(7, 4),
 

@@ -548,4 +548,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length >= 2, "expected multiple cells")
     assert(draw(e.repartition(7)) == got, "draw must be partition-invariant")
   }
+
+  test("shardedKnn equals bruteForceKnn for ANY shard count (top-k distribution law)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // 24 deterministic 4-dim vectors with varied directions
+    val e = (0L until 24L).map { i =>
+      (i, Seq((i % 5).toFloat + 0.1f, (i % 7).toFloat - 3f,
+        (i % 3).toFloat, 1f))
+    }.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" < 6)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "nn_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val truth = canon(Similarity.bruteForceKnn(e, q, "vec_id", "embedding", 3))
+    for (nShards <- Seq(1, 2, 4, 7)) {
+      val sharded = canon(Similarity.shardedKnn(e, q, "vec_id", "embedding", 3,
+        graft.operators.Curation.rendezvousShard(col("vec_id"), nShards, 7)))
+      assert(sharded == truth, s"nShards=$nShards diverged from brute force")
+    }
+  }
 }
