@@ -1441,6 +1441,39 @@ object LayerC {
             .as("mean_wordlen_contaminated"))
     },
 
+    // code-switching detection: language ID per 10-word SEGMENT (the
+    // c27 segment notion), then per doc the majority language and the
+    // fraction of segments disagreeing with it — the mixed-language-doc
+    // detector a multilingual curation pass runs where doc-level c10
+    // would average the languages away. Same scorer and tie-breaks as
+    // c10 (score DESC, lang ASC per segment; count DESC, lang ASC for
+    // the majority), so both engines pick identical labels
+    "c111_code_switch" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val segs = docs(s, dir).select(col("doc_id"),
+          posexplode(graft.functions.ChunkFunctions.word_chunks(
+            col("text"), 10, 10,
+            lowercase = false, fullOnly = false)).as(Seq("_idx", "_seg")))
+        .withColumn("sid", struct(col("doc_id"), col("_idx")))
+      val pred = TextAnalysis.langId(segs, "sid", "_seg")
+        .select(col("sid.doc_id").as("doc_id"), col("pred_lang"))
+      val perLang = pred.groupBy(col("doc_id"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("n"), asc("pred_lang"))
+      val maj = perLang.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("pred_lang").as("majority_lang"),
+          col("n").as("n_majority"))
+      val tot = perLang.groupBy("doc_id").agg(sum(col("n")).as("n_segments"))
+      tot.join(maj, "doc_id")
+        .select(col("doc_id"), col("n_segments"), col("majority_lang"),
+          col("n_majority"),
+          (col("n_segments") - col("n_majority")).as("n_minority"),
+          round((col("n_segments") - col("n_majority")).cast("double") /
+            col("n_segments").cast("double"), 6).as("minority_ratio"))
+        .orderBy("doc_id")
+    },
+
     // token counting (whitespace + BPE-ish regex)
     "c9_token_count" -> { (s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
@@ -2916,6 +2949,45 @@ object LayerC {
          |SELECT lang, pred_lang, count(1) AS n
          |FROM best WHERE rk = 1
          |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    // c27's segment CTE aliases each segment AS text so c10's scorer
+    // fragments apply verbatim; same two-level tie-breaks
+    "c111_code_switch" ->
+      s"""WITH w0 AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i AS idx,
+         |    array_to_string(list_slice(ws, i*10 + 1, (i+1)*10), ' ') AS text
+         |  FROM w0, LATERAL (SELECT unnest(range((len(ws) + 9) // 10)) AS i) u),
+         |scored AS (
+         |  SELECT doc_id, idx,
+         |    $langidScoreSql
+         |  FROM sp),
+         |unp AS (
+         |  SELECT doc_id, idx, v.pl, v.s
+         |  FROM scored, LATERAL (VALUES $langidValuesSql) AS v(pl, s)),
+         |best AS (
+         |  SELECT doc_id, idx, pl,
+         |    row_number() OVER (PARTITION BY doc_id, idx
+         |      ORDER BY s DESC, pl ASC) AS rk
+         |  FROM unp),
+         |seg AS (SELECT doc_id, idx, pl FROM best WHERE rk = 1),
+         |pl2 AS (SELECT doc_id, pl, count(1) AS n FROM seg GROUP BY doc_id, pl),
+         |mj AS (
+         |  SELECT doc_id, pl, n,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n DESC, pl ASC) AS rk
+         |  FROM pl2),
+         |tot AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_segments
+         |  FROM pl2 GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_segments, m.pl AS majority_lang,
+         |  CAST(m.n AS BIGINT) AS n_majority,
+         |  CAST(t.n_segments - m.n AS BIGINT) AS n_minority,
+         |  round(CAST(t.n_segments - m.n AS DOUBLE) / t.n_segments, 6)
+         |    AS minority_ratio
+         |FROM tot t JOIN mj m ON m.doc_id = t.doc_id AND m.rk = 1
+         |ORDER BY t.doc_id""".stripMargin,
 
     "c5_cosine_topk" -> oracleC5,
 
