@@ -32,6 +32,22 @@ object Relational6 {
     // percentiles (Spark `percentile` == DuckDB `quantile_cont`, the
     // q103 median precedent); cuts are a groups-sized broadcast, the
     // clip itself is a pure codegen projection — two passes, no window
+    // GROUPING()/GROUPING_ID over rollup: the flags that distinguish a
+    // NULL-as-data group from a NULL-as-subtotal row — without them a
+    // rollup over a nullable column is ambiguous to every consumer.
+    // gid is the bit vector (flag, status) → {0, 1, 3} for a 2-level
+    // rollup, and doubles as the deterministic level-first sort key
+    "q108_grouping_id" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(asc("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    },
+
     "q107_winsorize" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -285,6 +301,18 @@ object Relational6 {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB GROUPING with multiple args == Spark grouping_id bit vector
+    "q108_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(1) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin,
+
     // quantile_cont == Spark percentile (exact interpolated, q103
     // precedent); the clip is least/greatest on identical doubles
     "q107_winsorize" ->
