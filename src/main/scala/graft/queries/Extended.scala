@@ -346,6 +346,26 @@ object Extended {
       Streams.runToCompletion(s, joined, "s20_scd2").orderBy("prio")
     },
 
+    // per-window value percentiles in the stream — the latency-SLA
+    // readout (p50/p95 per hour) every ops pipeline keeps. EXACT
+    // percentiles hold each window's values in state until the
+    // watermark retires it — fine for bounded windows, and the reason
+    // the q96 percentile_approx sketch (mergeable, constant state) is
+    // the corpus-scale variant; exact is used here precisely because it
+    // is DuckDB-checkable
+    "s21_stream_percentile" -> { (s, dir) =>
+      val agged = Streams.eventStream(s, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"),
+          round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"),
+          col("n"))
+      Streams.runToCompletion(s, agged, "s21_pct").orderBy("window_start")
+    },
+
     // sliding (overlapping) windows via Structured Streaming — the
     // streaming counterpart of the batch q70, sharing its oracle
     "s7_stream_sliding" -> { (s, dir) =>
@@ -596,6 +616,13 @@ object Extended {
     // streaming/batch identity is structural: s18 runs the SAME oracle
     // string as the batch c88 (an edit to one cannot strand the other)
     "s18_stream_anomaly" -> LayerC.oracle("c88_rate_anomaly"),
+
+    "s21_stream_percentile" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+        |  round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95,
+        |  count(1) AS n
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
 
     "s20_scd2_enrich" ->
       """WITH dim AS (
