@@ -196,6 +196,23 @@ object LayerC {
         .orderBy("doc_id")
     },
 
+    // k-anonymity audit over quasi-identifiers (source, lang,
+    // 100-char length bucket): combos with fewer than k=5 members are
+    // re-identification risks — the data-governance release gate that
+    // pairs with c41's PII redaction (redaction scrubs direct
+    // identifiers; k-anonymity catches the INDIRECT ones). Violating
+    // combos are the output; the production loop then generalizes
+    // (coarser buckets) or suppresses them and re-audits. Exact integer
+    // division for the bucket; one map-side-combined aggregation
+    "c112_k_anonymity" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"), col("lang"),
+          expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < 5)
+        .orderBy("source", "lang", "len_bucket")
+    },
+
     // temporal train/embargo/test split: the third standard leak-free
     // split next to hash (c18) and cluster (c63) — time-ordered data
     // must TEST ON THE FUTURE, and the embargo gap between train and
@@ -2699,6 +2716,12 @@ object LayerC {
     "c104_kcore" -> kcoreSql(3, 8),
 
     "c106_epoch_upsample" -> epochUpsampleSql,
+
+    "c112_k_anonymity" ->
+      """SELECT source, lang, n_chars // 100 AS len_bucket,
+        |  count(1) AS n
+        |FROM documents GROUP BY 1, 2, 3 HAVING count(1) < 5
+        |ORDER BY source, lang, len_bucket""".stripMargin,
 
     "c107_shard_manifest" -> shardManifestSql(7, 4),
 
