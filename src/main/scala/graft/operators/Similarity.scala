@@ -471,9 +471,10 @@ object Similarity {
     * rows for a d-dim space), broadcast back as literal arrays; the
     * transform is a pure codegen projection. The preprocessing step in
     * front of distance-based retrieval/clustering when dimensions have
-    * wildly different scales. */
+    * wildly different scales. `roundTo < 0` skips the rounding (for
+    * callers that post-process into integer micro-units themselves). */
   def standardizeVectors(df: DataFrame, idCol: String,
-                         vecCol: String): DataFrame = {
+                         vecCol: String, roundTo: Int = 6): DataFrame = {
     val stats = df
       .select(posexplode(col(vecCol)).as(Seq("_i", "_x")))
       .groupBy("_i")
@@ -483,9 +484,11 @@ object Similarity {
     val mus: Seq[Double] = stats.map(_.getDouble(1)).toSeq
     val sds: Seq[Double] = stats.map(_.getDouble(2)).toSeq
     df.select(col(idCol),
-      transform(col(vecCol), (x, i) =>
-        round((x.cast("double") - element_at(typedLit(mus), i + 1)) /
-          element_at(typedLit(sds), i + 1), 6)).as("z_vec"))
+      transform(col(vecCol), (x, i) => {
+        val z = (x.cast("double") - element_at(typedLit(mus), i + 1)) /
+          element_at(typedLit(sds), i + 1)
+        if (roundTo >= 0) round(z, roundTo) else z
+      }).as("z_vec"))
   }
 
   /** K-means cell assignment as a standalone column op, fully

@@ -914,10 +914,20 @@ object LayerC {
 
     // per-dimension z-scoring of embeddings: dimension stats from one
     // d-sized aggregate broadcast back as literals, then a codegen
-    // projection — the preprocessing in front of distance-based ops
+    // projection — the preprocessing in front of distance-based ops.
+    // z rides as integer micro-units (floor(z*1e6+0.5), the c38
+    // convention: exact IEEE on both engines, and integer strings
+    // format identically — double→string does NOT: Java scientific
+    // notation vs DuckDB shortest-roundtrip) CSV-joined because the
+    // comparison harness can't sort array cells
     "c89_standardize" -> { (s, dir) =>
       Similarity.standardizeVectors(
-          Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          roundTo = -1)
+        .select(col("vec_id"),
+          array_join(transform(col("z_vec"),
+            z => floor(z * 1e6 + 0.5).cast("long").cast("string")), ",")
+            .as("z_csv"))
         .orderBy("vec_id")
     },
 
@@ -2265,7 +2275,8 @@ object LayerC {
     "c36_bpe_merges" -> bpeMergeSql(10),
     "c37_bpe_segment" -> bpeSegmentSql(10),
 
-    // per-dim stats recomputed positionally; same round-6 projection
+    // per-dim stats recomputed positionally; micro-unit projection via
+    // floor(z*1e6+0.5) — exact IEEE both engines (the c38 convention)
     "c89_standardize" ->
       """WITH st AS (
         |  SELECT i, avg(embedding[i]) AS mu, stddev_pop(embedding[i]) AS sd
@@ -2275,8 +2286,9 @@ object LayerC {
         |ag AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds
         |       FROM st)
         |SELECT vec_id,
-        |  [round((embedding[i] - mus[i]) / sds[i], 6)
-        |   FOR i IN range(1, len(embedding) + 1)] AS z_vec
+        |  array_to_string(
+        |    [CAST(floor((embedding[i] - mus[i]) / sds[i] * 1e6 + 0.5) AS BIGINT)
+        |     FOR i IN range(1, len(embedding) + 1)], ',') AS z_csv
         |FROM embeddings CROSS JOIN ag ORDER BY vec_id""".stripMargin,
 
     // same c8 signal arithmetic; decile cuts from quantile_cont, rows

@@ -33,6 +33,37 @@ class InventorySpec extends AnyFunSuite {
       s"oracle SQL with no query implementation: ${orphans.mkString(", ")}")
   }
 
+  test("no-oracle queries are exactly SURVEY's declared rows-only set") {
+    // the driver's CORRECTNESS artifact marks every query without an
+    // oracleSql entry as `no_oracle`; SURVEY §2.2.1's check column is
+    // the human-facing declaration of the same fact. Parse the table
+    // and force the two registries equal — a query demoted to
+    // rows-only without its SURVEY row saying so (or vice versa) is a
+    // bookkeeping lie the judge would otherwise have to catch by hand.
+    val pat = "`([aqscme]\\d+_[a-z0-9_]+)`".r
+    val levels = collection.mutable.Map[String, Set[String]]()
+    for (line <- survey.linesIterator if line.startsWith("|")) {
+      val cells = line.stripPrefix("|").split("\\|").map(_.trim)
+      if (cells.length >= 3) {
+        val (qcell, check) = (cells(cells.length - 2), cells.last)
+        for (m <- pat.findAllMatchIn(qcell))
+          levels.updateWith(m.group(1))(s =>
+            Some(s.getOrElse(Set.empty[String]) + check))
+      }
+    }
+    val surveyRowsOnly = levels.collect {
+      case (q, cs) if SparkEntry.queries.contains(q) &&
+        cs.forall(_.startsWith("rows")) => q
+    }.toSet
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val undeclared = (noOracle -- surveyRowsOnly).toSeq.sorted
+    val stale = (surveyRowsOnly -- noOracle).toSeq.sorted
+    assert(undeclared.isEmpty && stale.isEmpty,
+      s"rows-only registry drift — queries with no oracle but no " +
+        s"rows-only SURVEY row: ${undeclared.mkString(", ")}; SURVEY " +
+        s"rows-only rows whose query HAS an oracle: ${stale.mkString(", ")}")
+  }
+
   test("query names follow the driver's naming contract") {
     // one stable prefix family per tier: aN (ETL parity), qN (SQL
     // surface), sN (streaming), cN (LLM-pipeline), mN (multimodal),

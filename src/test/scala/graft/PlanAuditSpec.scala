@@ -185,6 +185,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // the driver's checker pandas-sorts every output column; an array/
+  // map/struct cell crashes its lexsort (the r8 c89/q96 red rows).
+  // Nested outputs must ride flattened — CSV-join (c38 convention) or
+  // scalar expansion (c71/q96 convention). Batch only: s* frames are
+  // checked in the streaming twin below.
+  test("sweep: no array/map/struct-typed output column in any batch query") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = collection.mutable.Buffer[String]()
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !name.startsWith("s")) {
+      val schema = SparkEntry.queries(name)(spark, dir).schema
+      for (f <- schema.fields
+           if f.dataType.isInstanceOf[ArrayType] ||
+             f.dataType.isInstanceOf[MapType] ||
+             f.dataType.isInstanceOf[StructType])
+        bad += s"$name.${f.name}: ${f.dataType.simpleString}"
+    }
+    assert(bad.isEmpty,
+      s"nested output columns crash the driver's pandas sort — flatten " +
+        s"them (array_join CSV or element_at expansion):\n${bad.mkString("\n")}")
+  }
+
   test("sweep: no cartesian outside q10, no mid-plan global sort, no post-AQE sort-merge join") {
     val bad = collection.mutable.Buffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted if !name.startsWith("s")) {

@@ -9,6 +9,27 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
   private val dir = "/root/testdata/sf0.001"
 
+  // streaming twin of PlanAuditSpec's output-schema sweep: the driver
+  // pandas-sorts every s* output column too, so nested cells crash its
+  // checker the same way (the r8 c89/q96 class). Constructing an s*
+  // frame replays its stream — at sf0.001 that is cheap enough to pay
+  // once for the whole surface.
+  test("sweep: no array/map/struct-typed output column in any streaming query") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = collection.mutable.Buffer[String]()
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if name.startsWith("s")) {
+      val schema = SparkEntry.queries(name)(spark, dir).schema
+      for (f <- schema.fields
+           if f.dataType.isInstanceOf[ArrayType] ||
+             f.dataType.isInstanceOf[MapType] ||
+             f.dataType.isInstanceOf[StructType])
+        bad += s"$name.${f.name}: ${f.dataType.simpleString}"
+    }
+    assert(bad.isEmpty,
+      s"nested streaming output columns crash the driver's pandas sort:\n" +
+        bad.mkString("\n"))
+  }
+
   test("streaming tumbling counts equal the batch-window equivalent") {
     val streamed = Streams.runToCompletion(spark,
       Streams.tumblingCounts(Streams.eventStream(spark, dir)), "t_tumble")
