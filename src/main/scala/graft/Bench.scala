@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * the measured time includes the whole physical plan.
   *
   * Batch queries report the MEDIAN of 3 runs AFTER one unmeasured
-  * warmup execution. Two reasons, both measured in round 6 (PLANS.md):
+  * warmup execution (multi-second queries: MIN of 2 — see the adaptive
+  * tier below). Two reasons, both measured in round 6 (PLANS.md):
   * the bench box demand-pages fresh anon memory at ~ms/fault, so the
   * first execution of a query can spend tens of seconds in page-fault
   * sys time (q9_range_join: 0.7 s steady state, 39-80 s cold spikes on
@@ -21,7 +22,9 @@ import org.apache.spark.sql.SparkSession
   * zero, so steady-state is the honest number. Round-2's 11× one-off
   * on an untouched query was the same fault tax, now explained.
   * Streaming queries run once — their time is micro-batch harness
-  * latency, already reported separately.
+  * latency, already reported separately — and additionally report the
+  * sum of their micro-batch durations (`stream_batch_sum`), splitting
+  * per-trigger plan cost from the replay rig's start/stop overhead.
   *
   * Output is TWO JSON lines: the full per-query line, then a short
   * totals-only summary. The driver keeps only the tail of stdout and
@@ -54,7 +57,26 @@ object Bench {
     // dominated by micro-batch scheduling + memory-sink latency, not plan
     // cost — reported separately so batch-plan regressions aren't masked
     val isStreaming = (n: String) => n.matches("s\\d+_.*")
+
+    // per-query micro-batch cost attribution (round 9): an s* query's
+    // wall time conflates plan cost with per-micro-batch machinery
+    // (trigger scheduling, state-store commits, memory-sink appends).
+    // Sum StreamingQueryProgress.batchDuration across the measured run
+    // and report it NEXT TO wall time — batch_sum is the part a real
+    // always-on deployment pays per trigger; wall − batch_sum is
+    // start/stop harness overhead this replay rig pays per run.
+    val batchDurMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          batchDurMs.addAndGet(e.progress.batchDuration)
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      })
+
     val reps = 3
+    val streamBatchSum = collection.mutable.Map[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // streaming gets ONE unmeasured warmup too (round 6): the first
       // execution of a streaming query pays state-store + micro-batch
@@ -63,7 +85,15 @@ object Bench {
       // warmed run is the honest harness-latency number, same rationale
       // as the batch warmup
       if (isStreaming(name)) {
-        if (runOnce(name, fn) < 0) (name, -1.0) else (name, runOnce(name, fn))
+        if (runOnce(name, fn) < 0) (name, -1.0) else {
+          // listener events are async; drain before reading the counter
+          spark.streams.resetTerminated()
+          batchDurMs.set(0L)
+          val wall = runOnce(name, fn)
+          Thread.sleep(50) // let the final progress event land
+          if (wall >= 0) streamBatchSum(name) = batchDurMs.get() / 1e3
+          (name, wall)
+        }
       }
       else {
         // unmeasured warmup rep: absorbs first-touch page faults and
@@ -71,15 +101,17 @@ object Bench {
         val warm = runOnce(name, fn)
         if (warm < 0) (name, -1.0)
         else if (warm > 2.0) {
-          // adaptive reps (round 8): a 250-query surface at warmup+3
-          // reps costs ~17 min wall at sf0.1, most of it under the
-          // handful of multi-second queries — exactly where the median's
-          // noise protection matters least (their fault/JIT tax is
-          // already amortized by the warmup and their relative jitter is
-          // small). One measured rep for them caps the wall without
-          // touching the cheap queries' median-of-3
-          val s = runOnce(name, fn)
-          (name, s)
+          // adaptive reps for the multi-second tier (rounds 8-9): their
+          // fault/JIT tax is already amortized by the warmup, so the
+          // cheap queries' median-of-3 protection matters least here —
+          // but round 8 showed ONE measured rep makes a single GC/AQE
+          // hiccup THE reported number (driver read c104 at 17.9 s vs
+          // 5.3 s steady). Two reps, min: timing noise is additive, so
+          // min is the steady-state estimator, at half the cost of a
+          // median-of-3
+          val a = runOnce(name, fn)
+          val b = runOnce(name, fn)
+          (name, if (a < 0 || b < 0) -1.0 else math.min(a, b))
         }
         else {
           val samples = Iterator.continually(runOnce(name, fn))
@@ -96,15 +128,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-s*-query micro-batch-duration sums, a SIBLING map so the
+    // "queries" values stay plain numbers for the driver's baseline diff
+    val sbs = streamBatchSum.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val streamBatchSec = streamBatchSum.values.sum
     val total = batchSec + streamingSec
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
-      s""""reps":$reps,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+      s""""stream_batch_sum_sec":$streamBatchSec,""" +
+      s""""reps":$reps,"failed":$failedJson,"queries":$qs,""" +
+      s""""stream_batch_sum":$sbs,"sf":"$sfDir"}""")
     // truncation-proof headline: totals + failures + 5 slowest queries
     val slowest = passed.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
+      s""""stream_batch_sum_sec":$streamBatchSec,""" +
       s""""reps":$reps,"failed":$failedJson,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }

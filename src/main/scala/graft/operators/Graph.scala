@@ -201,16 +201,7 @@ object Graph {
     val b = rel.select(col(entityCol).as("e"), col(itemCol).as("i")).distinct()
       .localCheckpoint()
     val deg = b.groupBy(col("e").as("node")).agg(count(lit(1)).as("d"))
-    val paired = if (maxItemDeg > 0) {
-      val keep = b.groupBy("i").agg(count(lit(1)).as("_id"))
-        .filter(col("_id") <= maxItemDeg).select("i")
-      b.join(keep, "i")
-    } else b
-    val pairs = paired.as("x").join(paired.as("y"),
-        col("x.i") === col("y.i") && col("x.e") < col("y.e"))
-      .groupBy(col("x.e").as("id_a"), col("y.e").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-      .filter(col("common") >= minCommon)
+    val pairs = pairsFromDeduped(b, minCommon, maxItemDeg)
     // no broadcast hint: deg is entity-sized, which a 100 TB corpus can
     // push past broadcast range — these are plain equi-joins on the
     // entity id and AQE broadcasts them when they do fit
@@ -220,6 +211,42 @@ object Graph {
       .select(col("id_a"), col("id_b"), col("common"), col("deg_a"), col("deg_b"),
         (col("common").cast("double") /
           (col("deg_a") + col("deg_b") - col("common"))).as("jaccard"))
+  }
+
+  /** Co-occurrence candidate pairs: every entity pair sharing at least
+    * `minShared` items, as (id_a, id_b, common) with id_a < id_b — the
+    * shared pairing machinery behind [[neighborJaccard]] (c101) and the
+    * c104 co-purchase edge build. The skew axis is a super-frequent
+    * item: one item shared by m entities contributes C(m,2) pairs, so a
+    * hot key at 100× data is a quadratic blowup AND a single-key
+    * shuffle skew. `maxItemDeg` drops items shared by more than that
+    * many entities BEFORE pairing (the set-similarity stopword prune);
+    * with the cap on, `common` counts only sub-cap shared items, so
+    * downstream thresholds see a LOWER BOUND of the true shared count —
+    * the usual accuracy/cost trade of frequent-item pruning. 0 disables
+    * the cap (exact). */
+  def coOccurrencePairs(rel: DataFrame, entityCol: String, itemCol: String,
+                        minShared: Long, maxItemDeg: Long = 0L): DataFrame = {
+    val b = rel.select(col(entityCol).as("e"), col(itemCol).as("i")).distinct()
+    pairsFromDeduped(b, minShared, maxItemDeg)
+  }
+
+  /** Pairing core over an already-deduped (e, i) relation: candidate
+    * pairs come from ONE self-join keyed on the item id (only entities
+    * sharing an item ever meet — never the n² entity cross product),
+    * with the optional hub prune applied first. */
+  private def pairsFromDeduped(b: DataFrame, minShared: Long,
+                               maxItemDeg: Long): DataFrame = {
+    val paired = if (maxItemDeg > 0) {
+      val keep = b.groupBy("i").agg(count(lit(1)).as("_id"))
+        .filter(col("_id") <= maxItemDeg).select("i")
+      b.join(keep, "i")
+    } else b
+    paired.as("x").join(paired.as("y"),
+        col("x.i") === col("y.i") && col("x.e") < col("y.e"))
+      .groupBy(col("x.e").as("id_a"), col("y.e").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minShared)
   }
 
   /** Bounded-round k-core peeling: repeatedly drop nodes of degree < k

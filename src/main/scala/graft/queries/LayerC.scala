@@ -750,19 +750,20 @@ object LayerC {
     // co-purchase graph — the dense-community extractor (link-spam
     // cores, coordinated rings). Exactly-8-rounds, not to-fixpoint, so
     // both engines run the identical bounded computation; a converged
-    // round is a no-op
+    // round is a no-op. The edge build is the shared
+    // Graph.coOccurrencePairs with maxItemDeg=45: a part bought by m
+    // customers contributes C(m,2) wedges, so one hot part at 100×
+    // data is a quadratic blowup and a single-key skew — the cap
+    // bounds it (mirrored in the oracle; shared counts become a lower
+    // bound above the cap, the c101 knob)
     "c104_kcore" -> { (s, dir) =>
-      val b = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val rel = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
         .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
-      val e = b.as("x").join(b.as("y"),
-          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-        .groupBy(col("x.c").as("u"), col("y.c").as("v"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 3)
-        .select("u", "v")
+      val e = Graph.coOccurrencePairs(rel, "c", "p",
+          minShared = 3L, maxItemDeg = 45L)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
       Graph.kCoreBounded(e, "u", "v", k = 3, rounds = 8).orderBy("node")
     },
 
@@ -1739,9 +1740,13 @@ object LayerC {
          |  WHERE u IN (SELECT u FROM k$i) AND v IN (SELECT u FROM k$i))"""
         .stripMargin
     }.mkString
-    s"""WITH b AS MATERIALIZED (
+    s"""WITH b0 AS MATERIALIZED (
        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |b AS MATERIALIZED (
+       |  SELECT b0.c, b0.p FROM b0
+       |  JOIN (SELECT p FROM b0 GROUP BY p HAVING count(1) <= 45) kp
+       |    USING (p)),
        |pe AS MATERIALIZED (
        |  SELECT a.c AS u, bb.c AS v FROM b a
        |  JOIN b bb ON a.p = bb.p AND a.c < bb.c

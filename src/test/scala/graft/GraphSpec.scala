@@ -130,6 +130,29 @@ class GraphSpec extends AnyFunSuite {
       == ((1, 2, 1L, 2L, 2L)))
   }
 
+  test("coOccurrencePairs: hub cap bounds the wedge blowup, sub-cap pairs exact") {
+    // planted hub: item "hot" shared by ALL five entities would alone
+    // contribute C(5,2)=10 wedges — the single-key quadratic axis the
+    // cap exists for; entities 1,2 also share two quiet items
+    val rel = Seq((1, "hot"), (2, "hot"), (3, "hot"), (4, "hot"), (5, "hot"),
+      (1, "q1"), (2, "q1"), (1, "q2"), (2, "q2")).toDF("e", "i")
+    val exact = Graph.coOccurrencePairs(rel, "e", "i", minShared = 1L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(exact.size == 10 && exact((1, 2)) == 3L && exact((3, 4)) == 1L)
+    // cap below the hub degree: hub-only pairs vanish entirely, the
+    // quiet pair survives with its sub-cap shared count intact (a
+    // lower bound of the true 3 — the documented trade)
+    val capped = Graph.coOccurrencePairs(rel, "e", "i", minShared = 1L,
+      maxItemDeg = 4L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1, 2) -> 2L))
+    // dedup: duplicate (e, i) rows never double-count a shared item
+    val dup = rel.union(rel)
+    val dd = Graph.coOccurrencePairs(dup, "e", "i", minShared = 3L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(dd == Map((1, 2) -> 3L))
+  }
+
   test("kCoreBounded: tail chain peels in cascading rounds, clique survives") {
     // 4-clique {1,2,3,4} plus a tail 4-5-6: node 6 falls in round 1
     // (degree 1 < 2), which DEMOTES 5 to degree 1 → falls in round 2 —
