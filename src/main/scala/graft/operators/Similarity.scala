@@ -85,11 +85,15 @@ object Similarity {
     * top-k, and the global answer is the top-k of the union. Exact by
     * the top-k distribution law: every global top-k neighbor is in its
     * own shard's local top-k, so the merge loses nothing — verified by
-    * sharing the brute-force oracle. This is the distributed ANN
-    * SERVING shape: at corpus scale each shard is an executor-resident
-    * index (the c68 persisted artifacts, one per shard) searched in
-    * parallel, and only nShards×k candidate rows per query — never
-    * corpus-sized data — cross the wire to the merge.
+    * sharing the brute-force oracle. This is a SEMANTIC MODEL of the
+    * distributed ANN serving shape (shard-local top-k windows + a
+    * nShards×k-row merge): the scoring pass here is brute force over a
+    * broadcast corpus — fine at index-build scale, where the corpus
+    * fits an executor. In the real serving deployment each shard is an
+    * executor-resident index (the c68 persisted artifacts, one per
+    * shard) searched in parallel, and only nShards×k candidate rows
+    * per query cross the wire to the merge; the shard-invariance this
+    * function proves is what makes that merge exact.
     *
     * Scale shape: the local rank window partitions by (query, shard) —
     * each window chunk sorts one shard's candidates; the global rank

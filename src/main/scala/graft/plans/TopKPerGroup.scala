@@ -154,14 +154,29 @@ object TopKPerGroup {
       "empty groupCols: global top-k is ORDER BY + LIMIT (TakeOrderedAndProject)")
     require(order.nonEmpty, "top-k needs a sort spec (with a unique tie-break)")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    // check-then-set on the session-global strategy list is racy under
+    // concurrent callers; serialize on the session. Appending a dup
+    // would be harmless semantically (the strategy is a pure pattern
+    // match) but grows the list unboundedly.
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
     val lp = df.queryExecution.analyzed
-    def attr(n: String): Attribute = lp.output
-      .find(a => a.name.equalsIgnoreCase(n))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no column '$n' in ${lp.output.map(_.name).mkString(", ")}"))
+    // resolve with the session's own resolver (case sensitivity per
+    // spark.sql.caseSensitive) and FAIL on ambiguity — silently taking
+    // the first case-insensitive match would mis-bind on plans with
+    // duplicate column names (post-join frames)
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String): Attribute = lp.output.filter(a => resolver(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"no column '$n' in ${lp.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"ambiguous column '$n': ${many.size} attributes match " +
+          s"(${many.map(_.qualifiedName).mkString(", ")}) — disambiguate upstream")
+    }
     val sortOrder = order.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }

@@ -799,11 +799,12 @@ object LayerC {
     },
 
     // dedup threshold-sensitivity curve: pairs flagged and docs touched
-    // as the Jaccard knob sweeps 0.2→0.9 — the operator-TUNING readout
-    // (how aggressive does near-dedup get per setting) every pipeline
-    // reads before fixing its threshold. ONE pair relation computed at
-    // the loosest setting, eight cumulative counts derived from it —
-    // the expensive candidate join never reruns per knob
+    // as the Jaccard knob sweeps the six-point 0.02→0.9 spine — the
+    // operator-TUNING readout (how aggressive does near-dedup get per
+    // setting) every pipeline reads before fixing its threshold. ONE
+    // pair relation computed at the loosest setting, six cumulative
+    // counts derived from it — the expensive candidate join never
+    // reruns per knob
     "c98_dedup_sensitivity" -> { (s, dir) =>
       import s.implicits._
       // the spine brackets the corpus's bimodal reality: a boilerplate

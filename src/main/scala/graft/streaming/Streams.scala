@@ -68,13 +68,19 @@ object Streams {
     * consecutive intervals partition time with no gap and no overlap
     * (spec-pinned in StreamingSpec). left_outer keeps events before any
     * interval. Works identically on a streaming `events` side (the
-    * static dim is broadcast per micro-batch — s20's configuration). */
+    * static dim is broadcast per micro-batch — s20's configuration).
+    * Both join sides are parameterized (`eventKeyCol`/`eventTimeCol`
+    * for the fact side, `dimKeyCol` for the dimension) so the contract
+    * is symmetric — any event schema binds explicitly instead of
+    * assuming the fixture's user_id/ts names. */
   def scd2JoinAtEventTime(events: DataFrame, dim: DataFrame,
-                          keyCol: String): DataFrame =
+                          dimKeyCol: String,
+                          eventKeyCol: String = "user_id",
+                          eventTimeCol: String = "ts"): DataFrame =
     events.join(dim,
-      events("user_id") === dim(keyCol) &&
-        events("ts") >= dim("valid_from") &&
-        (dim("valid_to").isNull || events("ts") < dim("valid_to")),
+      events(eventKeyCol) === dim(dimKeyCol) &&
+        events(eventTimeCol) >= dim("valid_from") &&
+        (dim("valid_to").isNull || events(eventTimeCol) < dim("valid_to")),
       "left_outer")
 
   /** Sliding (overlapping) window counts per event type: 1 h windows

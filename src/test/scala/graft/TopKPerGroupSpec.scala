@@ -59,6 +59,19 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(all == 6, "k larger than every group must keep everything")
   }
 
+  test("ambiguous column names fail loudly instead of binding the first match") {
+    // post-join frame with two attributes named `v` — silently taking
+    // the first would mis-bind the sort and return a plausible-but-
+    // wrong top-k
+    val a = Seq(("g", 1L, 5.0)).toDF("g", "id", "v")
+    val b = Seq((1L, 9.0)).toDF("id2", "v")
+    val joined = a.join(b, a("id") === b("id2"))
+    val e = intercept[IllegalArgumentException] {
+      topKPerGroup(joined, Seq("g"), Seq(("v", true), ("id", false)), k = 1)
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
   test("per-group output arrives in sort order before the final orderBy") {
     val df = Seq(("g", 1L, 5.0), ("g", 2L, 9.0), ("g", 3L, 7.0))
       .toDF("g", "id", "v")
