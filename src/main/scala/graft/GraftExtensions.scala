@@ -23,9 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     // the whole-operator tier: plans TopKPerGroupNode as the bounded-
-    // heap partial/final pair (graft.plans); the programmatic route is
-    // spark.experimental.extraStrategies via TopKPerGroup.topKPerGroup
+    // heap partial/final pair, and SelfPairsByKeyNode as the single-
+    // exchange bucket-pair exec (graft.plans); the programmatic route
+    // is spark.experimental.extraStrategies via their companion objects
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.SelfPairsByKeyStrategy)
   }
 }
 

@@ -19,8 +19,8 @@ object ScaleProbe {
     // only) | "text" | "r6b" (late-round-6 graph/text/retrieval ops) |
     // "r8" (round-8 persisted-index/projection/skew ops) | "all" (default)
     val tier = args.lift(1).getOrElse("all")
-    require(Set("vec", "vec-new", "text", "r6b", "r8", "r8b", "all")(tier),
-      s"unknown tier '$tier' — expected vec | vec-new | text | r6b | r8 | r8b | all")
+    require(Set("vec", "vec-new", "text", "r6b", "r8", "r8b", "r9", "all")(tier),
+      s"unknown tier '$tier' — expected vec | vec-new | text | r6b | r8 | r8b | r9 | all")
     val spark = GraftSession.build("graft-scale-probe")
     val base = Tables.load(spark, sfDir, "embeddings")
 
@@ -183,6 +183,39 @@ object ScaleProbe {
           graft.functions.TextFunctions.seededKey(col("doc_id") % 50000, 3).as("ahash"))
       time("hashNearDupPairs maxHamming=7, 200k signatures")(
         graft.multimodal.Multimodal.hashNearDupPairs(hashes, "doc_id", "ahash", 7))
+    }
+
+    if (tier == "r9" || tier == "all") {
+      // stage split of the MinHash-LSH dedup pipeline: is the band-
+      // bucket candidate join worth a whole-operator Catalyst exec, or
+      // does signature computation dominate end-to-end cost? (round-9
+      // decision probe — see PLANS.md)
+      val docs10 = Tables.load(spark, sfDir, "documents")
+        .crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          concat(col("text"), lit(" tail"), col("copy")).as("text"))
+        .cache()
+      println(s"[probe] r9 docs corpus: ${docs10.count()} documents")
+      time("minHashDupPairs end-to-end (64 hashes, 32 bands, t=0.6)")(
+        Dedup.minHashDupPairs(docs10, "doc_id", "text"))
+      val sig = Dedup.minHashSignatures(docs10, "doc_id", "text", 64, 3)
+        .cache()
+      time("stage: minHashSignatures only")(sig)
+      val banded = Dedup.lshBands(sig, "doc_id", 32, 2).cache()
+      time("stage: lshBands from cached signatures")(banded)
+      val aSide = banded.select(col("doc_id").as("id_a"),
+        col("band_idx"), col("band_hash"))
+      val bSide = banded.select(col("doc_id").as("id_b"),
+        col("band_idx"), col("band_hash"))
+      time("stage: candidate self-join + distinct (composition, cached bands)")(
+        aSide.join(bSide, Seq("band_idx", "band_hash"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct())
+      time("stage: SelfPairsByKey exec + distinct (adopted, cached bands)")(
+        graft.plans.SelfPairsByKey
+          .selfPairsByKey(banded, Seq("band_idx", "band_hash"), "doc_id")
+          .distinct())
+      banded.unpersist(); sig.unpersist(); docs10.unpersist()
     }
 
     if (Set("vec", "vec-new", "all")(tier)) {

@@ -963,11 +963,12 @@ object Multimodal {
       posexplode(array((0 until nBands).map(b =>
         shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bv")
-    val a = banded.select(col("_band"), col("_bv"),
-      col("_id").as("id_a"), col("_h").as("ha"))
-    val b = banded.select(col("_band"), col("_bv"),
-      col("_id").as("id_b"), col("_h").as("hb"))
-    a.join(b, Seq("_band", "_bv")).filter(col("id_a") < col("id_b"))
+    // payload form of the SelfPairsByKey exec (round 9): one exchange
+    // of (band, value, id, hash), per-bucket pair emission with the
+    // signatures riding along — no mirrored join side, no hash re-join
+    graft.plans.SelfPairsByKey
+      .selfPairsByKeyWithPayload(banded, Seq("_band", "_bv"),
+        "_id", "_h", ("ha", "hb"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(ha ^ hb)").as("hamming"))
       .distinct()
