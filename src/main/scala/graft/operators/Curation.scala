@@ -341,6 +341,49 @@ object Curation {
     * explode emits only actual copies (no corpus-sized intermediate
     * beyond the output itself). No shuffle at all until the caller
     * aggregates. */
+  /** Quality-filter funnel: the per-rule attrition report a curation
+    * pipeline publishes before committing to a rule set. Docs enter the
+    * funnel and each ORDERED rule kills some survivors of the rules
+    * before it, so `n_killed` attributes every dropped doc to exactly
+    * one rule — the FIRST that fires — where independent per-rule
+    * counts double-bill docs failing several rules and can't tell a
+    * redundant rule from a load-bearing one. A NULL predicate counts
+    * as a failure (a doc whose signal is unknowable shouldn't pass a
+    * gate on that signal).
+    *
+    * Output: one row per stage, in rule order —
+    * (stage, rule, n_in, n_killed, n_surviving, kill_rate).
+    *
+    * Scale shape: ONE corpus pass — the survival prefixes are a pure
+    * codegen projection, the stage counts are a single
+    * map-side-combined global aggregate (one 1-row reduce), and the
+    * stage unpivot explodes that 1-row relation. Nothing corpus-sized
+    * shuffles, and adding a rule adds a column to the aggregate, not a
+    * pass over the data. */
+  def filterFunnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterFunnel needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_._1).mkString(", ")}")
+    // survival prefix i = passed rules 0..i — each doc is billed to the
+    // first rule it fails and never re-enters
+    val prefixes = rules.scanLeft(lit(true)) {
+      case (acc, (_, p)) => acc && coalesce(p, lit(false))
+    }.tail
+    val surv = prefixes.zipWithIndex.map { case (pre, i) =>
+      sum(when(pre, 1L).otherwise(0L)).as(s"_s$i")
+    }
+    val one = df.agg(count(lit(1)).as("_in"), surv: _*)
+    val stages = rules.zipWithIndex.map { case ((name, _), i) =>
+      val in = if (i == 0) col("_in") else col(s"_s${i - 1}")
+      struct(lit(i + 1).as("stage"), lit(name).as("rule"),
+        in.as("n_in"), (in - col(s"_s$i")).as("n_killed"),
+        col(s"_s$i").as("n_surviving"),
+        round((in - col(s"_s$i")).cast("double") /
+          greatest(in, lit(1L)).cast("double"), 6).as("kill_rate"))
+    }
+    one.select(explode(array(stages: _*)).as("_st")).select("_st.*")
+  }
+
   def epochUpsample(df: DataFrame, idCol: String, groupCol: String,
                     textCol: String, alpha: Double = 0.5,
                     seed: Long = 7L): DataFrame = {

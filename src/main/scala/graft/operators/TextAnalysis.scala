@@ -429,6 +429,72 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Stupid-backoff bigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the web-scale LM scheme: NO
+    * discounting or normalization, so the whole model is two mergeable
+    * count relations and every model update is a count increment. That
+    * is exactly why it is the 100 TB choice over Kneser-Ney: the model
+    * "trains" as a pair of map-side-combined aggregations. Score of a
+    * `test` bigram (p, w) under the `train` corpus:
+    *
+    *   S(w|p) = f(p w) / f(p)              if the bigram was seen
+    *          = alpha * (f(w)+1) / (N+V)   otherwise (alpha = 0.4, the
+    *            paper's constant; the unigram floor is add-one smoothed
+    *            — the [[crossEntropy]] convention — so unseen words
+    *            keep finite mass and ln S stays defined)
+    *
+    * Per doc: avg ln S over its adjacent bigrams, the bigram count, and
+    * the BACKOFF RATE — how often the doc fell to the unigram tier,
+    * itself a domain-shift signal (a doc whose word pairs the train mix
+    * has never seen is out-of-distribution even if its words are not;
+    * [[bigramLogProb]] (self-trained add-k) and [[crossEntropy]]
+    * (unigram) can't see that separation). Docs with fewer than two
+    * words have no bigrams and are omitted.
+    *
+    * Scale shape: train-side unigram and bigram models are map-side
+    * combined aggregations bounded by (vocab, observed-vocab²); (N, V)
+    * is a 1-row broadcast; the test side explodes to bigrams once and
+    * equi-joins the two model relations on their natural keys — the
+    * corpus never joins itself row-wise and nothing wider than
+    * (bigram, count) shuffles. */
+  def stupidBackoff(train: DataFrame, test: DataFrame, idCol: String,
+                    textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    // one tokenization recipe on every side: lowercased whitespace
+    // words; bigrams via the codegen word_chunks "p w" join (words
+    // cannot contain whitespace, so the space join is injective)
+    def toks(df: DataFrame) = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("_t"))
+      .filter(col("_t") =!= "")
+    def bigrams(df: DataFrame, cols: Column*) = df
+      .select(cols :+ explode(graft.functions.ChunkFunctions.word_chunks(
+        col(textCol), 2, 1, lowercase = true, fullOnly = true)).as("_b"): _*)
+    val uni = toks(train).groupBy(col("_t")).agg(count(lit(1)).as("_uc"))
+    val nv = uni.agg(sum(col("_uc")).as("_n"), count(lit(1)).as("_v"))
+    val bi = bigrams(train).groupBy(col("_b")).agg(count(lit(1)).as("_bc"))
+    val scored = bigrams(test, col(idCol))
+      .withColumn("_pw", substring_index(col("_b"), " ", 1))
+      .withColumn("_cw", substring_index(col("_b"), " ", -1))
+      .join(bi, Seq("_b"), "left")
+      .join(uni.withColumnRenamed("_t", "_pw").withColumnRenamed("_uc", "_pc"),
+        Seq("_pw"), "left")
+      .join(uni.withColumnRenamed("_t", "_cw").withColumnRenamed("_uc", "_cc"),
+        Seq("_cw"), "left")
+      .crossJoin(broadcast(nv))
+    // a seen bigram implies a seen prefix (same tokenization), so the
+    // seen branch's f(p) is never null
+    val s = when(col("_bc").isNotNull,
+        log(col("_bc").cast("double") / col("_pc").cast("double")))
+      .otherwise(log(lit(alpha) *
+        ((coalesce(col("_cc"), lit(0L)).cast("double") + 1.0) /
+          (col("_n") + col("_v")).cast("double"))))
+    scored.groupBy(col(idCol))
+      .agg(round(avg(s), 6).as("avg_logscore"),
+        count(lit(1)).as("n_bigrams"),
+        round(avg(when(col("_bc").isNull, 1.0).otherwise(0.0)), 6)
+          .as("backoff_rate"))
+  }
+
   /** CCNet-style perplexity bucketing: a unigram LM with add-`alpha`
     * smoothing is trained on `target` (the clean reference slice — CCNet
     * uses Wikipedia), every `corpus` document scores its tokens' average

@@ -213,6 +213,37 @@ object LayerC {
         .orderBy("source", "lang", "len_bucket")
     },
 
+    // quality-filter funnel: per-rule attrition in rule order — each
+    // dropped doc billed to the FIRST rule that fires, so the report
+    // tells a redundant rule from a load-bearing one (independent
+    // per-rule counts double-bill docs failing several rules).
+    // Thresholds are corpus-calibrated (the funnel IS the calibration
+    // readout): each band sits inside this fixture's observed signal
+    // range so every stage demonstrably bites. One corpus pass, stage
+    // counts from a single 1-row aggregate
+    "c113_filter_funnel" -> { (s, dir) =>
+      val q = TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")
+      graft.operators.Curation.filterFunnel(q, Seq(
+        "min_words" -> (col("n_words") >= 20),
+        "min_stopwords" -> (col("stopword_ratio") >= 0.05),
+        "word_len_band" -> col("mean_word_len").between(5.0, 5.9),
+        "max_words" -> (col("n_words") <= 90),
+        "max_stopwords" -> (col("stopword_ratio") <= 0.15)))
+        .orderBy("stage")
+    },
+
+    // stupid-backoff bigram scoring (Brants et al. 2007) under the
+    // English-slice LM — the web-scale no-discount scheme whose model
+    // is nothing but two count relations; the per-doc BACKOFF RATE is
+    // the domain-shift readout (non-en docs fall to the unigram tier
+    // on almost every pair, en docs almost never)
+    "c114_stupid_backoff" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.stupidBackoff(d.filter(col("lang") === "en"), d,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // temporal train/embargo/test split: the third standard leak-free
     // split next to hash (c18) and cluster (c63) — time-ordered data
     // must TEST ON THE FUTURE, and the embargo gap between train and
@@ -2740,6 +2771,91 @@ object LayerC {
         |  count(1) AS n
         |FROM documents GROUP BY 1, 2, 3 HAVING count(1) < 5
         |ORDER BY source, lang, len_bucket""".stripMargin,
+
+    // c8's quality expressions, then ordered survival prefixes — each
+    // stage's CASE is the AND of every rule up to it, so a doc is
+    // billed to the first rule it fails, mirroring the Spark scanLeft
+    "c113_filter_funnel" ->
+      s"""WITH q AS (
+         |  SELECT
+         |    len(string_split_regex(text, '\\s+')) AS n_words,
+         |    CAST(length(text) AS DOUBLE) /
+         |      greatest(len(string_split_regex(text, '\\s+')), 1) AS mean_word_len,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      w -> list_contains($stoplistSql, lower(w)))) AS DOUBLE) /
+         |      greatest(len(string_split_regex(text, '\\s+')), 1) AS stopword_ratio
+         |  FROM documents),
+         |f AS (
+         |  SELECT count(1) AS s_in,
+         |    CAST(sum(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+         |    CAST(sum(CASE WHEN n_words >= 20 AND stopword_ratio >= 0.05
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN n_words >= 20 AND stopword_ratio >= 0.05
+         |      AND mean_word_len BETWEEN 5.0 AND 5.9
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN n_words >= 20 AND stopword_ratio >= 0.05
+         |      AND mean_word_len BETWEEN 5.0 AND 5.9 AND n_words <= 90
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |    CAST(sum(CASE WHEN n_words >= 20 AND stopword_ratio >= 0.05
+         |      AND mean_word_len BETWEEN 5.0 AND 5.9 AND n_words <= 90
+         |      AND stopword_ratio <= 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+         |  FROM q)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage, 'min_words' AS rule, s_in AS n_in,
+         |    s_in - s0 AS n_killed, s0 AS n_surviving,
+         |    round(CAST(s_in - s0 AS DOUBLE) / greatest(s_in, 1), 6) AS kill_rate
+         |  FROM f
+         |  UNION ALL SELECT 2, 'min_stopwords', s0, s0 - s1, s1,
+         |    round(CAST(s0 - s1 AS DOUBLE) / greatest(s0, 1), 6) FROM f
+         |  UNION ALL SELECT 3, 'word_len_band', s1, s1 - s2, s2,
+         |    round(CAST(s1 - s2 AS DOUBLE) / greatest(s1, 1), 6) FROM f
+         |  UNION ALL SELECT 4, 'max_words', s2, s2 - s3, s3,
+         |    round(CAST(s2 - s3 AS DOUBLE) / greatest(s2, 1), 6) FROM f
+         |  UNION ALL SELECT 5, 'max_stopwords', s3, s3 - s4, s4,
+         |    round(CAST(s3 - s4 AS DOUBLE) / greatest(s3, 1), 6) FROM f)
+         |ORDER BY stage""".stripMargin,
+
+    // c32's bigram derivation with the train slice filtered to lang='en'
+    // and the stupid-backoff CASE: seen → f(pw)/f(p), unseen →
+    // 0.4 · add-one unigram floor — the identical op tree to the Spark
+    // side so the doubles agree bit-for-bit
+    "c114_stupid_backoff" ->
+      """WITH trw AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS ws
+        |  FROM documents WHERE lang = 'en'),
+        |uni AS (
+        |  SELECT t, count(1) AS uc
+        |  FROM (SELECT unnest(ws) AS t FROM trw) WHERE t <> '' GROUP BY t),
+        |nv AS (SELECT CAST(sum(uc) AS BIGINT) AS n, count(1) AS v FROM uni),
+        |trb AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS pw,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS cw
+        |  FROM trw WHERE len(ws) >= 2),
+        |bi AS (SELECT pw, cw, count(1) AS bc FROM trb GROUP BY pw, cw),
+        |tew AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+        |  FROM documents),
+        |teb AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS pw,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS cw
+        |  FROM tew WHERE len(ws) >= 2),
+        |j AS (
+        |  SELECT teb.doc_id,
+        |    CASE WHEN bi.bc IS NOT NULL
+        |      THEN ln(CAST(bi.bc AS DOUBLE) / CAST(up.uc AS DOUBLE))
+        |      ELSE ln(0.4 * ((CAST(coalesce(un.uc, 0) AS DOUBLE) + 1.0) /
+        |        CAST(nv.n + nv.v AS DOUBLE)))
+        |    END AS s,
+        |    CASE WHEN bi.bc IS NULL THEN 1.0 ELSE 0.0 END AS bo
+        |  FROM teb
+        |  LEFT JOIN bi ON bi.pw = teb.pw AND bi.cw = teb.cw
+        |  LEFT JOIN uni up ON up.t = teb.pw
+        |  LEFT JOIN uni un ON un.t = teb.cw
+        |  CROSS JOIN nv)
+        |SELECT doc_id, round(avg(s), 6) AS avg_logscore,
+        |  count(1) AS n_bigrams, round(avg(bo), 6) AS backoff_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "c107_shard_manifest" -> shardManifestSql(7, 4),
 

@@ -37,6 +37,53 @@ object Relational6 {
     // rollup over a nullable column is ambiguous to every consumer.
     // gid is the bit vector (flag, status) → {0, 1, 3} for a 2-level
     // rollup, and doubles as the deterministic level-first sort key
+    // CDC snapshot diff: the EXTRACT side of change-data-capture (q63's
+    // upsert-merge is the APPLY side) — given two snapshots of a keyed
+    // table, emit every insert/delete/update, dropping unchanged rows
+    // before anything downstream sees them. The two snapshots here are
+    // deterministic modular slices of orders with a planted price drift
+    // so all three change classes occur. Scale shape: ONE full-outer
+    // sort-merge join on the key, change classification is a codegen
+    // projection, and the (usually dominant) unchanged class drops
+    // immediately; at 100 TB with wide rows, compare an xxhash64 digest
+    // of the payload columns instead of column-by-column equality —
+    // same plan, 8-byte compare
+    "q109_snapshot_diff" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val prev = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+      val curr = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.5)
+            .otherwise(col("o_totalprice")).as("new_price"))
+      prev.join(curr, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_price").isNull, "insert")
+            .when(col("new_price").isNull, "delete")
+            .when(col("old_price") =!= col("new_price"), "update"))
+        .filter(col("change_type").isNotNull)
+        .select("o_orderkey", "change_type", "old_price", "new_price")
+        .orderBy("o_orderkey")
+    },
+
+    // top-k WITH TIES (ANSI FETCH FIRST k ROWS WITH TIES): rank() ≤ k
+    // keeps every row tied at the boundary value, where q22/q102's
+    // row_number cuts arbitrarily through a tie — the correct "latest
+    // 3 order DATES per status" semantics when dates repeat. Same
+    // one-exchange per-group window shape as q11
+    "q110_topk_ties" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_orderdate").desc)
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_orderstatus", "rk", "o_orderdate", "o_orderkey",
+          "o_totalprice")
+        .orderBy("o_orderstatus", "rk", "o_orderkey")
+    },
+
     "q108_grouping_id" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -311,6 +358,40 @@ object Relational6 {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical modular slices + identical planted drift (+1.5 is one
+    // IEEE add on both engines); the unchanged class filtered by the
+    // same inequality
+    "q109_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |prev AS (
+        |  SELECT o_orderkey, o_totalprice AS old_price FROM o
+        |  WHERE o_orderkey % 7 <> 0),
+        |curr AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.5
+        |         ELSE o_totalprice END AS new_price
+        |  FROM o WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(prev.o_orderkey, curr.o_orderkey) AS o_orderkey,
+        |  CASE WHEN prev.o_orderkey IS NULL THEN 'insert'
+        |       WHEN curr.o_orderkey IS NULL THEN 'delete'
+        |       WHEN old_price <> new_price THEN 'update' END AS change_type,
+        |  old_price, new_price
+        |FROM prev FULL OUTER JOIN curr ON prev.o_orderkey = curr.o_orderkey
+        |WHERE prev.o_orderkey IS NULL OR curr.o_orderkey IS NULL
+        |   OR old_price <> new_price
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // rank() semantics are identical; the boundary ties survive on both
+    "q110_topk_ties" ->
+      """SELECT o_orderstatus, rk, o_orderdate, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_orderdate DESC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_orderstatus, rk, o_orderkey""".stripMargin,
+
     // DuckDB GROUPING with multiple args == Spark grouping_id bit vector
     "q108_grouping_id" ->
       """SELECT l_returnflag, l_linestatus,

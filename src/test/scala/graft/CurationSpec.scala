@@ -499,4 +499,55 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(again == up)
   }
+
+  // ---- filterFunnel --------------------------------------------------
+
+  test("filterFunnel bills each doc to the FIRST failing rule; NULL fails") {
+    // (5,5) fails both rules → billed to r1 only; (15,5) fails r2;
+    // (15,15) survives; (null,15) fails r1 by the NULL-fails contract
+    val df = Seq(
+      (Option(5), Option(5)), (Option(15), Option(5)),
+      (Option(15), Option(15)), (Option.empty[Int], Option(15))
+    ).toDF("a", "b")
+    val out = Curation.filterFunnel(df, Seq(
+        "r1" -> (col("a") >= 10), "r2" -> (col("b") >= 10)))
+      .orderBy("stage").collect()
+    assert(out.map(_.getAs[String]("rule")).toSeq == Seq("r1", "r2"))
+    assert(out(0).getAs[Long]("n_in") == 4L)
+    assert(out(0).getAs[Long]("n_killed") == 2L)   // (5,5) and (null,15)
+    assert(out(0).getAs[Long]("n_surviving") == 2L)
+    assert(out(1).getAs[Long]("n_in") == 2L)
+    assert(out(1).getAs[Long]("n_killed") == 1L)   // (15,5) — NOT (5,5) again
+    assert(out(1).getAs[Long]("n_surviving") == 1L)
+    assert(out(1).getAs[Double]("kill_rate") == 0.5)
+  }
+
+  test("filterFunnel conserves counts and telescopes across stages") {
+    val q = graft.operators.TextAnalysis.qualityFeatures(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text")
+    val out = Curation.filterFunnel(q, Seq(
+        "min_words" -> (col("n_words") >= 20),
+        "stopword_ratio" -> (col("stopword_ratio") >= 0.05),
+        "mean_word_len" -> col("mean_word_len").between(3.0, 12.0)))
+      .orderBy("stage").collect()
+    assert(out(0).getAs[Long]("n_in") == q.count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_in") ==
+        r.getAs[Long]("n_killed") + r.getAs[Long]("n_surviving"))
+    }
+    out.sliding(2).foreach { case Array(prev, next) =>
+      assert(next.getAs[Long]("n_in") == prev.getAs[Long]("n_surviving"))
+    }
+  }
+
+  test("filterFunnel rejects duplicate rule names and empty rule lists") {
+    val df = Seq(1).toDF("a")
+    intercept[IllegalArgumentException] {
+      Curation.filterFunnel(df, Seq("r" -> (col("a") > 0), "r" -> (col("a") > 1)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.filterFunnel(df, Seq.empty)
+    }
+  }
 }

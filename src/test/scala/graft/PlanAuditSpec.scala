@@ -149,7 +149,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // cannot build either side of a FULL OUTER join, and q39's
   // INTERSECT ALL / EXCEPT ALL rewrite inherits the same full-outer
   // shape. These shuffle on their keys at any scale, by semantics.
-  private val smjOk = Set("q7_full_outer", "q39_multiset_ops")
+  // full-outer semantics cannot broadcast (both sides must surface
+  // unmatched rows), so a shuffle join IS the correct shape — q109's
+  // CDC diff is the same class as q7
+  private val smjOk = Set("q7_full_outer", "q39_multiset_ops",
+    "q109_snapshot_diff")
 
   // operators allowed ABOVE the single presentation sort: output shaping
   // only. A global Sort below anything else is a mid-plan total order —

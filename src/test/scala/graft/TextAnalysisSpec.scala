@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{avg, col}
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends AnyFunSuite {
@@ -416,5 +417,53 @@ class TextAnalysisSpec extends AnyFunSuite {
         topTerms = 5, minShared = 1, maxPostings = 2L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(capped == Map((1L, 2L) -> 2L), s"got $capped")
+  }
+
+  // ---- stupidBackoff -------------------------------------------------
+
+  test("stupidBackoff: seen ratio and the 0.4·add-one floor on hand counts") {
+    // train: uni a:2 b:2 c:1 → N=5 V=3; bigrams "a b":2, "b c":1
+    val train = Seq((1L, "a b"), (2L, "a b c")).toDF("id", "text")
+    val probe = Seq((10L, "a b x"), (11L, "solo")).toDF("id", "text")
+    val out = TextAnalysis.stupidBackoff(train, probe, "id", "text").collect()
+    // "solo" has no bigrams and is omitted
+    assert(out.length == 1 && out.head.getAs[Long]("id") == 10L)
+    val r = out.head
+    assert(r.getAs[Long]("n_bigrams") == 2L)
+    // "a b" seen → ln(2/2)=0; "b x" unseen, x OOV → ln(0.4·(0+1)/(5+3))
+    assert(r.getAs[Double]("backoff_rate") == 0.5)
+    val expected = BigDecimal((0.0 + math.log(0.4 / 8.0)) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("avg_logscore") - expected) < 1e-9,
+      s"got ${r.getAs[Double]("avg_logscore")}, want $expected")
+  }
+
+  test("stupidBackoff: in-vocab unseen bigram uses the FOLLOWING word's count") {
+    // train: uni a:1 b:1 → N=2 V=2; only bigram "a b"
+    val train = Seq((1L, "a b")).toDF("id", "text")
+    // probe bigram "b a": unseen, but both words in vocab → floor uses
+    // f(a)=1: ln(0.4·(1+1)/(2+2)) = ln(0.2)
+    val probe = Seq((10L, "b a")).toDF("id", "text")
+    val r = TextAnalysis.stupidBackoff(train, probe, "id", "text").collect().head
+    val expected = BigDecimal(math.log(0.4 * 2.0 / 4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("backoff_rate") == 1.0)
+    assert(math.abs(r.getAs[Double]("avg_logscore") - expected) < 1e-9)
+  }
+
+  test("stupidBackoff: only out-of-train-corpus docs ever back off") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val br = TextAnalysis.stupidBackoff(
+        d.filter(col("lang") === "en"), d, "doc_id", "text")
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg("backoff_rate").as("br"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the en slice IS the train corpus, so every en bigram is seen and
+    // its backoff rate is EXACTLY zero; the synthetic languages share a
+    // word pool, so the non-en direction is small but strictly positive
+    assert(br(true) == 0.0, s"en backoff ${br(true)}")
+    assert(br(false) > 0.0,
+      s"non-en docs must back off somewhere: ${br(false)}")
   }
 }
