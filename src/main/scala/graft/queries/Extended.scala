@@ -366,6 +366,29 @@ object Extended {
       Streams.runToCompletion(s, agged, "s21_pct").orderBy("window_start")
     },
 
+    // streaming CDC APPLY: the event log replayed as an ordered change
+    // stream (click = delete tombstone, anything else = upsert of the
+    // user's latest value), merged per micro-batch into a keyed mirror
+    // via foreachBatch — the ingest half of the CDC loop (q109 extract,
+    // q63 batch apply). The mirror after the last batch must equal the
+    // batch latest-change-per-key relation
+    "s22_cdc_apply" -> { (s, dir) =>
+      val work = freshWork("s22")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "click", "delete")
+            .otherwise("upsert").as("op"),
+          col("value"))
+        .withColumn("us", unix_micros(col("ts")))
+      val schema = Streams.writeOrderedReplay(ev, "us", 4, s"$work/in")
+      Streams.cdcApply(s,
+          Streams.replayStream(s, s"$work/in", schema, maxFilesPerTrigger = 1),
+          "user_id", "ts", "event_id", "op", "value", s"$work/state")
+        .withColumnRenamed("value", "last_value")
+        .withColumnRenamed("ts", "last_ts")
+        .orderBy("user_id")
+    },
+
     // sliding (overlapping) windows via Structured Streaming — the
     // streaming counterpart of the batch q70, sharing its oracle
     "s7_stream_sliding" -> { (s, dir) =>
@@ -623,6 +646,25 @@ object Extended {
         |  round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95,
         |  count(1) AS n
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+
+    // the mirror after the last micro-batch == latest change per key,
+    // tombstoned keys absent — order-insensitive by the tombstone
+    // retention, so the replay chunking cannot move the answer
+    "s22_cdc_apply" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'click' THEN 'delete'
+        |         ELSE 'upsert' END AS op,
+        |    value
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, op, value, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM c)
+        |SELECT user_id, value AS last_value, ts AS last_ts
+        |FROM r WHERE rk = 1 AND op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
 
     "s20_scd2_enrich" ->
       """WITH dim AS (

@@ -84,6 +84,23 @@ object Relational6 {
         .orderBy("o_orderstatus", "rk", "o_orderkey")
     },
 
+    // PERCENTILE_DISC — the third percentile tier next to exact
+    // interpolated (q40) and mergeable approx (q96): the ANSI inverse
+    // distribution function returning an ACTUAL data value (smallest
+    // value whose cume_dist ≥ p), which matters when the column is a
+    // code/price-point where an interpolated midpoint is meaningless.
+    // WITHIN GROUP syntax exercises the Spark 4 SQL surface
+    "q111_percentile_disc" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_pd")
+      s.sql("""
+        SELECT o_orderpriority,
+          percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25_disc,
+          percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+          percentile_disc(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90_disc,
+          count(1) AS n
+        FROM orders_pd GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
     "q108_grouping_id" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -380,6 +397,23 @@ object Relational6 {
         |WHERE prev.o_orderkey IS NULL OR curr.o_orderkey IS NULL
         |   OR old_price <> new_price
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle states the ANSI definition directly — smallest value
+    // whose cume_dist reaches p — rather than trusting two engines'
+    // quantile_disc variants to share an indexing convention
+    "q111_percentile_disc" ->
+      """WITH cd AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    cume_dist() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice) AS cd
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  min(CASE WHEN cd >= 0.25 THEN o_totalprice END) AS p25_disc,
+        |  min(CASE WHEN cd >= 0.5  THEN o_totalprice END) AS p50_disc,
+        |  min(CASE WHEN cd >= 0.9  THEN o_totalprice END) AS p90_disc,
+        |  count(1) AS n
+        |FROM cd GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // rank() semantics are identical; the boundary ties survive on both
     "q110_topk_ties" ->

@@ -463,6 +463,64 @@ object Streams {
                             name: String): DataFrame =
     runToMemorySink(spark, streamingDf, name, "append")
 
+  /** Streaming CDC APPLY: maintain a keyed mirror table from a change
+    * stream via a foreachBatch merge — the INGEST half of the CDC loop
+    * whose extract side is q109's snapshot diff and whose batch apply
+    * is q63's upsert-merge. Each change row carries
+    * (keyCol, tsCol, tieCol, opCol ∈ {upsert, delete}, valueCol).
+    *
+    * Per micro-batch: the batch collapses to its latest change per key
+    * (ts, then tieCol — batch-local window), then ONE union + per-key
+    * latest-wins window merges it with the current mirror. Deletes are
+    * retained as TOMBSTONES inside the mirror (the op column rides
+    * along), so a late-arriving older upsert can never resurrect a
+    * deleted key — which makes the merge ORDER-INSENSITIVE across
+    * micro-batches and idempotent under batch replay: applying any
+    * permutation of the same changes yields the same mirror. The
+    * returned table filters tombstones out.
+    *
+    * The mirror persists as a batchId-versioned parquet dir (the
+    * no-ACID-table fallback: a lakehouse table format would replace
+    * the versioned rewrite with MERGE INTO); rewriting batch i from
+    * state i−1 is byte-stable, so sink retries are safe.
+    *
+    * Scale shape: mirror state is key-cardinality-sized, never
+    * stream-length; the per-batch merge shuffles on the key only. At
+    * 1000 executors the mirror becomes a bucketed table so the merge
+    * co-locates, and tombstones age out by a retention window rather
+    * than living forever. */
+  def cdcApply(spark: SparkSession, changes: DataFrame, keyCol: String,
+               tsCol: String, tieCol: String, opCol: String,
+               valueCol: String, workDir: String): DataFrame =
+    withHarnessPartitions(spark) {
+      import org.apache.spark.sql.expressions.Window
+      val cols = Seq(keyCol, opCol, valueCol, tsCol, tieCol).map(col)
+      val byLatest = Window.partitionBy(keyCol)
+        .orderBy(col(tsCol).desc, col(tieCol).desc)
+      val latestDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val q = changes.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val latest = batch.select(cols: _*)
+            .withColumn("_rk", row_number().over(byLatest))
+            .filter(col("_rk") === 1).drop("_rk")
+          val merged = Option(latestDir.get()) match {
+            case None    => latest
+            case Some(d) =>
+              spark.read.parquet(d).unionByName(latest)
+                .withColumn("_rk", row_number().over(byLatest))
+                .filter(col("_rk") === 1).drop("_rk")
+          }
+          merged.write.mode("overwrite").parquet(s"$workDir/state_$id")
+          latestDir.set(s"$workDir/state_$id")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // at least one micro-batch always runs on a non-empty replay
+      spark.read.parquet(latestDir.get())
+        .filter(col(opCol) =!= "delete")
+        .select(col(keyCol), col(valueCol), col(tsCol))
+    }
+
   /** Run a streaming aggregation to completion into a memory sink and
     * return the final result as a batch DataFrame. `complete` output
     * mode keeps every window in the sink so the result is comparable to

@@ -328,6 +328,39 @@ class StreamingSpec extends AnyFunSuite {
     Tables.deleteRecursively(work)
   }
 
+  test("cdcApply: tombstones block older late upserts; newer upserts resurrect; any arrival order") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_cdc").toString
+    // `arrival` controls replay chunking, `ts` is event time — decoupled
+    // so a LATE-ARRIVING older change can cross a micro-batch boundary
+    def rows(perm: Seq[Long]) = Seq(
+      (1L, 3L, 101L, "upsert", 30.0, perm(0)),
+      (1L, 10L, 102L, "delete", 0.0, perm(1)),
+      (1L, 5L, 103L, "upsert", 50.0, perm(2)), // older than the tombstone
+      (2L, 1L, 201L, "upsert", 10.0, perm(3)),
+      (2L, 2L, 202L, "upsert", 20.0, perm(4)),
+      (3L, 1L, 301L, "delete", 0.0, perm(5)),
+      (3L, 2L, 302L, "upsert", 7.0, perm(6)),  // NEWER than the delete
+      (4L, 7L, 401L, "upsert", 1.0, perm(7)),
+      (4L, 7L, 402L, "upsert", 2.0, perm(8))   // ts tie → higher id wins
+    ).toDF("user_id", "ts", "event_id", "op", "value", "arrival")
+    def run(tag: String, perm: Seq[Long]): Map[Long, Double] = {
+      val in = s"$work/$tag/in"
+      val schema = Streams.writeOrderedReplay(rows(perm), "arrival", 3, in)
+      Streams.cdcApply(spark,
+          Streams.replayStream(spark, in, schema, maxFilesPerTrigger = 1),
+          "user_id", "ts", "event_id", "op", "value", s"$work/$tag/state")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    // key 1 stays deleted (ts=10 tombstone beats the ts=5 late upsert),
+    // key 3 resurrects (ts=2 upsert beats the ts=1 delete)
+    val expected = Map(2L -> 20.0, 3L -> 7.0, 4L -> 2.0)
+    assert(run("fwd", 1L to 9L) == expected)
+    // tombstone retention makes the merge arrival-order-insensitive
+    assert(run("rev", (1L to 9L).reverse) == expected)
+    Tables.deleteRecursively(work)
+  }
+
   test("scd2JoinAtEventTime: boundary event takes the NEWER interval, gaps stay null") {
     val spark2 = spark
     import spark2.implicits._
