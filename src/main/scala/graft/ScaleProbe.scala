@@ -19,8 +19,8 @@ object ScaleProbe {
     // only) | "text" | "r6b" (late-round-6 graph/text/retrieval ops) |
     // "r8" (round-8 persisted-index/projection/skew ops) | "all" (default)
     val tier = args.lift(1).getOrElse("all")
-    require(Set("vec", "vec-new", "text", "r6b", "r8", "r8b", "r9", "all")(tier),
-      s"unknown tier '$tier' — expected vec | vec-new | text | r6b | r8 | r8b | r9 | all")
+    require(Set("vec", "vec-new", "text", "r6b", "r8", "r8b", "r9", "r9b", "all")(tier),
+      s"unknown tier '$tier' — expected vec | vec-new | text | r6b | r8 | r8b | r9 | r9b | all")
     val spark = GraftSession.build("graft-scale-probe")
     val base = Tables.load(spark, sfDir, "embeddings")
 
@@ -216,6 +216,52 @@ object ScaleProbe {
           .selfPairsByKey(banded, Seq("band_idx", "band_hash"), "doc_id")
           .distinct())
       banded.unpersist(); sig.unpersist(); docs10.unpersist()
+    }
+
+    if (tier == "r9b" || tier == "all") {
+      // round-9 additions at 10×: the stupid-backoff LM (two count-
+      // relation joins — does the model-relation equi-join stay flat as
+      // the corpus grows?), the filter funnel (must be scan-bound), and
+      // the CDC snapshot diff (one full-outer join on the key)
+      val docs10 = Tables.load(spark, sfDir, "documents")
+        .crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          concat(col("text"), lit(" tail"), col("copy")).as("text"),
+          col("lang"))
+        .cache()
+      println(s"[probe] r9b docs corpus: ${docs10.count()} documents")
+      time("stupidBackoff (en-slice LM, all docs scored)")(
+        TextAnalysis.stupidBackoff(docs10.filter(col("lang") === "en"),
+          docs10, "doc_id", "text"))
+      time("filterFunnel (5 rules over qualityFeatures)")(
+        Curation.filterFunnel(
+          TextAnalysis.qualityFeatures(docs10, "doc_id", "text"),
+          Seq("min_words" -> (col("n_words") >= 20),
+            "min_stopwords" -> (col("stopword_ratio") >= 0.05),
+            "word_len_band" -> col("mean_word_len").between(5.0, 5.9),
+            "max_words" -> (col("n_words") <= 90),
+            "max_stopwords" -> (col("stopword_ratio") <= 0.15))))
+      docs10.unpersist()
+      val orders10 = Tables.load(spark, sfDir, "orders")
+        .crossJoin(spark.range(10).toDF("copy"))
+        .select((col("o_orderkey") * 10 + col("copy")).as("o_orderkey"),
+          col("o_totalprice"))
+        .cache()
+      println(s"[probe] r9b orders: ${orders10.count()}")
+      val prev = orders10.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+      val curr = orders10.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.5)
+            .otherwise(col("o_totalprice")).as("new_price"))
+      time("snapshotDiff full-outer (10x orders)")(
+        prev.join(curr, Seq("o_orderkey"), "full_outer")
+          .withColumn("change_type",
+            when(col("old_price").isNull, "insert")
+              .when(col("new_price").isNull, "delete")
+              .when(col("old_price") =!= col("new_price"), "update"))
+          .filter(col("change_type").isNotNull))
+      orders10.unpersist()
     }
 
     if (Set("vec", "vec-new", "all")(tier)) {

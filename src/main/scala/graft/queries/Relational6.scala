@@ -84,6 +84,27 @@ object Relational6 {
         .orderBy("o_orderstatus", "rk", "o_orderkey")
     },
 
+    // null-safe equality join (<=> / ANSI IS NOT DISTINCT FROM): NULL
+    // keys MATCH each other where a plain equi-join silently drops
+    // every NULL-keyed row — the correct semantics when NULL is a
+    // legitimate category (here: priority suppressed to NULL). Still
+    // an equi-join to the planner (one hash exchange, broadcastable) —
+    // NOT the non-equi BNLJ a naive `k = k OR (k IS NULL AND ...)`
+    // rewrite degenerates to
+    "q112_null_safe_join" -> { (s, dir) =>
+      val lhs = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio_n"),
+          col("o_totalprice"))
+      val dim = lhs.select(col("prio_n")).distinct()
+        .select(col("prio_n").as("dim_prio"),
+          coalesce(col("prio_n"), lit("(suppressed)")).as("label"))
+      lhs.join(broadcast(dim), lhs("prio_n") <=> dim("dim_prio"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("label")
+    },
+
     // PERCENTILE_DISC — the third percentile tier next to exact
     // interpolated (q40) and mergeable approx (q96): the ANSI inverse
     // distribution function returning an ACTUAL data value (smallest
@@ -397,6 +418,20 @@ object Relational6 {
         |WHERE prev.o_orderkey IS NULL OR curr.o_orderkey IS NULL
         |   OR old_price <> new_price
         |ORDER BY o_orderkey""".stripMargin,
+
+    // IS NOT DISTINCT FROM is DuckDB's spelling of Spark's <=>
+    "q112_null_safe_join" ->
+      """WITH lhs AS (
+        |  SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio_n,
+        |    o_totalprice
+        |  FROM orders),
+        |dim AS (
+        |  SELECT prio_n AS dim_prio,
+        |    coalesce(prio_n, '(suppressed)') AS label
+        |  FROM (SELECT DISTINCT prio_n FROM lhs))
+        |SELECT label, count(1) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM lhs JOIN dim ON lhs.prio_n IS NOT DISTINCT FROM dim.dim_prio
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     // the oracle states the ANSI definition directly — smallest value
     // whose cume_dist reaches p — rather than trusting two engines'
