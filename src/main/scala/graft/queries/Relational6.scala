@@ -84,6 +84,27 @@ object Relational6 {
         .orderBy("o_orderstatus", "rk", "o_orderkey")
     },
 
+    // time-interval RANGE frame: each event's trailing-1h count/sum for
+    // its user — the rolling-window feature shape (rate limiting, burst
+    // features) that a ROWS frame gets wrong the moment event spacing
+    // is uneven (q43's numeric RANGE covers quantities; this is the
+    // calendar-interval variant over a timestamp ordering). Windows
+    // partition by user — nothing global-sorts; equal-ts rows share a
+    // frame by RANGE semantics, so the result is tie-deterministic
+    "q113_time_range_frame" -> { (s, dir) =>
+      t(s, dir, "events").createOrReplaceTempView("events_rf")
+      // rounded because windowed double SUM associativity differs
+      // between engines (the s3 precedent: DuckDB sums pairwise)
+      s.sql("""
+        SELECT event_id, user_id, ts,
+          count(1) OVER w AS n_1h,
+          round(sum(value) OVER w, 6) AS sum_1h
+        FROM events_rf
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")
+    },
+
     // null-safe equality join (<=> / ANSI IS NOT DISTINCT FROM): NULL
     // keys MATCH each other where a plain equi-join silently drops
     // every NULL-keyed row — the correct semantics when NULL is a
@@ -418,6 +439,17 @@ object Relational6 {
         |WHERE prev.o_orderkey IS NULL OR curr.o_orderkey IS NULL
         |   OR old_price <> new_price
         |ORDER BY o_orderkey""".stripMargin,
+
+    // identical WINDOW clause — both engines implement the ANSI
+    // calendar-interval RANGE frame
+    "q113_time_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  count(1) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 6) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // IS NOT DISTINCT FROM is DuckDB's spelling of Spark's <=>
     "q112_null_safe_join" ->
