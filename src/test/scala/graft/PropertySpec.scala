@@ -258,4 +258,65 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("filterFunnel conserves rows and attributes each drop to exactly one rule") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    val rowsGen = for {
+      n  <- Gen.chooseNum(1, 80)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-20, 20))
+      ys <- Gen.listOfN(n, Gen.chooseNum(-20, 20))
+      t1 <- Gen.chooseNum(-20, 20)
+      t2 <- Gen.chooseNum(-20, 20)
+      t3 <- Gen.chooseNum(-20, 20)
+    } yield (xs.zip(ys), t1, t2, t3)
+    samples(rowsGen, 10).foreach { case (rows, t1, t2, t3) =>
+      val df = rows.toDF("x", "y")
+      val out = Curation.filterFunnel(df, Seq(
+          "r1" -> (col("x") >= t1), "r2" -> (col("y") >= t2),
+          "r3" -> (col("x") + col("y") < t3)))
+        .orderBy("stage").collect()
+      // per-stage conservation + telescoping: total drops across stages
+      // plus the final survivors re-sum to the input — every doc billed
+      // exactly once
+      assert(out.head.getAs[Long]("n_in") == rows.size.toLong)
+      out.foreach { r =>
+        assert(r.getAs[Long]("n_in") ==
+          r.getAs[Long]("n_killed") + r.getAs[Long]("n_surviving"))
+      }
+      out.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_surviving"))
+      }
+      val killedTotal = out.map(_.getAs[Long]("n_killed")).sum
+      assert(killedTotal + out.last.getAs[Long]("n_surviving") == rows.size.toLong)
+      // the final survivor count equals the direct conjunction filter
+      val direct = df.filter(col("x") >= t1 && col("y") >= t2 &&
+        col("x") + col("y") < t3).count()
+      assert(out.last.getAs[Long]("n_surviving") == direct)
+    }
+  }
+
+  test("stupidBackoff scores are log-probabilities: avg <= 0, backoff_rate in [0,1]") {
+    import graft.operators.TextAnalysis
+    val corpusGen = for {
+      nTr <- Gen.chooseNum(1, 8)
+      nTe <- Gen.chooseNum(1, 8)
+      tr  <- Gen.listOfN(nTr, text)
+      te  <- Gen.listOfN(nTe, text)
+    } yield (tr.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+             te.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    samples(corpusGen, 10).foreach { case (tr, te) =>
+      val out = TextAnalysis.stupidBackoff(
+          tr.toDF("id", "text"), te.toDF("id", "text"), "id", "text")
+        .collect()
+      out.foreach { r =>
+        // S(w|p) <= 1 in both branches (bigram count <= prefix count;
+        // the alpha floor is a probability scaled by 0.4), so ln S <= 0
+        assert(r.getAs[Double]("avg_logscore") <= 0.0, r.toString)
+        val br = r.getAs[Double]("backoff_rate")
+        assert(br >= 0.0 && br <= 1.0, r.toString)
+        assert(r.getAs[Long]("n_bigrams") >= 1L, r.toString)
+      }
+    }
+  }
 }
