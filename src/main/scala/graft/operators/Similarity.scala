@@ -61,6 +61,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Semantic benchmark decontamination: corpus vectors whose max
+    * cosine to ANY benchmark vector reaches `threshold` — the
+    * embedding-space member of the decontamination family (word-shingle
+    * c25, bloom c93, span c67, char c77, streaming s15): lexical overlap
+    * misses a PARAPHRASED eval item, embedding similarity catches it.
+    * Exact tier, oracle-checkable.
+    *
+    * Scale shape: the benchmark side is model-sized (an eval set) and
+    * BROADCASTS; the corpus streams through one codegen dot-product
+    * projection and a map-side-combined per-id max — nothing wider than
+    * (id, max) shuffles and the corpus is scanned once. At 100 TB the
+    * recall pre-filter is the bucketed SRP-LSH join (the c14 machinery)
+    * with this exact max as its verify stage. */
+  def semanticDecontam(corpus: DataFrame, bench: DataFrame, idCol: String,
+                       vecCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    val b = bench.select(col(vecCol).cast("array<double>").as("bv"))
+      .withColumn("bn", l2norm(col("bv")))
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    c.crossJoin(broadcast(b))
+      .select(col(idCol),
+        cosineOrNull(dot(col("cv"), col("bv")), col("cn"), col("bn")).as("_c"))
+      .filter(col("_c").isNotNull)
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).as("max_cos"))
+      .filter(col("max_cos") >= threshold)
+  }
+
   /** Exact top-k neighbors for each row of `queries` against `corpus`
     * (brute force, ranked per query). */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,

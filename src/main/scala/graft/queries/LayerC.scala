@@ -232,6 +232,21 @@ object LayerC {
         .orderBy("stage")
     },
 
+    // semantic benchmark decontamination: the embedding-space member of
+    // the decontam family (c25 word / c93 bloom / c67 span / c77 char /
+    // s15 streaming) — catches the PARAPHRASED eval item lexical overlap
+    // misses. Benchmark slice broadcasts; threshold fixture-calibrated
+    // (the 0.4 c15 setting — 11 of 461 corpus vectors flag at sf0.01)
+    "c115_semantic_decontam" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.semanticDecontam(
+          e.filter(col("vec_id") % 13 =!= 0),
+          e.filter(col("vec_id") % 13 === 0),
+          "vec_id", "embedding", threshold = 0.4)
+        .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos"))
+        .orderBy("vec_id")
+    },
+
     // stupid-backoff bigram scoring (Brants et al. 2007) under the
     // English-slice LM — the web-scale no-discount scheme whose model
     // is nothing but two count relations; the per-doc BACKOFF RATE is
@@ -2814,6 +2829,18 @@ object LayerC {
          |  UNION ALL SELECT 5, 'max_stopwords', s3, s3 - s4, s4,
          |    round(CAST(s3 - s4 AS DOUBLE) / greatest(s3, 1), 6) FROM f)
          |ORDER BY stage""".stripMargin,
+
+    // same cross-relation max-cosine, stated directly
+    "c115_semantic_decontam" ->
+      """WITH b AS (SELECT embedding FROM embeddings WHERE vec_id % 13 = 0),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 13 <> 0),
+        |m AS (
+        |  SELECT c.vec_id,
+        |    max(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[]))) AS mc
+        |  FROM c CROSS JOIN b GROUP BY c.vec_id)
+        |SELECT vec_id, round(mc, 6) AS max_cos FROM m
+        |WHERE mc >= 0.4 ORDER BY vec_id""".stripMargin,
 
     // c32's bigram derivation with the train slice filtered to lang='en'
     // and the stupid-backoff CASE: seen → f(pw)/f(p), unseen →

@@ -84,6 +84,24 @@ object Relational6 {
         .orderBy("o_orderstatus", "rk", "o_orderkey")
     },
 
+    // argmax/argmin aggregates (max_by/min_by == ANSI-adjacent arg_max):
+    // "the order WITH the highest price per status" in ONE aggregation
+    // pass where the classic idiom needs a window + filter or a
+    // self-join. Ordering value is the (price, key) array so ties are
+    // deterministic on both engines (the q103 tie discipline; array
+    // comparison is lexicographic in both, and orderkey is exact in
+    // double far beyond this fixture)
+    "q114_max_by" -> { (s, dir) =>
+      val ordv = array(col("o_totalprice"), col("o_orderkey").cast("double"))
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(max_by(col("o_orderkey"), ordv).as("best_order"),
+          min_by(col("o_orderkey"), ordv).as("worst_order"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     // time-interval RANGE frame: each event's trailing-1h count/sum for
     // its user — the rolling-window feature shape (rate limiting, burst
     // features) that a ROWS frame gets wrong the moment event spacing
@@ -439,6 +457,31 @@ object Relational6 {
         |WHERE prev.o_orderkey IS NULL OR curr.o_orderkey IS NULL
         |   OR old_price <> new_price
         |ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB 1.0's arg_max takes only scalar ordering values, so the
+    // oracle states the argmax definition directly via window ranking
+    // (the q103 derivation pattern), with the identical (price, key)
+    // lexicographic tie order
+    "q114_max_by" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_orderstatus, round(max(o_totalprice), 2) AS max_price,
+        |    count(1) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT s.o_orderstatus, mx.o_orderkey AS best_order,
+        |  mn.o_orderkey AS worst_order, s.max_price, s.n
+        |FROM s
+        |JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rmax = 1) mx
+        |  USING (o_orderstatus)
+        |JOIN (SELECT o_orderstatus, o_orderkey FROM r WHERE rmin = 1) mn
+        |  USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // identical WINDOW clause — both engines implement the ANSI
     // calendar-interval RANGE frame
