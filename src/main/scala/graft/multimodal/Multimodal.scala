@@ -432,6 +432,64 @@ object Multimodal {
       }(enc)
   }
 
+  /** ViT-style patch grid: each image decodes ONCE and emits one row
+    * per non-overlapping patchSize×patchSize patch (row-major
+    * patch_idx, grid coords, per-patch mean luma) — the
+    * patch-embedding prep relation a vision tokenizer consumes; edge
+    * remainders are dropped, the ViT convention (production resizes to
+    * a patch multiple first — [[resize]] is that step). Mean luma
+    * stands in for the patch projection: the Spark-side contract
+    * (decode once, emit a bounded patches-per-image fan-out, schema
+    * stable) is what carries to a real encoder.
+    *
+    * Scale shape: one mapPartitions decode pass (the declared
+    * multimodal exception), iterator-to-iterator with per-row bounded
+    * state; the fan-out is (w/p)·(h/p) rows per image — data-sized,
+    * no shuffle until the caller aggregates. */
+  def imagePatches(withBinary: DataFrame, patchSize: Int = 16): DataFrame = {
+    require(patchSize >= 1, s"patchSize must be positive, got $patchSize")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("patch_idx", IntegerType, nullable = false),
+      StructField("px", IntegerType, nullable = false),
+      StructField("py", IntegerType, nullable = false),
+      StructField("mean_luma", DoubleType, nullable = false)))
+    val enc = Encoders.row(schema)
+    withBinary
+      .filter(col("meta.mime").startsWith("image/"))
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]]("payload")).toSeq.flatMap { img =>
+            val gw = img.getWidth / patchSize
+            val gh = img.getHeight / patchSize
+            val line = new Array[Int](img.getWidth)
+            // per-patch luma sums accumulated row-by-row so each pixel
+            // line is read once
+            val sums = new Array[Double](gw * gh)
+            var y = 0
+            while (y < gh * patchSize) {
+              img.getRGB(0, y, img.getWidth, 1, line, 0, img.getWidth)
+              val py = y / patchSize
+              var x = 0
+              while (x < gw * patchSize) {
+                val rgb = line(x)
+                val luma = math.min((0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)).toInt, 255)
+                sums(py * gw + x / patchSize) += luma
+                x += 1
+              }
+              y += 1
+            }
+            val n = patchSize.toDouble * patchSize
+            (0 until gw * gh).map { i =>
+              Row(r.getLong(0), i, i % gw, i / gw, sums(i) / n)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Decode-health scan: per mime type, how many payloads actually
     * decode with the modality's real decoder (ImageIO / WAV / AVI) —
     * the corrupt-file detector a media pipeline runs before paying

@@ -485,6 +485,21 @@ object Extended {
     // pipeline runs before paying for captioning. Rows-only (no SQL
     // engine decodes JPEG/PNG); arithmetic value-pinned in
     // MultimodalSpec on lossless planted PNGs
+    // ViT-style patch grid: one row per non-overlapping 8×8 patch of
+    // every decoded image (row-major index, grid coords, per-patch mean
+    // luma) — the patch-embedding prep relation a vision tokenizer
+    // consumes; 8 px because the fixture draws 8-31 px images, so every
+    // image yields 1-9 patches and edge remainders drop (the ViT
+    // convention; production resizes to a patch multiple first).
+    // Rows-only: no SQL engine decodes PNG/JPEG
+    "m12_image_patches" -> { (s, dir) =>
+      Multimodal.imagePatches(Multimodal.attachBinaryCached(s, dir),
+          patchSize = 8)
+        .select(col("doc_id"), col("patch_idx"), col("px"), col("py"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy("doc_id", "patch_idx")
+    },
+
     "m10_image_quality" -> { (s, dir) =>
       Multimodal.imageQualityStats(
           Multimodal.attachBinaryCached(s, dir))

@@ -571,6 +571,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(t.getDouble(6) - 1.0) < 1e-12, s"entropy ${t.getDouble(6)}")
   }
 
+  test("imagePatches: grid coords, per-patch means, and edge-remainder drop") {
+    val spark2 = spark
+    import spark2.implicits._
+    def pngOf(w: Int, h: Int)(paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, paint(x, y))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // 32×16 split left/right: 4×2 grid of 8px patches, px<2 black
+    val split = pngOf(32, 16)((x, _) => if (x < 16) gray(0) else gray(255))
+    // 20×10: remainders (4 px right, 2 px bottom) drop → 2×1 grid
+    val ragged = pngOf(20, 10)((_, _) => gray(100))
+    val imgs = Seq((1L, split), (2L, ragged)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("image/png").as("mime"),
+        lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms")))
+    val out = Multimodal.imagePatches(imgs, patchSize = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(out.keys.count(_._1 == 1L) == 8)
+    assert(out.keys.count(_._1 == 2L) == 2)
+    // row-major index ↔ grid coords; PNG is lossless so means are exact
+    assert(out((1L, 0)) == ((0, 0, 0.0)))
+    assert(out((1L, 3)) == ((3, 0, 255.0)))
+    assert(out((1L, 5)) == ((1, 1, 0.0)))
+    assert(out((1L, 6)) == ((2, 1, 255.0)))
+    assert(out((2L, 0)) == ((0, 0, 100.0)) && out((2L, 1)) == ((1, 0, 100.0)))
+  }
+
   test("audioQualityStats: silent, clipped, and known-amplitude clips score exactly") {
     val spark2 = spark
     import spark2.implicits._
