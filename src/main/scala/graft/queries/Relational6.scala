@@ -84,6 +84,28 @@ object Relational6 {
         .orderBy("o_orderstatus", "rk", "o_orderkey")
     },
 
+    // column-level Avro wire round-trip: struct → Avro binary →
+    // struct, the Kafka-payload codec this distribution ships headless
+    // (the builtin from_avro/to_avro throw AVRO_NOT_LOADED — connector
+    // expression classes absent — while the codec machinery is bundled
+    // for the file format; graft.functions.AvroWire rebuilds the wire
+    // tier on it). The oracle is the plain projection: a correct codec
+    // is EXACTLY the identity on these rows, doubles bit-for-bit
+    "q115_avro_wire" -> { (s, dir) =>
+      import graft.functions.AvroWire.{avroSchemaFor, from_avro_wire, to_avro_wire}
+      val o = t(s, dir, "orders")
+      val payload = struct(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val schemaJson = avroSchemaFor(
+        o.select(payload.as("r")).schema("r").dataType)
+      o.select(to_avro_wire(payload).as("wire"))
+        .select(from_avro_wire(col("wire"), schemaJson).as("r"))
+        .select(col("r.o_orderkey").as("o_orderkey"),
+          col("r.o_orderstatus").as("o_orderstatus"),
+          col("r.o_totalprice").as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     // argmax/argmin aggregates (max_by/min_by == ANSI-adjacent arg_max):
     // "the order WITH the highest price per status" in ONE aggregation
     // pass where the classic idiom needs a window + filter or a
@@ -457,6 +479,11 @@ object Relational6 {
         |WHERE prev.o_orderkey IS NULL OR curr.o_orderkey IS NULL
         |   OR old_price <> new_price
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the codec must be the identity — the oracle never sees Avro
+    "q115_avro_wire" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // DuckDB 1.0's arg_max takes only scalar ordering values, so the
     // oracle states the argmax definition directly via window ranking
