@@ -366,6 +366,38 @@ object Extended {
       Streams.runToCompletion(s, agged, "s21_pct").orderBy("window_start")
     },
 
+    // Kafka-shaped ingest minus the broker (no broker exists in this
+    // environment; the connector swap is readStream.format only): each
+    // event rides as an OPAQUE Avro binary payload — the q115 wire
+    // codec — decoded IN-STREAM, then watermarked and windowed exactly
+    // like s1, whose oracle it shares verbatim: streaming/batch
+    // identity must survive the wire hop
+    "s23_avro_stream" -> { (s, dir) =>
+      import graft.functions.AvroWire.{avroSchemaFor, from_avro_wire, to_avro_wire}
+      val work = freshWork("s23")
+      val ev = Tables.load(s, dir, "events")
+      val payload = struct(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      val schemaJson = avroSchemaFor(
+        ev.select(payload.as("r")).schema("r").dataType)
+      val schema = Streams.writeOrderedReplay(
+        ev.select(unix_micros(col("ts")).as("us"),
+          to_avro_wire(payload).as("wire")),
+        "us", 4, s"$work/in")
+      val decoded = Streams
+        .replayStream(s, s"$work/in", schema, maxFilesPerTrigger = 1)
+        .select(from_avro_wire(col("wire"), schemaJson).as("r"))
+        .select("r.ts", "r.event_type")
+      val agged = decoded
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"))
+      Streams.runToCompletion(s, agged, "s23_avro")
+        .orderBy("window_start", "event_type")
+    },
+
     // streaming CDC APPLY: the event log replayed as an ordered change
     // stream (click = delete tombstone, anything else = upsert of the
     // user's latest value), merged per micro-batch into a keyed mirror
@@ -629,6 +661,12 @@ object Extended {
     // streaming/batch identity is structural: s7 runs the SAME oracle
     // string as the batch q70 — an edit to one cannot strand the other
     "s7_stream_sliding" -> Relational4.oracle("q70_sliding_window"),
+
+    // s23 = s1 through the Avro wire hop: the decode must be the
+    // identity, so the oracle string is shared verbatim
+    "s23_avro_stream" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, count(1) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "s4_stream_dedup" ->
       """SELECT event_type, count(1) AS n
