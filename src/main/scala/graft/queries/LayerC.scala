@@ -232,6 +232,37 @@ object LayerC {
         .orderBy("stage")
     },
 
+    // near-dup TRANSITIVITY audit: of all wedges a~b~c in the pair
+    // graph, how many a~c pairs actually hold — the evidence behind
+    // choosing pair-level dropping vs transitive clustering (c23): a
+    // high violation rate means transitive closure over-merges
+    // (chaining unrelated docs through a hub), a near-zero rate means
+    // closure is safe. Wedge fan-out is dup-cluster-sized (degrees in
+    // the PAIR graph), never corpus-sized; one self-join on the pair
+    // relation
+    "c116_pair_transitivity" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      val e = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val wedges = e.as("x").join(e.as("y"), col("x.id_b") === col("y.id_a"))
+        .filter(col("x.id_a") < col("y.id_b"))
+        .select(col("x.id_a").as("a"), col("y.id_b").as("c"))
+        .distinct()
+      val closed = wedges.join(
+        pairs.select(col("id_a").as("a"), col("id_b").as("c")),
+        Seq("a", "c"), "left_semi")
+      pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+        .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+          (col("n_wedges") - col("n_closed")).as("n_violations"),
+          round((col("n_wedges") - col("n_closed")).cast("double") /
+            greatest(col("n_wedges"), lit(1L)).cast("double"), 6)
+            .as("violation_rate"))
+    },
+
     // semantic benchmark decontamination: the embedding-space member of
     // the decontam family (c25 word / c93 bloom / c67 span / c77 char /
     // s15 streaming) — catches the PARAPHRASED eval item lexical overlap
@@ -2829,6 +2860,33 @@ object LayerC {
          |  UNION ALL SELECT 5, 'max_stopwords', s3, s3 - s4, s4,
          |    round(CAST(s3 - s4 AS DOUBLE) / greatest(s3, 1), 6) FROM f)
          |ORDER BY stage""".stripMargin,
+
+    // the same wedge/closure counting over the c4 pair CTE
+    "c116_pair_transitivity" ->
+      s"""WITH $shingleCteSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $jaccardExprSql >= 0.5),
+         |e AS (SELECT id_a, id_b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |w AS (
+         |  SELECT DISTINCT x.id_a AS a, y.id_b AS c
+         |  FROM e x JOIN e y ON x.id_b = y.id_a
+         |  WHERE x.id_a < y.id_b),
+         |cl AS (
+         |  SELECT w.a, w.c FROM w
+         |  WHERE EXISTS (SELECT 1 FROM pairs p
+         |                WHERE p.id_a = w.a AND p.id_b = w.c))
+         |SELECT
+         |  (SELECT count(1) FROM pairs) AS n_pairs,
+         |  (SELECT count(1) FROM w) AS n_wedges,
+         |  (SELECT count(1) FROM cl) AS n_closed,
+         |  (SELECT count(1) FROM w) - (SELECT count(1) FROM cl)
+         |    AS n_violations,
+         |  round(CAST((SELECT count(1) FROM w) - (SELECT count(1) FROM cl)
+         |    AS DOUBLE) / greatest((SELECT count(1) FROM w), 1), 6)
+         |    AS violation_rate""".stripMargin,
 
     // same cross-relation max-cosine, stated directly
     "c115_semantic_decontam" ->

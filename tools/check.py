@@ -27,9 +27,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # reachability) — run them at sf0.01, skip at sf0.1 sweeps
 QUADRATIC = ["c2_dedup_minhash", "c4_ngram_jaccard", "c23_dup_clusters",
              "c33_cluster_keep_best", "c34_incremental_neardup",
-             "c70_neardup_index", "c73_edit_dedup", "c78_containment_dedup",
-             "c90_cluster_sizes", "c96_minhash_error",
-             "c98_dedup_sensitivity", "c99_cluster_medoid"]
+             "c63_leakfree_split", "c70_neardup_index", "c73_edit_dedup",
+             "c78_containment_dedup", "c90_cluster_sizes",
+             "c96_minhash_error", "c98_dedup_sensitivity",
+             "c99_cluster_medoid", "c116_pair_transitivity"]
 
 
 def canon(v):
