@@ -482,7 +482,10 @@ object Streams {
     * The mirror persists as a batchId-versioned parquet dir (the
     * no-ACID-table fallback: a lakehouse table format would replace
     * the versioned rewrite with MERGE INTO); rewriting batch i from
-    * state i−1 is byte-stable, so sink retries are safe.
+    * state i−1 is byte-stable, so sink retries are safe. Versions
+    * accumulate one key-sized dir per batch — a deployment prunes all
+    * but the last k as part of its checkpoint retention, exactly like
+    * state-store version cleanup.
     *
     * Scale shape: mirror state is key-cardinality-sized, never
     * stream-length; the per-batch merge shuffles on the key only. At
