@@ -569,4 +569,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sharded == truth, s"nShards=$nShards diverged from brute force")
     }
   }
+
+  test("semanticDecontam: planted near-benchmark vector flags, zero vector never does") {
+    val spark2 = spark
+    import spark2.implicits._
+    val bench = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.14f)),  // cos ≈ 0.990 → flagged at 0.9
+      (2L, Seq(0.0f, 1.0f)),    // orthogonal
+      (3L, Seq(-1.0f, 0.0f)),   // opposite
+      (4L, Seq(0.0f, 0.0f))     // zero vector: cosineOrNull excludes it
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontam(corpus, bench, "vec_id", "embedding",
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L), s"got $out")
+    assert(out(1L) > 0.98 && out(1L) <= 1.0)
+    // boundary: threshold above the planted cosine flags nothing
+    assert(Similarity.semanticDecontam(corpus, bench, "vec_id", "embedding",
+      threshold = 0.999).count() == 0L)
+  }
 }
