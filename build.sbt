@@ -27,15 +27,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // The 262-query bench generates thousands of whole-stage-codegen
+  // The full-surface bench generates thousands of whole-stage-codegen
   // classes in one JVM; JDK 17's default 240 MB reserved code cache
   // fills late in the run, the JIT stops compiling, and everything
   // scheduled after that point (the alphabetically-late s*/s2/s4
   // block, c104's iterative peel reps) runs 2-6× its steady state —
   // measured round 9: streaming tier 89.9 s in-run vs ~45 s steady,
-  // c104 18.2 s in-run vs 5.5 s standalone. A wider cache keeps the
-  // tail JIT-compiled; harmless for small runs.
-  "-XX:ReservedCodeCacheSize=512m",
+  // c104 18.2 s in-run vs 5.5 s standalone. 512 m demonstrably still
+  // fell short in the round-9 driver run (372 vs 276 s at the same
+  // HEAD, inflation concentrated late-run), so round 10 widens to 1 g
+  // and Bench.scala now prints per-CodeHeap used/max at start+end so
+  // the artifact itself proves whether the cache filled. Harmless for
+  // small runs (reserved, not committed).
+  "-XX:ReservedCodeCacheSize=1g",
   // Deliberately NO -Xms/-XX:+AlwaysPreTouch: this box demand-pages
   // fresh anon memory at millisecond-scale per fault (measured:
   // `java -Xms8g -XX:+AlwaysPreTouch -version` = 2.7-4 min wall,

@@ -33,9 +33,31 @@ import org.apache.spark.sql.SparkSession
   * unrecoverable) — the trailing summary survives any truncation.
   */
 object Bench {
+  /** JIT code-cache telemetry (round 10): the full-surface bench
+    * generates thousands of whole-stage-codegen classes; if the
+    * reserved code cache fills mid-run the JIT stops compiling and the
+    * tail runs interpreted at 2-6× steady state (the round-8/9
+    * driver-vs-builder divergence). Reporting used/max per CodeHeap
+    * pool at start and end makes the artifact itself prove or refute
+    * that hypothesis for the JVM it actually ran in. */
+  private def codeCacheJson(): String = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.toLowerCase.contains("codeheap"))
+    val per = pools.map { p =>
+      val u = p.getUsage
+      "\"" + p.getName.replace("'", "") + "\":{\"used_mb\":" +
+        (u.getUsed / (1024 * 1024)) + ",\"max_mb\":" + (u.getMax / (1024 * 1024)) + "}"
+    }.mkString("{", ",", "}")
+    val used = pools.map(_.getUsage.getUsed).sum / (1024 * 1024)
+    val max = pools.map(_.getUsage.getMax).sum / (1024 * 1024)
+    s"""{"used_mb":$used,"max_mb":$max,"pools":$per}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
+    val ccStart = codeCacheJson()
 
     // JVM/codegen warmup on the flagship query (not measured)
     try SparkEntry.queries("q1_agg")(spark, sfDir)
@@ -134,18 +156,21 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val streamBatchSec = streamBatchSum.values.sum
     val total = batchSec + streamingSec
+    val ccEnd = codeCacheJson()
+    val ccJson = s""""code_cache":{"start":$ccStart,"end":$ccEnd}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
       s""""stream_batch_sum_sec":$streamBatchSec,""" +
       s""""reps":$reps,"failed":$failedJson,"queries":$qs,""" +
-      s""""stream_batch_sum":$sbs,"sf":"$sfDir"}""")
+      s""""stream_batch_sum":$sbs,$ccJson,"sf":"$sfDir"}""")
     // truncation-proof headline: totals + failures + 5 slowest queries
     val slowest = passed.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
       s""""stream_batch_sum_sec":$streamBatchSec,""" +
-      s""""reps":$reps,"failed":$failedJson,"slowest":$slowest,"sf":"$sfDir"}""")
+      s""""reps":$reps,"failed":$failedJson,"slowest":$slowest,""" +
+      s"""$ccJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -369,8 +369,10 @@ object Curation {
     val prefixes = rules.scanLeft(lit(true)) {
       case (acc, (_, p)) => acc && coalesce(p, lit(false))
     }.tail
+    // coalesce: sum over ZERO rows is NULL — the funnel must degrade to
+    // all-zero rows (conservation intact) on an empty corpus
     val surv = prefixes.zipWithIndex.map { case (pre, i) =>
-      sum(when(pre, 1L).otherwise(0L)).as(s"_s$i")
+      coalesce(sum(when(pre, 1L).otherwise(0L)), lit(0L)).as(s"_s$i")
     }
     val one = df.agg(count(lit(1)).as("_in"), surv: _*)
     val stages = rules.zipWithIndex.map { case ((name, _), i) =>

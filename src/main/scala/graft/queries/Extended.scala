@@ -128,6 +128,14 @@ object Extended {
           .withColumn("ingest_ts",
             timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L)),
         "doc_id", 4, s"$work/in")
+      // static side DELIBERATELY uncached (the one exception to the
+      // s17 discipline): it is a pure scan+project — no shuffle, no
+      // aggregation — so the per-micro-batch replan costs one pruned
+      // parquet scan (measured r10: s12 batch_sum 2.5 s total across 4
+      // batches), and it carries full text for the exact anti-join
+      // verify, which is exactly what one must NOT pin in executor
+      // memory at corpus scale. The 100 TB shape is the persisted
+      // fingerprint-only store (c34's incremental index), not a cache.
       val corpusSeen = d.filter(col("doc_id") % 7 =!= 0)
         .select(xxhash64(col("text")).as("_h"), col("text").as("_seen_text"))
       val out = Streams.runToCompletionAppend(s,
@@ -219,7 +227,17 @@ object Extended {
       val trainToks = d.filter(col("doc_id") % 29 =!= 0)
         .select(explode(split(lower(col("text")), "\\s+")).as("token"))
         .filter(col("token") =!= "")
+      // STATIC-SIDE DISCIPLINE: a stream-static join re-evaluates the
+      // static plan EVERY micro-batch, so the corpus-sized
+      // tokenize+aggregate below must be computed once and pinned —
+      // uncached, the 4-chunk replay paid the full train-corpus scan
+      // 4× (measured round 9: 33.3 s of batch time vs ~4 s cached).
+      // The nvRow collect doubles as the cache materializer; per-batch
+      // cost is then a scan of the vocab-sized in-memory relation. At
+      // 100 TB the same relation is written to parquet once (the s12
+      // pattern) — either way, NEVER a per-trigger corpus scan.
       val freqs = trainToks.groupBy("token").agg(count(lit(1)).as("_f"))
+        .cache()
       val nvRow = freqs.agg(sum("_f").as("_n"), count(lit(1)).as("_v"))
         .collect()(0)
       val denom = (nvRow.getLong(0) + nvRow.getLong(1)).toDouble
@@ -234,12 +252,13 @@ object Extended {
           .withColumn("ingest_ts",
             timestamp_millis(lit(1700000000000L) + col("doc_id") * 300000L)),
         "doc_id", 4, s"$work/in")
-      val out = Streams.runToCompletion(s,
+      val out = try Streams.runToCompletion(s,
           Streams.windowTokenDrift(
             Streams.replayStream(s, s"$work/in", schema, maxFilesPerTrigger = 1),
             probs, unkLp = math.log(1.0 / denom)),
           "s17_drift")
         .orderBy("window_start")
+      finally freqs.unpersist()
       // the memory sink holds the rows; the replay chunks are dead weight
       graft.Tables.deleteRecursively(work)
       out
@@ -286,11 +305,17 @@ object Extended {
     // join oracle on bounded input
     "s15_stream_decontam" -> { (s, dir) =>
       val d = graft.Tables.load(s, dir, "documents")
+      // static-side discipline (see s17): the benchmark-window relation
+      // is an explode+distinct — a real shuffle — and a stream-static
+      // join would otherwise recompute it per micro-batch (4× here).
+      // Cache and pin it once before the stream starts.
       val benchWins = d.filter(col("doc_id") % 29 === 0)
         .select(explode(graft.functions.ChunkFunctions.char_ngrams(
           col("text"), 30, lowercase = false)).as("_w"))
         .select(xxhash64(col("_w")).as("_h"), col("_w").as("_bwin"))
         .distinct()
+        .cache()
+      benchWins.count() // materialize before wiring the stream
       val work = freshWork("s15")
       val schema = Streams.writeOrderedReplay(
         d.filter(col("doc_id") % 29 =!= 0)
@@ -298,12 +323,13 @@ object Extended {
           .withColumn("ingest_ts",
             timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L)),
         "doc_id", 4, s"$work/in")
-      val out = Streams.runToCompletion(s,
+      val out = try Streams.runToCompletion(s,
           Streams.ingestDecontam(
             Streams.replayStream(s, s"$work/in", schema, maxFilesPerTrigger = 1),
             benchWins, windowChars = 30),
           "s15_decontam")
         .orderBy("doc_id")
+      finally benchWins.unpersist()
       // the memory sink holds the rows; the replay chunks are dead weight
       graft.Tables.deleteRecursively(work)
       out
@@ -334,16 +360,24 @@ object Extended {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+      // static-side discipline (see s17): deriving the validity
+      // intervals costs a shuffle+sort over orders (the lead window) —
+      // cache the finished dimension so the per-micro-batch broadcast
+      // rebuilds from the vocab-sized in-memory relation, not from a
+      // fresh orders scan+sort
       val dim = Tables.load(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           col("o_orderdate").cast("timestamp").as("valid_from"),
           col("o_orderpriority").as("dim_prio"))
         .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .cache()
+      dim.count() // materialize before wiring the stream
       val ev = Streams.eventStream(s, dir)
       val joined = Streams.scd2JoinAtEventTime(ev, dim, "o_custkey")
         .groupBy(coalesce(col("dim_prio"), lit("(none)")).as("prio"))
         .agg(count(lit(1)).as("n"))
-      Streams.runToCompletion(s, joined, "s20_scd2").orderBy("prio")
+      try Streams.runToCompletion(s, joined, "s20_scd2").orderBy("prio")
+      finally dim.unpersist()
     },
 
     // per-window value percentiles in the stream — the latency-SLA

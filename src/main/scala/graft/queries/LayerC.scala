@@ -881,14 +881,23 @@ object LayerC {
     // setting) every pipeline reads before fixing its threshold. ONE
     // pair relation computed at the loosest setting, six cumulative
     // counts derived from it — the expensive candidate join never
-    // reruns per knob
+    // reruns per knob. Runs on the deterministic doc_id % 4 slice (the
+    // c105 sampling discipline, mirrored in the oracle): the 0.02
+    // floor deliberately disables the size-ratio prune — that is the
+    // knob under study — so the candidate join is the one quadratic
+    // tier in the repo whose growth a threshold cannot bound; a tuning
+    // curve is a statistic, and a 1/16-of-pairs deterministic sample
+    // estimates it at 1/16 the join cost (pair survival scales as the
+    // slice rate squared). At 100 TB the sweep NEVER runs on the full
+    // corpus — sample first, tune, then run the chosen threshold once.
     "c98_dedup_sensitivity" -> { (s, dir) =>
       import s.implicits._
       // the spine brackets the corpus's bimodal reality: a boilerplate
       // cloud below ~0.1 and true near-dups above 0.9 — the curve's job
       // is to SHOW that cliff so the threshold lands inside it
       val ths = Seq(0.02, 0.05, 0.1, 0.2, 0.5, 0.9)
-      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+      val pairs = Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") % 4 === 0), "doc_id", "text",
         shingleN = 3, threshold = 0.02)
       val sweep = pairs.select(
           explode(array(ths.map(lit): _*)).as("threshold"),
@@ -2981,14 +2990,18 @@ object LayerC {
         |  SELECT round(avg(sqrt(list_dot_product(e, e))), 6) AS mean_norm FROM v)
         |SELECT * FROM ps CROSS JOIN ns""".stripMargin,
 
-    // the c4 pair chain at 0.2, swept over a threshold spine; unrounded
-    // jaccard vs threshold on both engines (identical IEEE division)
+    // the c4 pair chain at 0.2 on the doc_id % 4 slice (mirroring the
+    // query's sampling discipline — shingling stays linear, only the
+    // prune-disabled pair join is sliced), swept over a threshold
+    // spine; unrounded jaccard vs threshold on both engines (identical
+    // IEEE division)
     "c98_dedup_sensitivity" ->
       s"""WITH $shingleCteSql,
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |        $jaccardExprSql AS jacc
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE $jaccardExprSql >= 0.02),
+         |      WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0
+         |        AND $jaccardExprSql >= 0.02),
          |t AS (SELECT unnest([0.02, 0.05, 0.1, 0.2, 0.5, 0.9])
          |        AS threshold),
          |s AS (SELECT t.threshold, p.id_a, p.id_b

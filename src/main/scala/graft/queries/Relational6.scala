@@ -50,16 +50,22 @@ object Relational6 {
     // same plan, 8-byte compare
     "q109_snapshot_diff" -> { (s, dir) =>
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      // side-presence flags, NOT payload nullness, classify the change
+      // (the oracle's key-presence semantics): a row PRESENT in one
+      // snapshot with a NULL payload column must still read as
+      // update/unchanged, never as a phantom insert/delete
       val prev = o.filter(col("o_orderkey") % 7 =!= 0)
         .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+        .withColumn("_in_prev", lit(true))
       val curr = o.filter(col("o_orderkey") % 5 =!= 0)
         .select(col("o_orderkey"),
           when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.5)
             .otherwise(col("o_totalprice")).as("new_price"))
+        .withColumn("_in_curr", lit(true))
       prev.join(curr, Seq("o_orderkey"), "full_outer")
         .withColumn("change_type",
-          when(col("old_price").isNull, "insert")
-            .when(col("new_price").isNull, "delete")
+          when(col("_in_prev").isNull, "insert")
+            .when(col("_in_curr").isNull, "delete")
             .when(col("old_price") =!= col("new_price"), "update"))
         .filter(col("change_type").isNotNull)
         .select("o_orderkey", "change_type", "old_price", "new_price")

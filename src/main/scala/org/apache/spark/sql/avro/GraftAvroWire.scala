@@ -67,11 +67,18 @@ case class AvroEncode(child: Expression) extends UnaryExpression
 
 /** Inverse of [[AvroEncode]]: decode a binary Avro payload against a
   * caller-supplied reader schema (JSON) into the equivalent Catalyst
-  * struct. Corrupt payloads yield NULL rather than failing the task —
-  * the PERMISSIVE-mode convention of this engine's sources — so a bad
-  * message cannot kill an ingest job; pair with a `decoded IS NULL`
-  * audit filter (the m6 decode-health pattern) to quantify them. */
-case class AvroDecode(child: Expression, jsonSchema: String)
+  * struct. Two parse modes, mirroring upstream `from_avro`'s contract:
+  * PERMISSIVE (`failFast = false`, this engine's source convention) —
+  * corrupt payloads yield NULL so a bad message cannot kill an ingest
+  * job; pair with a `decoded IS NULL` audit filter (the m6
+  * decode-health pattern) to quantify them. FAILFAST
+  * (`failFast = true`) — a malformed payload fails the task loudly,
+  * the right default when silence would hide a producer bug. In BOTH
+  * modes only decode-shaped exceptions (truncated/garbage bytes,
+  * schema-mismatch reads) are treated as malformed data; programming
+  * errors still surface. */
+case class AvroDecode(child: Expression, jsonSchema: String,
+                      failFast: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val avroSchema: Schema =
@@ -102,7 +109,17 @@ case class AvroDecode(child: Expression, jsonSchema: String)
     datum = reader.read(datum, decoder)
     deserializer.deserialize(datum).getOrElse(null)
   } catch {
-    case _: Exception => null
+    // decode-shaped only: Avro's reader signals truncation/garbage via
+    // IOException (EOFException included) and AvroRuntimeException, and
+    // over-long length prefixes via out-of-bounds reads. Anything else
+    // (NPE, cast errors — i.e. OUR bugs) propagates in both modes.
+    case e @ (_: java.io.IOException | _: org.apache.avro.AvroRuntimeException |
+              _: IndexOutOfBoundsException | _: NegativeArraySizeException) =>
+      if (failFast) throw new IllegalArgumentException(
+        s"graft_from_avro: malformed Avro payload in FAILFAST mode " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+          "use PERMISSIVE mode to decode corrupt records as NULL", e)
+      else null
   }
 
   override protected def withNewChildInternal(newChild: Expression): AvroDecode =
@@ -116,9 +133,23 @@ object AvroWireFunctions {
     GraftColumnBridge.column(AvroEncode(GraftColumnBridge.expression(c)))
 
   /** Avro binary → struct per the JSON reader schema; corrupt
-    * payloads decode to NULL. */
+    * payloads decode to NULL (PERMISSIVE, the source convention). */
   def from_avro_wire(c: Column, jsonSchema: String): Column =
     GraftColumnBridge.column(AvroDecode(GraftColumnBridge.expression(c), jsonSchema))
+
+  /** Parse-mode form: "PERMISSIVE" (corrupt → NULL) or "FAILFAST"
+    * (corrupt payload fails the task) — upstream `from_avro`'s two
+    * modes. */
+  def from_avro_wire(c: Column, jsonSchema: String, mode: String): Column = {
+    val ff = mode.toUpperCase match {
+      case "FAILFAST" => true
+      case "PERMISSIVE" => false
+      case other => throw new IllegalArgumentException(
+        s"from_avro_wire mode must be PERMISSIVE or FAILFAST, got '$other'")
+    }
+    GraftColumnBridge.column(
+      AvroDecode(GraftColumnBridge.expression(c), jsonSchema, ff))
+  }
 
   /** JSON Avro schema for a Catalyst type — EXACTLY the writer schema
     * [[AvroEncode]] derives, so a decode against it is schema-identical

@@ -29,8 +29,11 @@ QUADRATIC = ["c2_dedup_minhash", "c4_ngram_jaccard", "c23_dup_clusters",
              "c33_cluster_keep_best", "c34_incremental_neardup",
              "c63_leakfree_split", "c70_neardup_index", "c73_edit_dedup",
              "c78_containment_dedup", "c90_cluster_sizes",
-             "c96_minhash_error", "c98_dedup_sensitivity",
+             "c96_minhash_error",
              "c99_cluster_medoid", "c116_pair_transitivity"]
+# c98_dedup_sensitivity left the list in round 10: its doc_id % 4 slice
+# (mirrored in the oracle) makes the DuckDB side ~33 s at sf0.1 —
+# affordable in the occasional full sweep.
 
 
 def canon(v):
