@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -45,11 +45,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * pairing (0 = unbounded): at corpus scale a viral duplicate's
   * mega-bucket is better handled by the exact-dedup tier first, the
   * same stopword-prune trade as `Graph.coOccurrencePairs`'
-  * `maxItemDeg`. Per-partition state is the partition's (key, id)
-  * pairs — the same order of memory a shuffled hash join's build side
-  * holds, without the composition's AQE skew-split escape hatch; cap
-  * accordingly when bucket skew is expected. Null ids never pair (the
-  * equi-join drops them too — null keys don't match themselves).
+  * `maxItemDeg`. Memory is BOUNDED: the exec additionally requires
+  * in-partition ordering on the bucket key, so `EnsureRequirements`
+  * plans a (spillable, UnsafeExternalSorter-backed) sort after the
+  * exchange and buckets arrive contiguously — the exec buffers only
+  * the CURRENT bucket, never the partition, and with `maxBucket > 0`
+  * an over-cap bucket's buffer is discarded the moment it crosses the
+  * bound (the rest of the mega-bucket streams through without being
+  * stored). Heap high-water is therefore O(maxBucket) when capped and
+  * O(largest bucket) when not — the quadratic-output tier's inherent
+  * floor, not the partition size. Null ids never pair (the equi-join
+  * drops them too — null keys don't match themselves). Group
+  * boundaries follow the sort's LOGICAL key equality (the same
+  * equivalence the self-join idiom uses), so e.g. float keys 0.0 and
+  * -0.0 share a bucket — every caller keys on int/long/string hashes
+  * where logical and binary equality coincide.
   *
   * Output columns are `id_a`, `id_b` (id_a < id_b STRICT under the id
   * type's natural ordering — an id repeated within a bucket never
@@ -90,6 +100,12 @@ case class SelfPairsByKeyExec(keyExprs: Seq[Expression], idExpr: Expression,
   // the one exchange: co-locate each bucket's rows on one task
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keyExprs) :: Nil
+  // ... plus an in-partition sort on the key, so buckets arrive
+  // contiguously and the exec never buffers more than ONE bucket.
+  // The sort is Spark's own UnsafeExternalSorter — it spills, which is
+  // exactly the memory-safety the old whole-partition HashMap lacked.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keyExprs.map(SortOrder(_, Ascending)))
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -99,84 +115,129 @@ case class SelfPairsByKeyExec(keyExprs: Seq[Expression], idExpr: Expression,
     val cap = maxBucket
     val dt = idExpr.dataType
     val pdt = payloadExpr.map(_.dataType)
+    val keyTypes = keyExprs.map(_.dataType)
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyE, childOutput)
       val idBound = BindReferences.bindReference(idE, childOutput)
       val plBound = plE.map(e => BindReferences.bindReference(e, childOutput))
       val hasPayload = plBound.isDefined
-      // parallel (id, payload) buffers per bucket; payload slot absent
-      // in the 2-column form
-      val buckets = new java.util.HashMap[
-        org.apache.spark.sql.catalyst.expressions.UnsafeRow,
-        scala.collection.mutable.ArrayBuffer[AnyRef]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val id = idBound.eval(row)
-        if (id != null) {
-          val key = keyProj(row)
-          var ids = buckets.get(key)
-          if (ids == null) {
-            ids = new scala.collection.mutable.ArrayBuffer[AnyRef](4)
-            buckets.put(key.copy(), ids)
-          }
-          ids += id.asInstanceOf[AnyRef]
-          if (hasPayload) {
-            // payloads can be mutable internal values (UTF8String,
-            // arrays backed by the row buffer) — copy via InternalRow
-            val p = plBound.get.eval(row)
-            ids += (p match {
-              case u: org.apache.spark.sql.catalyst.util.ArrayData => u.copy()
-              case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
-              case other => other.asInstanceOf[AnyRef]
-            })
-          }
-        }
-      }
-      val ord = TypeUtils.getInterpretedOrdering(dt)
       val stride = if (hasPayload) 2 else 1
       val nOut = if (hasPayload) 4 else 2
+      val ord = TypeUtils.getInterpretedOrdering(dt)
+      // logical key equality = the sort's equivalence, so contiguity
+      // is guaranteed by the required ordering
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val toUnsafe = UnsafeProjection.create(
         (Seq(dt, dt) ++ pdt.toSeq.flatMap(p => Seq(p, p))).toArray)
       val pairRow = new GenericInternalRow(nOut)
-      import scala.jdk.CollectionConverters._
-      buckets.values().iterator().asScala
-        .filter(b => b.length > stride && (cap <= 0 || b.length / stride <= cap))
-        .flatMap { buf =>
-          val m = buf.length / stride
-          val idx = Array.range(0, m)
-          val cmp = new java.util.Comparator[Int] {
-            override def compare(x: Int, y: Int): Int =
-              ord.asInstanceOf[Ordering[AnyRef]]
-                .compare(buf(x * stride), buf(y * stride))
+
+      def copyVal(v: Any): AnyRef = v match {
+        // ids/payloads can be mutable internal values backed by the
+        // (reused) row buffer — copy before buffering across rows
+        case u: org.apache.spark.sql.catalyst.util.ArrayData => u.copy()
+        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+        case other => other.asInstanceOf[AnyRef]
+      }
+
+      // emit each qualifying bucket's C(m,2) ordered pairs; `arr` is
+      // the flushed single-bucket buffer (id [, payload] stride)
+      def emitPairs(arr: Array[AnyRef]): Iterator[InternalRow] = {
+        val m = arr.length / stride
+        val boxed = Array.range(0, m).map(Integer.valueOf)
+        val cmp = new java.util.Comparator[Integer] {
+          override def compare(x: Integer, y: Integer): Int =
+            ord.asInstanceOf[Ordering[AnyRef]]
+              .compare(arr(x.intValue() * stride), arr(y.intValue() * stride))
+        }
+        java.util.Arrays.sort(boxed, cmp)
+        // collapse equal id values: an id repeated within a bucket
+        // must not self-pair (id_a < id_b is strict); the payload is
+        // functionally determined by the id in every caller, so the
+        // first occurrence's payload stands
+        val kept = new scala.collection.mutable.ArrayBuffer[Int](m)
+        var p = 0
+        while (p < m) {
+          val i = boxed(p).intValue()
+          if (kept.isEmpty ||
+            ord.asInstanceOf[Ordering[AnyRef]]
+              .compare(arr(kept.last * stride), arr(i * stride)) != 0)
+            kept += i
+          p += 1
+        }
+        kept.indices.iterator.flatMap { i =>
+          (i + 1 until kept.length).iterator.map { j =>
+            val (bi, bj) = (kept(i) * stride, kept(j) * stride)
+            pairRow.update(0, arr(bi)); pairRow.update(1, arr(bj))
+            if (hasPayload) {
+              pairRow.update(2, arr(bi + 1)); pairRow.update(3, arr(bj + 1))
+            }
+            toUnsafe(pairRow)
           }
-          val boxed = idx.map(Integer.valueOf)
-          java.util.Arrays.sort(boxed, cmp.asInstanceOf[java.util.Comparator[Integer]])
-          // collapse equal id values: an id repeated within a bucket
-          // must not self-pair (id_a < id_b is strict); the payload is
-          // functionally determined by the id in every caller, so the
-          // first occurrence's payload stands
-          val kept = new scala.collection.mutable.ArrayBuffer[Int](m)
-          var p = 0
-          while (p < m) {
-            val i = boxed(p).intValue()
-            if (kept.isEmpty ||
-              ord.asInstanceOf[Ordering[AnyRef]]
-                .compare(buf(kept.last * stride), buf(i * stride)) != 0)
-              kept += i
-            p += 1
-          }
-          kept.indices.iterator.flatMap { i =>
-            (i + 1 until kept.length).iterator.map { j =>
-              val (bi, bj) = (kept(i) * stride, kept(j) * stride)
-              pairRow.update(0, buf(bi)); pairRow.update(1, buf(bj))
-              if (hasPayload) {
-                pairRow.update(2, buf(bi + 1)); pairRow.update(3, buf(bj + 1))
-              }
-              toUnsafe(pairRow)
+        }
+      }
+
+      // streaming-group state: ONE bucket's values, its raw (non-null
+      // id) row count, and whether it already crossed the cap
+      new Iterator[InternalRow] {
+        private val buf = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
+        private var rawRows = 0
+        private var overflow = false
+        private var curKey: UnsafeRow = null
+        private var out: Iterator[InternalRow] = Iterator.empty
+
+        private def consume(row: InternalRow): Unit = {
+          val id = idBound.eval(row)
+          if (id != null) {
+            rawRows += 1
+            if (cap > 0 && rawRows > cap) {
+              // mega-bucket: stop storing it — the rest streams through
+              if (!overflow) { overflow = true; buf.clear() }
+            } else {
+              buf += copyVal(id)
+              if (hasPayload) buf += copyVal(plBound.get.eval(row))
             }
           }
         }
+
+        private def flush(): Iterator[InternalRow] = {
+          val qualifies = !overflow && buf.length > stride
+          val pairs =
+            if (qualifies) { val arr = buf.toArray; emitPairs(arr) }
+            else Iterator.empty
+          buf.clear(); rawRows = 0; overflow = false
+          pairs
+        }
+
+        override def hasNext: Boolean = {
+          while (!out.hasNext) {
+            if (!iter.hasNext) {
+              if (curKey == null) return false
+              curKey = null
+              out = flush()
+              if (!out.hasNext) return false
+            } else {
+              val row = iter.next()
+              val key = keyProj(row)
+              if (curKey != null && keyOrd.compare(key, curKey) != 0) {
+                val done = flush() // flush snapshots before consume mutates
+                curKey = key.copy()
+                consume(row)
+                out = done
+              } else {
+                if (curKey == null) curKey = key.copy()
+                consume(row)
+              }
+            }
+          }
+          true
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          out.next()
+        }
+      }
     }
   }
 
@@ -231,6 +292,12 @@ object SelfPairsByKey {
     val id = attr(idCol)
     require(TypeUtils.checkForOrderingExpr(id.dataType, "selfPairsByKey")
       .isSuccess, s"id column '$idCol' type ${id.dataType} is not orderable")
+    keyCols.foreach { k =>
+      // the exec's required child ordering sorts on the keys, so they
+      // must be orderable (every caller keys on int/long/string hashes)
+      require(TypeUtils.checkForOrderingExpr(attr(k).dataType, "selfPairsByKey")
+        .isSuccess, s"key column '$k' type ${attr(k).dataType} is not orderable")
+    }
     val outA = AttributeReference("id_a", id.dataType, nullable = false)()
     val outB = AttributeReference("id_b", id.dataType, nullable = false)()
     val pl = payload.map { case (pc, _) => attr(pc) }

@@ -86,6 +86,61 @@ class SelfPairsByKeySpec extends AnyFunSuite {
       (2L, 3L, 0xF0L, 0xFFL)))
   }
 
+  test("plan: spillable sort below the exec (streaming-group memory bound)") {
+    // the exec's memory contract rests on requiredChildOrdering: the
+    // planner must insert a (spillable) sort on the bucket key so the
+    // exec only ever buffers ONE bucket — pin that the sort is there
+    val banded = spark.range(1000).select(
+      (col("id") % 16).cast("int").as("band_idx"),
+      (col("id") % 50).as("band_hash"), col("id"))
+    val df = selfPairsByKey(banded, Seq("band_idx", "band_hash"), "id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val selfPairsLine = p.linesIterator.indexWhere(_.contains("SelfPairsByKey"))
+    val sortLine = p.linesIterator.indexWhere(_.contains("Sort "))
+    assert(selfPairsLine >= 0 && sortLine > selfPairsLine,
+      s"expected a Sort below SelfPairsByKey:\n$p")
+  }
+
+  test("skewed partition: mega-bucket streams through under maxBucket, " +
+    "small buckets around it still pair") {
+    // one viral bucket of 5 000 rows (dropped by the cap — and with the
+    // streaming-group exec, never even BUFFERED past the cap) wedged
+    // between small buckets that hash to the same partitions
+    val mega = spark.range(5000).select(
+      lit(0).as("band_idx"), lit(999L).as("band_hash"), col("id"))
+    val small = Seq(
+      (0, 1L, 100L), (0, 1L, 101L),
+      (0, 2L, 200L), (0, 2L, 201L), (0, 2L, 202L),
+      (1, 999L, 300L), (1, 999L, 301L) // same hash as mega, other band
+    ).toDF("band_idx", "band_hash", "id")
+    val banded = mega.unionAll(small)
+    val out = selfPairsByKey(banded, Seq("band_idx", "band_hash"), "id",
+      maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((100L, 101L), (200L, 201L), (200L, 202L),
+      (201L, 202L), (300L, 301L)))
+    // and uncapped, the same input yields exactly C(5000,2) + 5 pairs —
+    // the group-boundary logic is exact even around the mega bucket
+    val n = selfPairsByKey(banded, Seq("band_idx", "band_hash"), "id").count()
+    assert(n == 5000L * 4999 / 2 + 5)
+  }
+
+  test("many buckets per partition group correctly (sort contiguity)") {
+    // 200 buckets of 3 across 4 partitions — every bucket must emit
+    // exactly its own 3 pairs, none bleeding into neighbours
+    val banded = spark.range(600).select(
+      (col("id") % 200).as("band_hash"), lit(0).as("band_idx"), col("id"))
+    val out = selfPairsByKey(banded, Seq("band_idx", "band_hash"), "id")
+    assert(out.count() == 600)
+    val a = banded.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
+    val idiom = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    assert(out.exceptAll(idiom).count() == 0 && idiom.exceptAll(out).count() == 0)
+  }
+
   test("missing and ambiguous columns fail loudly") {
     val df = Seq((1, 2L)).toDF("k", "id")
     intercept[IllegalArgumentException] { selfPairsByKey(df, Seq("nope"), "id") }
