@@ -20,6 +20,34 @@ object Relational6 {
   private def t(s: SparkSession, dir: String, name: String) =
     Tables.load(s, dir, name)
 
+  /** CDC snapshot-diff classification (the EXTRACT side of CDC; q63's
+    * upsert-merge is the APPLY side): full-outer join `prev` and `curr`
+    * on `key`, classify each row, drop the unchanged. Side PRESENCE
+    * (key membership, via planted flags the outer join nulls out), not
+    * payload nullness, decides insert/delete — so a key present in one
+    * snapshot whose payload column happens to be NULL can never read
+    * as a phantom insert or delete. With BOTH sides present, `old <>
+    * new` evaluates NULL when either payload is NULL, so such a row
+    * classifies as UNCHANGED and drops — exactly the oracle's SQL `<>`
+    * semantics; if NULL payloads must read as updates instead, compare
+    * with a null-safe inequality (`not(old <=> new)`) in both engines.
+    * Scale shape: ONE full-outer sort-merge join on the key, the
+    * classification is a codegen projection, and the (usually dominant)
+    * unchanged class drops before anything downstream sees it; at
+    * 100 TB with wide rows compare an xxhash64 digest of the payload
+    * columns instead of column-by-column equality — same plan, 8-byte
+    * compare. */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame, key: String,
+                   oldCol: String, newCol: String): DataFrame =
+    prev.withColumn("_in_prev", lit(true))
+      .join(curr.withColumn("_in_curr", lit(true)), Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("_in_prev").isNull, "insert")
+          .when(col("_in_curr").isNull, "delete")
+          .when(col(oldCol) =!= col(newCol), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(key, "change_type", oldCol, newCol)
+
   val queries: Map[String, Q] = Map(
 
     // approximate percentiles at production accuracy — rows-only: the
@@ -50,25 +78,13 @@ object Relational6 {
     // same plan, 8-byte compare
     "q109_snapshot_diff" -> { (s, dir) =>
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
-      // side-presence flags, NOT payload nullness, classify the change
-      // (the oracle's key-presence semantics): a row PRESENT in one
-      // snapshot with a NULL payload column must still read as
-      // update/unchanged, never as a phantom insert/delete
       val prev = o.filter(col("o_orderkey") % 7 =!= 0)
         .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
-        .withColumn("_in_prev", lit(true))
       val curr = o.filter(col("o_orderkey") % 5 =!= 0)
         .select(col("o_orderkey"),
           when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.5)
             .otherwise(col("o_totalprice")).as("new_price"))
-        .withColumn("_in_curr", lit(true))
-      prev.join(curr, Seq("o_orderkey"), "full_outer")
-        .withColumn("change_type",
-          when(col("_in_prev").isNull, "insert")
-            .when(col("_in_curr").isNull, "delete")
-            .when(col("old_price") =!= col("new_price"), "update"))
-        .filter(col("change_type").isNotNull)
-        .select("o_orderkey", "change_type", "old_price", "new_price")
+      snapshotDiff(prev, curr, "o_orderkey", "old_price", "new_price")
         .orderBy("o_orderkey")
     },
 

@@ -73,10 +73,12 @@ case class AvroEncode(child: Expression) extends UnaryExpression
   * job; pair with a `decoded IS NULL` audit filter (the m6
   * decode-health pattern) to quantify them. FAILFAST
   * (`failFast = true`) — a malformed payload fails the task loudly,
-  * the right default when silence would hide a producer bug. In BOTH
-  * modes only decode-shaped exceptions (truncated/garbage bytes,
-  * schema-mismatch reads) are treated as malformed data; programming
-  * errors still surface. */
+  * the right default when silence would hide a producer bug. Matching
+  * upstream's catch breadth, any non-fatal exception from the decode
+  * path counts as a malformed record (Avro reader internals can throw
+  * beyond IOException — e.g. ClassCastException off an odd datum
+  * path — and a bad message must never kill a PERMISSIVE ingest job);
+  * fatal JVM errors propagate in both modes. */
 case class AvroDecode(child: Expression, jsonSchema: String,
                       failFast: Boolean = false)
     extends UnaryExpression with CodegenFallback {
@@ -109,12 +111,12 @@ case class AvroDecode(child: Expression, jsonSchema: String,
     datum = reader.read(datum, decoder)
     deserializer.deserialize(datum).getOrElse(null)
   } catch {
-    // decode-shaped only: Avro's reader signals truncation/garbage via
-    // IOException (EOFException included) and AvroRuntimeException, and
-    // over-long length prefixes via out-of-bounds reads. Anything else
-    // (NPE, cast errors — i.e. OUR bugs) propagates in both modes.
-    case e @ (_: java.io.IOException | _: org.apache.avro.AvroRuntimeException |
-              _: IndexOutOfBoundsException | _: NegativeArraySizeException) =>
+    // upstream from_avro's breadth: any non-fatal exception off the
+    // decode path is a malformed record (truncation/garbage surface as
+    // IOException/AvroRuntimeException/out-of-bounds, but the reader
+    // can also throw e.g. ClassCastException on odd datum paths) —
+    // NULL in PERMISSIVE, loud task failure in FAILFAST
+    case scala.util.control.NonFatal(e) =>
       if (failFast) throw new IllegalArgumentException(
         s"graft_from_avro: malformed Avro payload in FAILFAST mode " +
           s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
@@ -141,7 +143,9 @@ object AvroWireFunctions {
     * (corrupt payload fails the task) — upstream `from_avro`'s two
     * modes. */
   def from_avro_wire(c: Column, jsonSchema: String, mode: String): Column = {
-    val ff = mode.toUpperCase match {
+    // Locale.ROOT: under e.g. a Turkish default locale "failfast"
+    // would uppercase to "FAİLFAST" and a valid mode would be rejected
+    val ff = mode.toUpperCase(java.util.Locale.ROOT) match {
       case "FAILFAST" => true
       case "PERMISSIVE" => false
       case other => throw new IllegalArgumentException(

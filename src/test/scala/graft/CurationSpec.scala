@@ -522,6 +522,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("kill_rate") == 0.5)
   }
 
+  test("filterFunnel on an EMPTY corpus: all-zero stages, conservation intact") {
+    // sum over zero rows is NULL in SQL — the funnel must coalesce it
+    // to 0 so an empty input degrades to an all-zero report instead of
+    // NULL-poisoned arithmetic (n_killed = NULL - NULL)
+    val empty = Seq.empty[(Option[Int], Option[Int])].toDF("a", "b")
+    val out = Curation.filterFunnel(empty, Seq(
+        "r1" -> (col("a") >= 10), "r2" -> (col("b") >= 10)))
+      .orderBy("stage").collect()
+    assert(out.map(_.getAs[String]("rule")).toSeq == Seq("r1", "r2"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_in") == 0L)
+      assert(r.getAs[Long]("n_killed") == 0L)
+      assert(r.getAs[Long]("n_surviving") == 0L)
+      assert(r.getAs[Double]("kill_rate") == 0.0)
+      // the conservation law the non-empty specs assert, at zero
+      assert(r.getAs[Long]("n_in") ==
+        r.getAs[Long]("n_killed") + r.getAs[Long]("n_surviving"))
+    }
+  }
+
   test("filterFunnel conserves counts and telescopes across stages") {
     val q = graft.operators.TextAnalysis.qualityFeatures(
       Tables.load(spark, "/root/testdata/sf0.001", "documents"),

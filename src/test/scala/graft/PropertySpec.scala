@@ -296,6 +296,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff: presence classifies; NULL payloads read as unchanged, " +
+    "never phantom insert/delete/update") {
+    import org.apache.spark.sql.functions.col
+    // key 1: prev-only (delete). key 5: curr-only (insert). key 2: both
+    // present, old payload NULL — old <> new is NULL, so UNCHANGED
+    // (dropped), matching SQL <> semantics. key 3: both present, new
+    // NULL — same. key 4: genuine update. key 6: genuine unchanged.
+    val prev = Seq((1L, Option(10.0)), (2L, Option.empty[Double]),
+      (3L, Option(5.0)), (4L, Option(1.0)), (6L, Option(2.0)))
+      .toDF("k", "old_price")
+    val curr = Seq((2L, Option(7.0)), (3L, Option.empty[Double]),
+      (4L, Option(1.5)), (5L, Option(9.0)), (6L, Option(2.0)))
+      .toDF("k", "new_price")
+    val out = graft.queries.Relational6
+      .snapshotDiff(prev, curr, "k", "old_price", "new_price")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "delete", 4L -> "update", 5L -> "insert"))
+    // and the NULL-payload keys are truly absent — not misclassified
+    assert(!out.contains(2L) && !out.contains(3L) && !out.contains(6L))
+  }
+
   test("stupidBackoff scores are log-probabilities: avg <= 0, backoff_rate in [0,1]") {
     import graft.operators.TextAnalysis
     val corpusGen = for {

@@ -98,6 +98,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(corrupt.toSet == Set(Some(1L), None))
   }
 
+  test("AvroWire parse modes: FAILFAST throws on corrupt payload, " +
+    "PERMISSIVE nulls it, mode string is locale-safe") {
+    import graft.functions.AvroWire.{avroSchemaFor, from_avro_wire, to_avro_wire}
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "score")
+    val payload = struct(col("id"), col("score"))
+    val schemaJson = avroSchemaFor(df.select(payload.as("r")).schema("r").dataType)
+    val wire = df.select(col("id").as("k"),
+      when(col("id") === 2L, lit(Array[Byte](9, 9, 9)))
+        .otherwise(to_avro_wire(payload)).as("w"))
+    // PERMISSIVE (explicit mode form): corrupt row → NULL, good row decodes
+    val permissive = wire
+      .select(from_avro_wire(col("w"), schemaJson, "PERMISSIVE").as("r"))
+      .select(col("r.id").as("id"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(permissive.toSet == Set(Some(1L), None))
+    // FAILFAST: the same corrupt payload fails the job, and the error
+    // chain names the mode so the operator knows which knob to turn
+    val e = intercept[Exception] {
+      wire.select(from_avro_wire(col("w"), schemaJson, "FAILFAST").as("r"))
+        .select("r.id").collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).filter(_ != null).mkString("; ")
+    assert(chain.contains("FAILFAST"), chain)
+    // good payloads decode identically in FAILFAST
+    val ok = df.select(to_avro_wire(payload).as("w"))
+      .select(from_avro_wire(col("w"), schemaJson, "failfast").as("r"))
+      .select("r.id").orderBy("id").collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq(1L, 2L))
+    // unknown mode fails loudly at column-build time
+    intercept[IllegalArgumentException] {
+      from_avro_wire(col("w"), schemaJson, "DROPMALFORMED")
+    }
+    // mode parse is Locale.ROOT-safe: under a Turkish default locale
+    // "failfast" must not uppercase to the dotted-İ form and be rejected
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      from_avro_wire(col("w"), schemaJson, "failfast") // must not throw
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("parquet schema evolution: mergeSchema unions writer generations") {
     val work = Files.createTempDirectory("graft_evolve").toString
     // generation 1 writes (id, name); generation 2 adds a column — the
