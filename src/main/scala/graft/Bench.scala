@@ -59,6 +59,36 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
     val ccStart = codeCacheJson()
 
+    // Storage-block hygiene + telemetry (round 11): the iterative
+    // operators (pagerank/triangles/dup-clusters/k-core) localCheckpoint
+    // per round, and checkpoint blocks are only reclaimed when the RDD
+    // object is GC'd and the ContextCleaner runs — on this 128 GiB-heap
+    // rig that can be never. Across a 270-query run the block manager
+    // accumulates dead blocks, and storage pressure (unified memory:
+    // storage borrows from execution) inflated the LATE iterative
+    // queries 2-4× vs fresh-JVM probes in rounds 8-10 (the code-cache
+    // hypothesis was instrumented the same way and disproven in r10).
+    // A real deployment runs one job per application, so blocks die
+    // with the job; this rig must emulate that per query. After each
+    // query: unpersist every still-persistent RDD (between queries
+    // nothing is legitimately persisted — each query is self-contained)
+    // and clear leaked DataFrame cache entries. Peak/end storage and
+    // the number of leaked RDDs cleaned are reported in the artifact so
+    // it proves or refutes the mechanism for the run it measured.
+    var peakMemMb = 0L; var peakRdds = 0; var peakAt = ""
+    var leakedRdds = 0L
+    def reclaimAfter(name: String): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val mem = infos.map(_.memSize).sum / (1024L * 1024L)
+      if (mem >= peakMemMb) { peakMemMb = mem; peakRdds = infos.length; peakAt = name }
+      val persistent = spark.sparkContext.getPersistentRDDs
+      if (persistent.nonEmpty) {
+        leakedRdds += persistent.size
+        persistent.values.foreach(_.unpersist(blocking = false))
+      }
+      spark.catalog.clearCache()
+    }
+
     // JVM/codegen warmup on the flagship query (not measured)
     try SparkEntry.queries("q1_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
@@ -100,6 +130,7 @@ object Bench {
     val reps = 3
     val streamBatchSum = collection.mutable.Map[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val timing: (String, Double) =
       // streaming gets ONE unmeasured warmup too (round 6): the first
       // execution of a streaming query pays state-store + micro-batch
       // machinery JIT on top of the fault tax (measured: the s* suite
@@ -142,6 +173,8 @@ object Bench {
           (name, if (samples.length < reps) -1.0 else samples.sorted.apply(reps / 2))
         }
       }
+      reclaimAfter(name)
+      timing
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
     val passed = results.filter(_._2 >= 0)
@@ -158,11 +191,17 @@ object Bench {
     val total = batchSec + streamingSec
     val ccEnd = codeCacheJson()
     val ccJson = s""""code_cache":{"start":$ccStart,"end":$ccEnd}"""
+    val endInfos = spark.sparkContext.getRDDStorageInfo
+    val endMemMb = endInfos.map(_.memSize).sum / (1024L * 1024L)
+    val storageJson = s""""storage":{"peak":{"mem_mb":$peakMemMb,""" +
+      s""""rdds":$peakRdds,"after":"$peakAt"},""" +
+      s""""end":{"mem_mb":$endMemMb,"rdds":${endInfos.length}},""" +
+      s""""leaked_rdds_unpersisted":$leakedRdds}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
       s""""stream_batch_sum_sec":$streamBatchSec,""" +
       s""""reps":$reps,"failed":$failedJson,"queries":$qs,""" +
-      s""""stream_batch_sum":$sbs,$ccJson,"sf":"$sfDir"}""")
+      s""""stream_batch_sum":$sbs,$ccJson,$storageJson,"sf":"$sfDir"}""")
     // truncation-proof headline: totals + failures + 5 slowest queries
     val slowest = passed.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -170,7 +209,7 @@ object Bench {
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
       s""""stream_batch_sum_sec":$streamBatchSec,""" +
       s""""reps":$reps,"failed":$failedJson,"slowest":$slowest,""" +
-      s"""$ccJson,"sf":"$sfDir"}""")
+      s"""$ccJson,$storageJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

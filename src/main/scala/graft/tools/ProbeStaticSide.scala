@@ -8,6 +8,15 @@ import graft.{GraftSession, SparkEntry}
   * re-evaluates the static plan per micro-batch, so static-plan cost ×
   * micro-batch count shows up in batch_sum. Not part of the library
   * surface.
+  *
+  * Known measurement caveat (accepted for a one-off probe): listener
+  * events are delivered asynchronously, so a straggler progress event
+  * from the warmup rep can land after `batchDurMs.set(0)`, and the
+  * 100 ms sleep may not fully drain the bus before the print — either
+  * skews batch_sum by at most one micro-batch's duration. The numbers
+  * this probe recorded (PLANS.md round 10) are 2-30× deltas, far
+  * outside that noise band; a production-grade version would quiesce
+  * the listener bus between reps.
   */
 object ProbeStaticSide {
   def main(args: Array[String]): Unit = {
