@@ -715,12 +715,15 @@ object Dedup {
     *     chars;
     *  2. dup-hash detection: groupBy on the 8-byte xxhash64 — the
     *     shuffle carries ONLY the hash column (map-side combined);
-    *  3. occurrence recovery: equi-join of windows against the
-    *     dup-hash relation on the 8-byte key (full recall — collisions
-    *     only admit false candidates);
-    *  4. collision discard: a count over (hash, window STRING) among
-    *     candidates only — candidate-sized, so the string never rides
-    *     a corpus-wide shuffle (the c59 discipline);
+    *  3. occurrence recovery: a BLOOM of the dup hashes probed
+    *     map-side (round 11 — the window relation never shuffles for a
+    *     join; full recall: the bloom only admits false candidates,
+    *     like hash collisions), falling back to the 8-byte equi-join
+    *     when dup-hash cardinality exceeds the runtime-bloom limits —
+    *     see [[onlyDupWindows]];
+    *  4. collision AND bloom-fp discard: a count over (hash, window
+    *     STRING) among candidates only — candidate-sized, so the
+    *     string never rides a corpus-wide shuffle (the c59 discipline);
     *  5. span merge: gaps-and-islands windows partitioned BY DOC —
     *     partitions doc-sized, never global.
     * Docs shorter than the window contribute one truncated window
@@ -758,14 +761,59 @@ object Dedup {
         least(col("_p1") + windowChars - 1, col("_ncs")) - col("_p0") + 1)
   }
 
+  /** Restrict the corpus-sized window relation to windows whose hash is
+    * duplicated — the shared prefilter of the substring-dedup family.
+    * Preferred path (round 11, measured 1.7× at sf0.1): build a BLOOM
+    * over the dup hashes and probe it map-side, so the string-bearing
+    * window relation never shuffles for a join — only survivors (the
+    * actually-duplicated windows + ~1 % fp) reach the (hash, string)
+    * verify shuffle. Value-identical to the equi-join prefilter BY THE
+    * SAME ARGUMENT that makes hashing sound here: exactness comes from
+    * the callers' `count over (_h, _win) > 1` STRING-level check, which
+    * kills bloom false positives exactly like hash collisions. The two
+    * eager dup-hash passes (count to size the filter, aggregate to
+    * build it) run on a cached 8-byte-row relation — the same
+    * driver-side hop [[graft.operators.TextAnalysis.decontaminateBloom]]
+    * and Spark's own runtime-filter subquery make. When the dup-hash
+    * cardinality exceeds the session's runtime-bloom limits (the bloom
+    * literal would bloat every task binary), falls back to the
+    * equi-join prefilter — correct at any scale, just pays the second
+    * corpus shuffle. */
+  private def onlyDupWindows(wins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val spark = wins.sparkSession
+    def dupHashes = wins.groupBy("_h").agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") > 1).select("_h")
+    val cached = dupHashes.cache()
+    try {
+      val n = math.max(cached.count(), 1L)
+      val maxItems = spark.conf
+        .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      val maxBits = spark.conf
+        .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01)
+      if (n > maxItems || numBits > maxBits)
+        wins.join(dupHashes, Seq("_h")) // rebuilt lazily, uncached
+      else {
+        val bloomAgg = toCol(new BloomFilterAggregate(
+          toExpr(col("_h")), Literal(n), Literal(numBits)).toAggregateExpression())
+        val bloomBytes = cached.agg(bloomAgg.as("_bf"))
+          .head().getAs[Array[Byte]]("_bf")
+        wins.filter(toCol(BloomFilterMightContain(
+          Literal.create(bloomBytes, BinaryType), toExpr(col("_h")))))
+      }
+    } finally cached.unpersist(blocking = false)
+  }
+
   def duplicatedSubstringStats(df: DataFrame, idCol: String, textCol: String,
                                windowChars: Int = 30): DataFrame = {
     require(windowChars > 0, s"windowChars must be positive, got $windowChars")
     val wins = charWindows(df, idCol, textCol, windowChars)
-    val dupHashes = wins.groupBy("_h").agg(count(lit(1)).as("_hc"))
-      .filter(col("_hc") > 1).select("_h")
     val byWin = Window.partitionBy("_h", "_win")
-    val verified = wins.join(dupHashes, Seq("_h"))
+    val verified = onlyDupWindows(wins)
       .withColumn("_scnt", count(lit(1)).over(byWin))
       .filter(col("_scnt") > 1)
       .select(col(idCol), col("_nc"), col("_pos"))
@@ -801,10 +849,8 @@ object Dedup {
                     windowChars: Int = 30): DataFrame = {
     require(windowChars > 0, s"windowChars must be positive, got $windowChars")
     val wins = charWindows(df, idCol, textCol, windowChars)
-    val dupHashes = wins.groupBy("_h").agg(count(lit(1)).as("_hc"))
-      .filter(col("_hc") > 1).select("_h")
     val byWin = Window.partitionBy("_h", "_win")
-    val cut = wins.join(dupHashes, Seq("_h"))
+    val cut = onlyDupWindows(wins)
       .withColumn("_scnt", count(lit(1)).over(byWin))
       .withColumn("_rn", row_number().over(
         byWin.orderBy(col(idCol).asc, col("_pos").asc)))
