@@ -344,6 +344,39 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == (("abc", 9L, 1L)), s"period trim: ${out(5L)}")
   }
 
+  test("substring detect prefilter: equi-join FALLBACK (bloom over limit) " +
+    "is value-identical to the bloom path") {
+    // onlyDupWindows falls back to the equi-join prefilter when the
+    // dup-hash cardinality exceeds the session's runtime-bloom limits —
+    // force that branch by shrinking the limit below any real count and
+    // demand identical output from both substring operators
+    val docs = Seq(
+      (1L, "abcdefghij"), (2L, "abcdefghij"),
+      (3L, "zzzzabcdezzzz"), (4L, "unique text here!"),
+      (5L, "abcabcabcabc"), (6L, "abcdeQRSTUVWXYZfghij")
+    ).toDF("id", "text")
+    val key = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val saved = spark.conf.getOption(key)
+    def collectBoth() = (
+      Dedup.substringTrim(docs, "id", "text", windowChars = 5)
+        .collect().map(_.toSeq).toSet,
+      Dedup.duplicatedSubstringStats(docs, "id", "text", windowChars = 5)
+        .collect().map(_.toSeq).toSet)
+    val (bloomTrim, bloomStats) = collectBoth()
+    try {
+      spark.conf.set(key, "0") // every n > 0 exceeds it → join fallback
+      val (joinTrim, joinStats) = collectBoth()
+      assert(joinTrim == bloomTrim)
+      assert(joinStats == bloomStats)
+      assert(joinTrim.nonEmpty && joinStats.nonEmpty)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sliding_min: hand-computed deque minima, ties, and short arrays") {
     import graft.functions.SlidingMinFunctions.sliding_min
     import org.apache.spark.sql.functions.col
