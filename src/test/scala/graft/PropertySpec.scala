@@ -41,6 +41,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("selfPairsByKey equals the join idiom on random bucketed data " +
+    "(null ids, dup ids, random bucket sizes, with/without cap)") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.SelfPairsByKey.selfPairsByKey
+    // narrow key/id ranges force dup ids within buckets, multi-bucket
+    // pairs, and singleton/empty shapes; ~15% null ids exercise the
+    // null-drop contract across group boundaries of the streaming exec
+    val rowsGen = for {
+      n    <- Gen.chooseNum(0, 150)
+      ks   <- Gen.listOfN(n, Gen.chooseNum(0, 8))
+      ids  <- Gen.listOfN(n, Gen.frequency(
+        85 -> Gen.chooseNum(0L, 25L).map(Option(_)),
+        15 -> Gen.const(Option.empty[Long])))
+      cap  <- Gen.oneOf(0, 0, 3, 6) // mostly uncapped; cap occasionally
+    } yield (ks.zip(ids).map { case (k, id) => (k, id) }, cap)
+    samples(rowsGen, 15).foreach { case (rows, cap) =>
+      val df = rows.toDF("k", "id")
+      val mine = selfPairsByKey(df, Seq("k"), "id", maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // reference: per-key non-null DISTINCT ids (dup ids collapse, the
+      // exec's documented semantics), all ordered pairs, cap on the RAW
+      // non-null row count per bucket
+      val ref = rows.filter(_._2.isDefined)
+        .groupBy(_._1).values
+        .filter(b => cap <= 0 || b.length <= cap)
+        .flatMap { b =>
+          val ids = b.flatMap(_._2).distinct.sorted
+          for (i <- ids.indices; j <- i + 1 until ids.length)
+            yield (ids(i), ids(j))
+        }.toSeq.sorted
+      assert(mine == ref, s"cap=$cap rows=${rows.take(20)}…")
+    }
+  }
+
   test("topKPerGroup equals the window idiom on random grouped data") {
     import org.apache.spark.sql.functions._
     val rowsGen = for {
