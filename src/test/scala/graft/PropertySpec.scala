@@ -330,6 +330,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("substringTrim equals a driver-side reference on random small-alphabet corpora") {
+    // tiny alphabet + short strings force dense window collisions:
+    // cross-doc dups, within-doc repetition, truncated (len < w)
+    // windows, and multi-span cuts all occur across the samples. The
+    // reference replays the documented pipeline: windows at positions
+    // 1..max(len-w+1, 1) (final gram truncated), every duplicated
+    // window string keeps its corpus-wide first (doc, pos) occurrence,
+    // later occurrences' positions merge into islands (start-gap <= w
+    // fuses), spans run [p0, min(p1+w-1, len)], and affected docs are
+    // rebuilt from the kept segments.
+    val w = 3
+    val docGen = for {
+      n   <- Gen.chooseNum(2, 6)
+      txt <- Gen.listOfN(n, Gen.chooseNum(0, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b')).map(_.mkString)))
+    } yield txt.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def refTrim(docs: Seq[(Long, String)]): Map[Long, (String, Long, Long)] = {
+      def wins(t: String): Seq[(Int, String)] =
+        (1 to math.max(t.length - (w - 1), 1)).map(p =>
+          p -> t.substring(p - 1, math.min(p - 1 + w, t.length)))
+      val occ = docs.flatMap { case (id, t) => wins(t).map { case (p, s) => (s, id, p) } }
+      val dupStrings = occ.groupBy(_._1).filter(_._2.size > 1).keySet
+      val losers = occ.filter(o => dupStrings(o._1))
+        .groupBy(_._1).values.flatMap { os =>
+          os.sortBy(o => (o._2, o._3)).tail // first (doc, pos) occurrence wins
+        }.toSeq
+      losers.groupBy(_._2).map { case (id, cuts) =>
+        val len = docs.find(_._1 == id).get._2.length
+        val ps = cuts.map(_._3).distinct.sorted
+        val islands = ps.tail.foldLeft(Vector(Vector(ps.head))) {
+          case (acc, p) =>
+            if (p - acc.last.last <= w) acc.init :+ (acc.last :+ p)
+            else acc :+ Vector(p)
+        }
+        val spans = islands.map(is => (is.head, math.min(is.last + w - 1, len)))
+        val removed = spans.map { case (s, e) => e - s + 1 }.sum.toLong
+        val text = docs.find(_._1 == id).get._2
+        val kept = new StringBuilder
+        var last = 0
+        spans.foreach { case (s, e) =>
+          kept ++= text.substring(last, s - 1); last = e
+        }
+        kept ++= text.substring(last)
+        id -> ((kept.toString, removed, spans.length.toLong))
+      }
+    }
+    samples(docGen, 12).foreach { docs =>
+      val got = Dedup.substringTrim(docs.toDF("id", "text"), "id", "text", w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == refTrim(docs), s"docs=$docs")
+    }
+  }
+
   test("snapshotDiff: presence classifies; NULL payloads read as unchanged, " +
     "never phantom insert/delete/update") {
     import org.apache.spark.sql.functions.col
