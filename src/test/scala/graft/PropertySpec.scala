@@ -330,6 +330,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join family equals a driver-side reference on random series " +
+    "(all four modes: backward, forward, tolerance, nearest)") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import graft.operators.AsOfJoin
+    // dense key/time collisions: equal timestamps (tie-break paths),
+    // null right times (must never carry payload), empty right sides,
+    // equal-distance nearest ties (must resolve backward)
+    val gen = for {
+      nl <- Gen.chooseNum(1, 12)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0, 50)))
+      nr <- Gen.chooseNum(0, 12)
+      rs <- Gen.listOfN(nr, for {
+        k  <- Gen.chooseNum(0, 2)
+        rt <- Gen.frequency(9 -> Gen.chooseNum(0, 50).map(Option(_)),
+          1 -> Gen.const(Option.empty[Int]))
+        tb <- Gen.chooseNum(0, 3)
+      } yield (k, rt, tb))
+    } yield (ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      rs.zipWithIndex.map { case ((k, rt, tb), i) => (k, rt, tb, s"p$i") })
+    val tolSec = 10
+    samples(gen, 10).foreach { case (ls, rs) =>
+      val left = ls.toDF("k", "ts", "lid")
+        .select(col("k"), timestamp_seconds(col("ts")).as("t"), col("lid"))
+      val right = rs.toDF("k", "rts", "tie", "v")
+        .select(col("k"), timestamp_seconds(col("rts")).as("rt"),
+          col("tie"), col("v"))
+      def run(df: org.apache.spark.sql.DataFrame): Map[Long, Option[String]] =
+        df.collect().map(r =>
+          r.getAs[Long]("lid") -> Option(r.getAs[String]("asof_v"))).toMap
+      val gotB = run(AsOfJoin.asof(left, right, Seq("k"), "t", "rt", Seq("v"), "tie"))
+      val gotF = run(AsOfJoin.asofForward(left, right, Seq("k"), "t", "rt", Seq("v"), "tie"))
+      val gotW = run(AsOfJoin.asofWithin(left, right, Seq("k"), "t", "rt",
+        Seq("v"), "tie", s"$tolSec SECOND"))
+      val gotN = run(AsOfJoin.asofNearest(left, right, Seq("k"), "t", "rt", Seq("v"), "tie"))
+      def back(k: Int, t: Int) = rs
+        .filter(r => r._1 == k && r._2.exists(_ <= t))
+        .sortBy(r => (r._2.get, r._3)).lastOption
+      def fwd(k: Int, t: Int) = rs
+        .filter(r => r._1 == k && r._2.exists(_ >= t))
+        .sortBy(r => (r._2.get, r._3)).headOption
+      ls.foreach { case (k, t, lid) =>
+        val b = back(k, t); val f = fwd(k, t)
+        assert(gotB(lid) == b.map(_._4), s"backward lid=$lid ls=$ls rs=$rs")
+        assert(gotF(lid) == f.map(_._4), s"forward lid=$lid ls=$ls rs=$rs")
+        assert(gotW(lid) == b.filter(r => t - r._2.get <= tolSec).map(_._4),
+          s"within lid=$lid ls=$ls rs=$rs")
+        val n = (b, f) match {
+          case (Some(rb), Some(rf)) =>
+            if (t - rb._2.get <= rf._2.get - t) Some(rb) else Some(rf)
+          case (some, None) => some
+          case (None, some) => some
+        }
+        assert(gotN(lid) == n.map(_._4), s"nearest lid=$lid ls=$ls rs=$rs")
+      }
+    }
+  }
+
   test("substringTrim equals a driver-side reference on random small-alphabet corpora") {
     // tiny alphabet + short strings force dense window collisions:
     // cross-doc dups, within-doc repetition, truncated (len < w)
