@@ -330,6 +330,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize equals a driver-side reference on random event series") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import graft.operators.Sessionize
+    // duplicate timestamps per key and gaps exactly AT the boundary
+    // exercise the >= split rule and the window tie behavior
+    val gen = for {
+      n  <- Gen.chooseNum(1, 25)
+      es <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0, 120)))
+    } yield es.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val gap = 10L
+    samples(gen, 12).foreach { events =>
+      val df = events.toDF("k", "ts", "eid")
+        .select(col("k"), timestamp_seconds(col("ts")).as("t"), col("eid"))
+      val got = Sessionize.sessionize(df, "k", "t", gap)
+        .collect().map(r => (r.getAs[Int]("k"), r.getAs[Long]("eid")) ->
+          r.getAs[Long]("session_seq")).toMap
+      // reference: per key in time order, split when gap >= 10 s;
+      // equal timestamps never split (delta 0 < gap). Events at the
+      // same (key, ts) are order-interchangeable for session NUMBERS
+      // (delta 0 keeps them in one session), so the reference numbers
+      // by distinct time progression, not row order
+      events.groupBy(_._1).foreach { case (k, evs) =>
+        val inOrder = evs.sortBy(_._2)
+        var seq = 0L; var prev = Option.empty[Int]
+        inOrder.foreach { case (_, t, eid) =>
+          if (prev.forall(p => t - p >= gap)) seq += 1
+          prev = Some(t)
+          assert(got((k, eid)) == seq,
+            s"k=$k eid=$eid t=$t: got ${got((k, eid))}, want $seq in $events")
+        }
+      }
+    }
+  }
+
+  test("pareto2d equals the quadratic dominance filter on random points") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Skyline
+    // narrow value ranges force duplicate points and both-dim ties —
+    // equal points must all survive (they do not dominate each other)
+    val gen = for {
+      n  <- Gen.chooseNum(1, 30)
+      ps <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 8)))
+    } yield ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    samples(gen, 12).foreach { pts =>
+      val got = Skyline.pareto2d(pts.toDF("id", "x", "y"), "x", "y")
+        .select("id").collect().map(_.getLong(0)).toSet
+      val ref = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, x2, y2) =>
+          x2 >= x && y2 <= y && (x2 > x || y2 < y) }
+      }.map(_._1).toSet
+      assert(got == ref, s"pts=$pts")
+    }
+  }
+
   test("as-of join family equals a driver-side reference on random series " +
     "(all four modes: backward, forward, tolerance, nearest)") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
