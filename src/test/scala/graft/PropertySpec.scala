@@ -330,6 +330,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccardPairs equals the quadratic string-set reference on random docs") {
+    import org.apache.spark.sql.functions.col
+    // tiny word pool → dense shingle collisions; doc length down to 1
+    // word exercises the truncated-shingle path (starts =
+    // max(words-(n-1), 1)); threshold-boundary pairs occur naturally
+    val n = 2
+    val t = 0.4
+    val gen = for {
+      nd <- Gen.chooseNum(2, 8)
+      ds <- Gen.listOfN(nd, Gen.chooseNum(1, 8).flatMap(len =>
+        Gen.listOfN(len, word).map(_.mkString(" "))))
+    } yield ds.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+    def shingleSet(text: String): Set[String] = {
+      val words = text.toLowerCase.split("\\s+", -1)
+      val starts = math.max(words.length - (n - 1), 1)
+      (0 until starts).map(i =>
+        words.slice(i, math.min(i + n, words.length)).mkString(" ")).toSet
+    }
+    samples(gen, 12).foreach { docs =>
+      val got = Dedup.ngramJaccardPairs(docs.toDF("id", "text"), "id", "text",
+          shingleN = n, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val ref = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        j = (sa & sb).size.toDouble / (sa | sb).size.toDouble
+        if j >= t
+      } yield (ia, ib) -> j).toMap
+      assert(got == ref, s"docs=$docs")
+    }
+  }
+
   test("sessionize equals a driver-side reference on random event series") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
     import graft.operators.Sessionize
