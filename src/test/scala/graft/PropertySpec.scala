@@ -362,6 +362,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs equals the quadratic string-set reference on random docs") {
+    import org.apache.spark.sql.functions.col
+    // containment = |A∩B| / min(|A|,|B|) — the asymmetric short-in-long
+    // measure; same collision-dense fixture as the Jaccard property
+    val n = 2
+    val t = 0.5
+    val gen = for {
+      nd <- Gen.chooseNum(2, 8)
+      ds <- Gen.listOfN(nd, Gen.chooseNum(1, 8).flatMap(len =>
+        Gen.listOfN(len, word).map(_.mkString(" "))))
+    } yield ds.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+    def shingleSet(text: String): Set[String] = {
+      val words = text.toLowerCase.split("\\s+", -1)
+      val starts = math.max(words.length - (n - 1), 1)
+      (0 until starts).map(i =>
+        words.slice(i, math.min(i + n, words.length)).mkString(" ")).toSet
+    }
+    samples(gen, 12).foreach { docs =>
+      val got = Dedup.containmentPairs(docs.toDF("id", "text"), "id", "text",
+          shingleN = n, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getDouble(2)).toMap
+      val ref = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        c = (sa & sb).size.toDouble / math.min(sa.size, sb.size).toDouble
+        if c >= t
+      } yield (ia, ib) -> BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      assert(got == ref, s"docs=$docs")
+    }
+  }
+
   test("sessionize equals a driver-side reference on random event series") {
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
     import graft.operators.Sessionize
