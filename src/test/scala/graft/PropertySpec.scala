@@ -362,6 +362,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowingFingerprints equals a driver-side reference (injected crc32) " +
+    "and honors the winnowing guarantee on planted shared regions") {
+    import org.apache.spark.sql.functions.{col, crc32}
+    val k = 4; val w = 3
+    def crc(s: String): Long = {
+      val c = new java.util.zip.CRC32
+      c.update(s.getBytes("UTF-8")); c.getValue
+    }
+    def refFps(t: String): Set[Long] = {
+      if (t.length < k) Set.empty
+      else {
+        val hs = (0 to t.length - k).map(i => crc(t.substring(i, i + k)))
+        val mins = if (hs.length < w) Seq(hs.min)
+          else hs.sliding(w).map(_.min).toSeq
+        mins.toSet
+      }
+    }
+    val gen = for {
+      nd  <- Gen.chooseNum(1, 6)
+      ds  <- Gen.listOfN(nd, Gen.chooseNum(0, 18).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      // planted shared region of exactly k+w-1 chars embedded in two docs
+      core <- Gen.listOfN(k + w - 1, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      pre  <- Gen.listOfN(3, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      post <- Gen.listOfN(3, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    } yield (ds ++ Seq(pre + core, core + post))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    samples(gen, 10).foreach { docs =>
+      val got = Dedup.winnowingFingerprints(docs.toDF("id", "text"),
+          "id", "text", k, w, gramHash = c => crc32(c))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (id, fs) => id -> fs.map(_._2).toSet }
+      val ref = docs.map { case (id, t) => id -> refFps(t) }
+        .filter(_._2.nonEmpty).toMap
+      assert(got == ref, s"docs=$docs")
+      // the winnowing guarantee: the two docs sharing the planted
+      // (k+w-1)-char region must share at least one fingerprint
+      val (idA, idB) = (docs(docs.length - 2)._1, docs.last._1)
+      assert((ref(idA) & ref(idB)).nonEmpty,
+        s"guarantee violated for planted region: $docs")
+    }
+  }
+
   test("containmentPairs equals the quadratic string-set reference on random docs") {
     import org.apache.spark.sql.functions.col
     // containment = |A∩B| / min(|A|,|B|) — the asymmetric short-in-long
