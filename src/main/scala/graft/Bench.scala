@@ -54,6 +54,51 @@ object Bench {
     s"""{"used_mb":$used,"max_mb":$max,"pools":$per}"""
   }
 
+  /** Per-query environment telemetry (round 12): the driver's r11 run
+    * inflated the localCheckpoint-iterative family 2-7× at the SAME
+    * HEAD where judge+builder replications read steady state, and the
+    * round-11 artifact's own storage/code-cache numbers disprove both
+    * previously instrumented mechanisms for that run. The open
+    * hypothesis is this box's documented ms-scale anon-page fault tax
+    * (build.sbt notes) landing on fresh memory commits during
+    * checkpoint materialization under a cold/contended host — which GC
+    * time, process RSS, and major-fault counters would name directly.
+    * So each query now records deltas of GC time + count
+    * (GarbageCollectorMXBeans), minor/major page faults and RSS
+    * (/proc/self/stat), plus every INDIVIDUAL rep time (a 6/40/41
+    * split is warmup fault tax; 40/41/42 is sustained contention).
+    * Done = a bad driver run carries the numbers that name its own
+    * mechanism, no replication run needed to adjudicate. */
+  private def gcTotals(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    (beans.map(b => math.max(b.getCollectionTime, 0L)).sum,
+      beans.map(b => math.max(b.getCollectionCount, 0L)).sum)
+  }
+  /** (minflt, majflt, rss_pages) from /proc/self/stat — fields 10, 12,
+    * 24 (1-indexed; comm is parsed by the last ')' so embedded spaces
+    * can't shift fields). (-1,-1,-1) on non-procfs platforms. */
+  private def procStat(): (Long, Long, Long) = try {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/self/stat")))
+    val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+    (rest(7).toLong, rest(9).toLong, rest(21).toLong)
+  } catch { case _: Throwable => (-1L, -1L, -1L) }
+  private val pageKb: Long = 4 // Linux x86-64/arm64 base pages
+
+  /** One query's environment record, JSON-rendered into the artifact. */
+  private final case class QueryEnv(warm: Double, reps: Seq[Double],
+                                    gcMs: Long, gcN: Long, minflt: Long,
+                                    majflt: Long, rssMb: Long, dRssMb: Long) {
+    def json: String = {
+      val r = reps.map(v => f"$v%.3f").mkString("[", ",", "]")
+      f"""{"warm":$warm%.3f,"reps":$r,"gc_ms":$gcMs,"gc_n":$gcN,""" +
+        s""""minflt":$minflt,"majflt":$majflt,"rss_mb":$rssMb,""" +
+        s""""d_rss_mb":$dRssMb}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
@@ -80,7 +125,12 @@ object Bench {
     def reclaimAfter(name: String): Unit = {
       val infos = spark.sparkContext.getRDDStorageInfo
       val mem = infos.map(_.memSize).sum / (1024L * 1024L)
-      if (mem >= peakMemMb) { peakMemMb = mem; peakRdds = infos.length; peakAt = name }
+      // strict > (ADVICE r11): on ties — the common all-zero run — keep
+      // the FIRST query that reached the peak instead of overwriting
+      // peakAt with whatever ran last
+      if (mem > peakMemMb || peakAt.isEmpty) {
+        peakMemMb = mem; peakRdds = infos.length; peakAt = name
+      }
       val persistent = spark.sparkContext.getPersistentRDDs
       if (persistent.nonEmpty) {
         leakedRdds += persistent.size
@@ -129,7 +179,23 @@ object Bench {
 
     val reps = 3
     val streamBatchSum = collection.mutable.Map[String, Double]()
+    val queryEnv = collection.mutable.Map[String, QueryEnv]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // env snapshot spans the whole per-query block (warmup included:
+      // warmup-side faults/GC are exactly the signal that distinguishes
+      // cold-page tax from sustained contention when read next to the
+      // individual rep times)
+      val (gcMs0, gcN0) = gcTotals()
+      val (minf0, majf0, rss0) = procStat()
+      def envRecord(warm: Double, measured: Seq[Double]): QueryEnv = {
+        val (gcMs1, gcN1) = gcTotals()
+        val (minf1, majf1, rss1) = procStat()
+        QueryEnv(warm, measured, gcMs1 - gcMs0, gcN1 - gcN0,
+          if (minf0 < 0) -1L else minf1 - minf0,
+          if (majf0 < 0) -1L else majf1 - majf0,
+          if (rss1 < 0) -1L else rss1 * pageKb / 1024L,
+          if (rss0 < 0) -1L else (rss1 - rss0) * pageKb / 1024L)
+      }
       val timing: (String, Double) =
       // streaming gets ONE unmeasured warmup too (round 6): the first
       // execution of a streaming query pays state-store + micro-batch
@@ -138,13 +204,16 @@ object Bench {
       // warmed run is the honest harness-latency number, same rationale
       // as the batch warmup
       if (isStreaming(name)) {
-        if (runOnce(name, fn) < 0) (name, -1.0) else {
+        val warm = runOnce(name, fn)
+        if (warm < 0) { queryEnv(name) = envRecord(warm, Nil); (name, -1.0) }
+        else {
           // listener events are async; drain before reading the counter
           spark.streams.resetTerminated()
           batchDurMs.set(0L)
           val wall = runOnce(name, fn)
           Thread.sleep(50) // let the final progress event land
           if (wall >= 0) streamBatchSum(name) = batchDurMs.get() / 1e3
+          queryEnv(name) = envRecord(warm, Seq(wall))
           (name, wall)
         }
       }
@@ -152,7 +221,7 @@ object Bench {
         // unmeasured warmup rep: absorbs first-touch page faults and
         // JIT/janino compilation of this query's generated code
         val warm = runOnce(name, fn)
-        if (warm < 0) (name, -1.0)
+        if (warm < 0) { queryEnv(name) = envRecord(warm, Nil); (name, -1.0) }
         else if (warm > 2.0) {
           // adaptive reps for the multi-second tier (rounds 8-9): their
           // fault/JIT tax is already amortized by the warmup, so the
@@ -164,11 +233,13 @@ object Bench {
           // median-of-3
           val a = runOnce(name, fn)
           val b = runOnce(name, fn)
+          queryEnv(name) = envRecord(warm, Seq(a, b))
           (name, if (a < 0 || b < 0) -1.0 else math.min(a, b))
         }
         else {
           val samples = Iterator.continually(runOnce(name, fn))
             .take(reps).takeWhile(_ >= 0).toSeq
+          queryEnv(name) = envRecord(warm, samples)
           // any failed rep marks the query failed; otherwise the median
           (name, if (samples.length < reps) -1.0 else samples.sorted.apply(reps / 2))
         }
@@ -197,18 +268,39 @@ object Bench {
       s""""rdds":$peakRdds,"after":"$peakAt"},""" +
       s""""end":{"mem_mb":$endMemMb,"rdds":${endInfos.length}},""" +
       s""""leaked_rdds_unpersisted":$leakedRdds}"""
+    // per-query environment records (round 12) — a SIBLING map keyed
+    // like "queries"; run-wide aggregates repeated on the
+    // truncation-proof summary line together with the slowest-5's
+    // individual records so a truncated artifact still names the
+    // mechanism of its own slow queries
+    val envJson = queryEnv.toSeq.sortBy(_._1)
+      .map { case (k, e) => "\"" + k + "\":" + e.json }.mkString("{", ",", "}")
+    val gcTotalMs = queryEnv.values.map(_.gcMs).sum
+    val majfltTotal = queryEnv.values.map(e => math.max(e.majflt, 0L)).sum
+    val minfltTotal = queryEnv.values.map(e => math.max(e.minflt, 0L)).sum
+    val (_, _, rssEndPages) = procStat()
+    val envAggJson = s""""env":{"gc_ms_total":$gcTotalMs,""" +
+      s""""majflt_total":$majfltTotal,"minflt_total":$minfltTotal,""" +
+      s""""rss_end_mb":${if (rssEndPages < 0) -1L else rssEndPages * pageKb / 1024L}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
       s""""stream_batch_sum_sec":$streamBatchSec,""" +
       s""""reps":$reps,"failed":$failedJson,"queries":$qs,""" +
-      s""""stream_batch_sum":$sbs,$ccJson,$storageJson,"sf":"$sfDir"}""")
+      s""""stream_batch_sum":$sbs,"query_env":$envJson,$envAggJson,""" +
+      s"""$ccJson,$storageJson,"sf":"$sfDir"}""")
     // truncation-proof headline: totals + failures + 5 slowest queries
-    val slowest = passed.sortBy(-_._2).take(5)
+    // (with their environment records)
+    val slowest5 = passed.sortBy(-_._2).take(5)
+    val slowest = slowest5
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val slowestEnv = slowest5.flatMap { case (k, _) =>
+      queryEnv.get(k).map(e => "\"" + k + "\":" + e.json) }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
       s""""stream_batch_sum_sec":$streamBatchSec,""" +
       s""""reps":$reps,"failed":$failedJson,"slowest":$slowest,""" +
+      s""""slowest_env":$slowestEnv,$envAggJson,""" +
       s"""$ccJson,$storageJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -726,6 +726,8 @@ object Dedup {
     *     string never rides a corpus-wide shuffle (the c59 discipline);
     *  5. span merge: gaps-and-islands windows partitioned BY DOC —
     *     partitions doc-sized, never global.
+    * Snapshot contract: the dup-hash set is frozen at CALL time (see
+    * [[onlyDupWindows]]) — the input must be a stable batch snapshot.
     * Docs shorter than the window contribute one truncated window
     * (CharNgrams semantics), so whole-short-doc duplicates still
     * count; island char spans are clamped to doc length. */
@@ -778,33 +780,61 @@ object Dedup {
     * cardinality exceeds the session's runtime-bloom limits (the bloom
     * literal would bloat every task binary), falls back to the
     * equi-join prefilter — correct at any scale, just pays the second
-    * corpus shuffle. */
+    * corpus shuffle.
+    *
+    * SNAPSHOT SEMANTICS (ADVICE r11): the dup-hash set is computed
+    * EAGERLY here — the bloom is frozen into the returned plan as a
+    * literal at call time (and the fallback equi-join joins against the
+    * relation cached by that same pass). The substring-dedup family
+    * therefore treats its input as a stable batch snapshot, which every
+    * graft caller satisfies (deterministic parquet scans); re-executing
+    * the returned DataFrame after the underlying source CHANGES may
+    * miss newly-duplicated windows. This is the same plan-time-snapshot
+    * contract every collected model in this codebase makes (MinHash
+    * calibration, IVF centroids, decontaminateBloom); documented here
+    * because the old always-lazy equi-join happened to recompute.
+    *
+    * Cost accounting: ONE eager pass over the map-side-combined
+    * dup-hash aggregate sizes the filter (count), a SECOND cached pass
+    * builds the bloom — both on a cached 8-byte-row relation, so the
+    * corpus is scanned once. The zero-dup case short-circuits to an
+    * explicit always-false filter (no reliance on BloomFilterAggregate
+    * null propagation over an empty relation). The over-limit fallback
+    * returns a join against the still-cached dup-hash relation — the
+    * cache stays PINNED so fallback actions don't re-aggregate the
+    * corpus (the r11 advice's double-pass); it is released by the
+    * session's cache clear / unpersist hygiene, and an evicted cache
+    * only costs recomputation, never correctness. */
   private def onlyDupWindows(wins: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
     val spark = wins.sparkSession
-    def dupHashes = wins.groupBy("_h").agg(count(lit(1)).as("_hc"))
+    val dupHashes = wins.groupBy("_h").agg(count(lit(1)).as("_hc"))
       .filter(col("_hc") > 1).select("_h")
     val cached = dupHashes.cache()
-    try {
-      val n = math.max(cached.count(), 1L)
-      val maxItems = spark.conf
-        .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-      val maxBits = spark.conf
-        .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-      val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01)
-      if (n > maxItems || numBits > maxBits)
-        wins.join(dupHashes, Seq("_h")) // rebuilt lazily, uncached
-      else {
-        val bloomAgg = toCol(new BloomFilterAggregate(
-          toExpr(col("_h")), Literal(n), Literal(numBits)).toAggregateExpression())
-        val bloomBytes = cached.agg(bloomAgg.as("_bf"))
-          .head().getAs[Array[Byte]]("_bf")
-        wins.filter(toCol(BloomFilterMightContain(
-          Literal.create(bloomBytes, BinaryType), toExpr(col("_h")))))
-      }
+    val n =
+      try cached.count()
+      catch { case e: Throwable => cached.unpersist(blocking = false); throw e }
+    if (n == 0L) { // no duplicated window anywhere: nothing can survive
+      cached.unpersist(blocking = false)
+      return wins.filter(lit(false))
+    }
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01)
+    if (n > maxItems || numBits > maxBits)
+      wins.join(cached, Seq("_h")) // cache pinned — see Scaladoc
+    else try {
+      val bloomAgg = toCol(new BloomFilterAggregate(
+        toExpr(col("_h")), Literal(n), Literal(numBits)).toAggregateExpression())
+      val bloomBytes = cached.agg(bloomAgg.as("_bf"))
+        .head().getAs[Array[Byte]]("_bf")
+      wins.filter(toCol(BloomFilterMightContain(
+        Literal.create(bloomBytes, BinaryType), toExpr(col("_h")))))
     } finally cached.unpersist(blocking = false)
   }
 
@@ -844,7 +874,9 @@ object Dedup {
     *    walking that array — no per-span text duplication, no second
     *    corpus shuffle. Island construction guarantees spans are
     *    disjoint with ≥1 kept char between them, so `removed_chars`
-    *    is an exact sum and the walk never backtracks. */
+    *    is an exact sum and the walk never backtracks.
+    * Snapshot contract: the dup-hash set is frozen at CALL time (see
+    * [[onlyDupWindows]]) — the input must be a stable batch snapshot. */
   def substringTrim(df: DataFrame, idCol: String, textCol: String,
                     windowChars: Int = 30): DataFrame = {
     require(windowChars > 0, s"windowChars must be positive, got $windowChars")

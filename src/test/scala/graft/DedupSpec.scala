@@ -377,6 +377,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substring detect prefilter: zero duplicated windows short-circuits " +
+    "to empty output (no bloom built)") {
+    // ADVICE r11: the empty case must be an explicit always-false
+    // filter, not an accident of BloomFilterAggregate null propagation
+    // over an empty relation
+    val docs = Seq(
+      (1L, "abcdefghij"), (2L, "KLMNOPQRST"), (3L, "0123456789")
+    ).toDF("id", "text")
+    assert(Dedup.duplicatedSubstringStats(docs, "id", "text", windowChars = 5)
+      .collect().isEmpty)
+    assert(Dedup.substringTrim(docs, "id", "text", windowChars = 5)
+      .collect().isEmpty)
+  }
+
   test("sliding_min: hand-computed deque minima, ties, and short arrays") {
     import graft.functions.SlidingMinFunctions.sliding_min
     import org.apache.spark.sql.functions.col
