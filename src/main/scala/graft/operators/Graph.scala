@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lineage-flattening checkpoint for the iterative family, with the
+    * storage backend selectable per session (round 12):
+    * `spark.graft.graph.checkpointStorage` = `disk` (default —
+    * `localCheckpoint(eager = true, DISK_ONLY)`) or `memdisk`
+    * (`localCheckpoint()`'s MEMORY_AND_DISK). Same checkpoint
+    * semantics either way — only where the materialized blocks live.
+    *
+    * Why DISK_ONLY is the default (A/B in tools/ProbeCheckpointStorage,
+    * numbers in PLANS.md round 12): measured flat-to-better in both an
+    * 8 GiB and a 3 GiB heap at sf0.1 (pagerank 6.35-6.80 s vs
+    * 6.57-7.94, k-core 4.67-5.63 vs 5.05-6.22 at 8 GiB) with GC time
+    * 2-4× lower and identical output. Mechanically: memory-backed
+    * checkpoint blocks commit fresh anon pages on the hot path of
+    * every iteration AND occupy unified storage memory that evicts
+    * under pressure; DISK_ONLY writes serialized blocks through the OS
+    * page cache, keeping process RSS flat — the robust choice on hosts
+    * where first-touch anon faults cost milliseconds (this rig,
+    * build.sbt notes; the prime suspect for the driver's recurring
+    * 2-7× inflation of exactly this query family). On a real cluster,
+    * spilling per-iteration BSP state to local disk is the standard
+    * bounded-memory posture. */
+  private def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.graph.checkpointStorage").contains("memdisk"))
+      df.localCheckpoint()
+    else df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
   /** Breadth-first hop distances from `start` over an undirected edge
     * list, bounded at `maxHops`. Returns (node, hops) with hops =
     * minimum hop count, 0 for the start node; nodes beyond `maxHops`
@@ -42,9 +69,9 @@ object Graph {
       .unionAll(edges
         .select(col(dstCol).cast("string").as("a"), col(srcCol).cast("string").as("b")))
     val und = (if (edgesDistinctDisjoint) sym else sym.distinct())
-      .localCheckpoint()
+      .transform(ckpt)
     import edges.sparkSession.implicits._
-    var visited = Seq((start, 0)).toDF("node", "hops").localCheckpoint()
+    var visited = Seq((start, 0)).toDF("node", "hops").transform(ckpt)
     var frontier = visited.select("node")
     var h = 0
     while (h < maxHops) {
@@ -53,9 +80,9 @@ object Graph {
         .select(col("b").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
-        .localCheckpoint()
+        .transform(ckpt)
       if (next.isEmpty) return visited
-      visited = visited.unionAll(next).localCheckpoint()
+      visited = visited.unionAll(next).transform(ckpt)
       frontier = next.select("node")
     }
     visited
@@ -92,14 +119,14 @@ object Graph {
       .distinct()
     val nodes = dir.select(col("a").as("node"))
       .unionAll(dir.select(col("b").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().transform(ckpt)
     val n = nodes.count()
     // (a, b, w = 1/outdeg(a)): the per-edge share of a's rank
     val contrib = dir
       .join(dir.groupBy("a").agg(count(lit(1)).as("_deg")), "a")
       .select(col("a"), col("b"), (lit(1.0) / col("_deg")).as("w"))
-      .localCheckpoint()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+      .transform(ckpt)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).transform(ckpt)
     for (_ <- 1 to iters) {
       val inflow = contrib
         .join(ranks, contrib("a") === ranks("node"))
@@ -110,7 +137,7 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("_in"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint()
+        .transform(ckpt)
     }
     ranks.select(col("node"), (col("rank") * n).as("rank"))
   }
@@ -141,7 +168,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -156,7 +183,7 @@ object Graph {
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("hi"))
-      .localCheckpoint()
+      .transform(ckpt)
     // wedges lo -> {b, c} with b before c in orientation order need no
     // explicit tie-break: orientation is a strict total order restricted
     // to edges, so requiring the closing edge (b -> c) oriented picks
@@ -199,7 +226,7 @@ object Graph {
   def neighborJaccard(rel: DataFrame, entityCol: String, itemCol: String,
                       minCommon: Long, maxItemDeg: Long = 0L): DataFrame = {
     val b = rel.select(col(entityCol).as("e"), col(itemCol).as("i")).distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val deg = b.groupBy(col("e").as("node")).agg(count(lit(1)).as("d"))
     val pairs = pairsFromDeduped(b, minCommon, maxItemDeg)
     // no broadcast hint: deg is entity-sized, which a 100 TB corpus can
@@ -276,7 +303,7 @@ object Graph {
       .unionAll(edges.select(col(dstCol).cast("long").as("u"),
         col(srcCol).cast("long").as("v")))
       .distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     var r = 0
     while (r < rounds) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
@@ -284,7 +311,7 @@ object Graph {
       e = e.join(keep, Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select("u", "v")
-        .localCheckpoint()
+        .transform(ckpt)
       r += 1
     }
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))

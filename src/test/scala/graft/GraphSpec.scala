@@ -176,4 +176,28 @@ class GraphSpec extends AnyFunSuite {
     // k above the clique degree empties the graph
     assert(Graph.kCoreBounded(edges, "a", "b", k = 4, rounds = 5).count() == 0)
   }
+
+  test("checkpointStorage backends are value-identical: default DISK_ONLY " +
+    "vs memdisk opt-out") {
+    // round 12: the ckpt hook only moves WHERE checkpoint blocks live
+    // (DISK_ONLY default vs MEMORY_AND_DISK); results must not depend
+    // on it
+    val kedges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val key = "spark.graft.graph.checkpointStorage"
+    def all(): Seq[Set[Seq[Any]]] = Seq(
+      Graph.bfsHops(edges, "src", "dst", "a", maxHops = 10),
+      Graph.pageRank(edges, "src", "dst", iters = 3),
+      Graph.triangleCounts(kedges, "a", "b"),
+      Graph.kCoreBounded(kedges, "a", "b", k = 2, rounds = 3)
+    ).map(_.collect().map(_.toSeq).toSet)
+    val disk = all() // default
+    spark.conf.set(key, "memdisk")
+    try {
+      val mem = all()
+      disk.zip(mem).zipWithIndex.foreach { case ((d, m), i) =>
+        assert(d == m, s"operator $i differs across checkpoint backends")
+      }
+    } finally spark.conf.unset(key)
+  }
 }

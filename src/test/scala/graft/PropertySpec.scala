@@ -647,4 +647,41 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("literal_scan_count equals the alternation regex AND a driver-side " +
+    "Matcher reference on random mixed-script text") {
+    import graft.functions.TextFunctions.literal_scan_count
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract_all, size}
+    // pieces overlap the real langId profiles plus deliberate nasties:
+    // multi-byte (zh, ó, ß), a supplementary char (4-byte UTF-8 /
+    // UTF-16 surrogate pair), prefix-overlapping fragments
+    val pieces = Gen.oneOf("the", "and", " th", "he ", "的", "是", "ión",
+      "que", "a", "ab", " ", "x", "ß", "😀", "b", "os ")
+    val strGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, pieces)).map(_.mkString)
+    val litSets = Seq(
+      TextAnalysis.trigramProfiles("en"),
+      TextAnalysis.trigramProfiles("es"), // "ión": 2-byte char inside
+      TextAnalysis.trigramProfiles("zh"), // 1-char, 3-byte literals
+      Seq("ab", "abc", "b"),  // order-sensitive: "ab" shadows "abc"
+      Seq("abc", "ab", "b"),  // ...and the other order
+      Seq("😀", "aß", "ßa")) // surrogate + mixed-width set
+    val texts = samples(strGen, 40).zipWithIndex.map { case (t, i) => (i, t) }
+    val df = texts.toDF("i", "t")
+    litSets.foreach { lits =>
+      val alternation = lits.map(java.util.regex.Pattern.quote).mkString("|")
+      val got = df.select(col("i"), literal_scan_count(col("t"), lits).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val viaRegex = df.select(col("i"),
+          size(regexp_extract_all(col("t"), lit(alternation), lit(0))).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val p = java.util.regex.Pattern.compile(alternation)
+      val ref = texts.map { case (i, s) =>
+        val m = p.matcher(s); var n = 0; while (m.find()) n += 1; i -> n
+      }.toMap
+      assert(got == viaRegex, s"scan != spark regex for $lits")
+      assert(got == ref, s"scan != driver Matcher for $lits")
+    }
+  }
 }
