@@ -297,11 +297,16 @@ object Graph {
                    k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 64, s"unreasonable rounds $rounds")
+    // self-loop filter AFTER the symmetrizing union: filtering only the
+    // forward orientation let a loop re-enter via the reversed branch
+    // and inflate its node's degree by one (caught by the round-12
+    // generative peel test; production c104 inputs are id_a < id_b
+    // pairs, which can never loop)
     var e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
       .unionAll(edges.select(col(dstCol).cast("long").as("u"),
         col(srcCol).cast("long").as("v")))
+      .filter(col("u") =!= col("v"))
       .distinct()
       .transform(ckpt)
     var r = 0

@@ -66,16 +66,24 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中", "大"))
 
   /** Language ID: for each language, count profile-trigram occurrences
-    * (one alternation regex per language — non-overlapping, left-to-
-    * right, ~10× fewer text scans than per-trigram passes), predict
-    * argmax with deterministic tie-break on language code. */
+    * (non-overlapping, left-to-right), predict argmax with
+    * deterministic tie-break on language code.
+    *
+    * Scorer (round 12): [[graft.functions.LiteralScanCount]] — one
+    * byte-level first-match scan per language, value-identical to the
+    * previous per-language alternation regex
+    * `size(regexp_extract_all(lower(text), "\Qt1\E|…"))` (the ordered
+    * first-match argument in the expression's Scaladoc; pinned by a
+    * generative PropertySpec test against both the Spark regex and a
+    * driver-side Matcher, and by the c10/c111 DuckDB oracles, whose
+    * SQL still runs the regex form). Measured on the c111 segment
+    * relation at sf0.1 (tools/ProbeCodeSwitch): scoring stage
+    * 1.03 s → 0.44 s steady, 3.34 s → 0.49 s cold. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = lower(col(textCol))
-    def score(lang: String): Column = {
-      val alternation = trigramProfiles(lang)
-        .map(java.util.regex.Pattern.quote).mkString("|")
-      size(regexp_extract_all(text, lit(alternation), lit(0))).cast("int")
-    }
+    def score(lang: String): Column =
+      graft.functions.TextFunctions
+        .literal_scan_count(text, trigramProfiles(lang))
     val langs = trigramProfiles.keys.toSeq.sorted
     val scored = df.select(
       (col(idCol) +: langs.map(l => score(l).as(s"score_$l"))): _*)

@@ -648,6 +648,190 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowingOverlapSpans equals a driver-side replay of " +
+    "select→cull→pair→span arithmetic on random small-alphabet docs") {
+    val k = 4; val w = 3
+    def fp64(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    def hash(s: String): Long = graft.functions.Mix64.mix(fp64(s))
+    // (first_pos, last_pos) per selected fingerprint, 1-based window
+    // starts — the winnowingFingerprintSpans contract
+    def refSpans(t: String): Map[Long, (Int, Int)] = {
+      if (t.length < k) Map.empty
+      else {
+        val hs = (0 to t.length - k).map(i => hash(t.substring(i, i + k)))
+        val mins = if (hs.length < w) Seq(hs.min)
+          else hs.sliding(w).map(_.min).toSeq
+        mins.zipWithIndex.groupBy(_._1).map { case (fp, js) =>
+          fp -> (js.map(_._2).min + 1, js.map(_._2).max + 1)
+        }
+      }
+    }
+    val gen = for {
+      nd   <- Gen.chooseNum(2, 6)
+      ds   <- Gen.listOfN(nd, Gen.chooseNum(0, 25).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b')).map(_.mkString)))
+      core <- Gen.listOfN(k + w + 3, Gen.oneOf('a', 'b')).map(_.mkString)
+      pre  <- Gen.listOfN(4, Gen.oneOf('a', 'b')).map(_.mkString)
+      post <- Gen.listOfN(4, Gen.oneOf('a', 'b')).map(_.mkString)
+      mdf  <- Gen.chooseNum(1, 4)
+      ms   <- Gen.chooseNum(1, 2)
+    } yield ((ds ++ Seq(pre + core, core + post))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }, mdf, ms)
+    samples(gen, 8).foreach { case (docs, maxDocFreq, minShared) =>
+      val got = Dedup.winnowingOverlapSpans(docs.toDF("id", "text"),
+          "id", "text", k, w, minShared = minShared, maxDocFreq = maxDocFreq)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))))
+        .toMap
+      val spans = docs.map { case (id, t) => id -> refSpans(t) }.toMap
+      val docFreq = spans.values.flatMap(_.keys).groupBy(identity)
+        .map { case (fp, xs) => fp -> xs.size }
+      val ext = k + w - 2
+      val ref = (for {
+        (ia, sa) <- spans.toSeq; (ib, sb) <- spans.toSeq if ia < ib
+        shared = (sa.keySet & sb.keySet).filter(docFreq(_) <= maxDocFreq)
+        if shared.size >= minShared
+      } yield (ia, ib) -> ((shared.size.toLong,
+        shared.map(sa(_)._1).min, shared.map(sa(_)._2).max + ext,
+        shared.map(sb(_)._1).min, shared.map(sb(_)._2).max + ext))).toMap
+      assert(got == ref, s"docs=$docs mdf=$maxDocFreq ms=$minShared")
+    }
+  }
+
+  test("kCoreBounded equals a driver-side bounded peel at randomized " +
+    "k/rounds on random multigraphs") {
+    import graft.operators.Graph
+    def refPeel(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+      var e = edges.filter(p => p._1 != p._2)
+        .flatMap(p => Seq(p, (p._2, p._1))).distinct
+      (1 to rounds).foreach { _ =>
+        val keep = e.groupBy(_._1).collect {
+          case (u, es) if es.size >= k => u
+        }.toSet
+        e = e.filter(p => keep(p._1) && keep(p._2))
+      }
+      e.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    }
+    val gen = for {
+      n  <- Gen.chooseNum(2, 9)
+      m  <- Gen.chooseNum(1, 16)
+      es <- Gen.listOfN(m, for { // self-loops and duplicates on purpose
+        u <- Gen.chooseNum(1, n); v <- Gen.chooseNum(1, n)
+      } yield (u.toLong, v.toLong))
+      k  <- Gen.chooseNum(1, 4)
+      r  <- Gen.chooseNum(1, 4)
+    } yield (es, k, r)
+    samples(gen, 15).foreach { case (es, k, r) =>
+      val got = Graph.kCoreBounded(es.toDF("u", "v"), "u", "v", k, r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val ref = refPeel(es, k, r)
+      assert(got == ref, s"edges=$es k=$k rounds=$r")
+    }
+  }
+
+  test("bfsHops equals a driver-side BFS at randomized maxHops on random " +
+    "multigraphs") {
+    import graft.operators.Graph
+    def refBfs(edges: Seq[(String, String)], start: String,
+               maxHops: Int): Map[String, Int] = {
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (u, es) => u -> es.map(_._2).toSet }
+      var dist = Map(start -> 0)
+      var frontier = Set(start)
+      var h = 0
+      while (h < maxHops && frontier.nonEmpty) {
+        h += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+          .diff(dist.keySet)
+        dist ++= frontier.map(_ -> h)
+      }
+      dist
+    }
+    val node = Gen.chooseNum(1, 8).map(i => s"n$i")
+    val gen = for {
+      m  <- Gen.chooseNum(1, 14) // self-loops and duplicates on purpose
+      es <- Gen.listOfN(m, for { u <- node; v <- node } yield (u, v))
+      s  <- node
+      h  <- Gen.chooseNum(0, 5)
+    } yield (es, s, h)
+    samples(gen, 15).foreach { case (es, start, maxHops) =>
+      val got = Graph.bfsHops(es.toDF("src", "dst"), "src", "dst",
+          start, maxHops)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val ref = refBfs(es, start, maxHops)
+      assert(got == ref, s"edges=$es start=$start maxHops=$maxHops")
+    }
+  }
+
+  test("triangleCounts equals a cubic driver-side reference on random " +
+    "multigraphs") {
+    import graft.operators.Graph
+    def refTris(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+      val und = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .filter(p => p._1 != p._2).distinct.toSet
+      val nodes = und.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+      def adj(a: Long, b: Long) =
+        und((math.min(a, b), math.max(a, b)))
+      val deg = nodes.map(n => n -> und.count(p => p._1 == n || p._2 == n)).toMap
+      val tri = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for {
+        i <- nodes.indices; j <- (i + 1) until nodes.length
+        k <- (j + 1) until nodes.length
+        if adj(nodes(i), nodes(j)) && adj(nodes(j), nodes(k)) &&
+          adj(nodes(i), nodes(k))
+        n <- Seq(nodes(i), nodes(j), nodes(k))
+      } tri(n) += 1
+      nodes.map(n => n -> ((deg(n).toLong, tri(n)))).toMap
+    }
+    val gen = for {
+      m  <- Gen.chooseNum(1, 18)
+      es <- Gen.listOfN(m, for {
+        u <- Gen.chooseNum(1, 8); v <- Gen.chooseNum(1, 8)
+      } yield (u.toLong, v.toLong))
+    } yield es
+    samples(gen, 15).foreach { es =>
+      val got = Graph.triangleCounts(es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val ref = refTris(es)
+      assert(got == ref, s"edges=$es")
+    }
+  }
+
+  test("boilerplateSegments equals a driver-side per-source document-" +
+    "frequency cull on random two-source corpora") {
+    val segWords = 2
+    def segsOf(text: String): Seq[String] =
+      text.split("\\s+", -1).grouped(segWords).map(_.mkString(" ")).toSeq
+    val gen = for {
+      nd   <- Gen.chooseNum(2, 8)
+      rows <- Gen.listOfN(nd, for {
+        src <- Gen.oneOf("web", "pdf")
+        nw  <- Gen.chooseNum(1, 8)
+        ws  <- Gen.listOfN(nw, word)
+      } yield (src, ws.mkString(" ")))
+      maxDocs <- Gen.chooseNum(1, 2)
+    } yield (rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) },
+      maxDocs)
+    samples(gen, 12).foreach { case (docs, maxDocs) =>
+      val got = Dedup.boilerplateSegments(docs.toDF("id", "source", "text"),
+          "id", "source", "text", segWords = segWords, maxDocs = maxDocs)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+      val boiler = docs.flatMap { case (id, src, t) =>
+        segsOf(t).distinct.map(seg => (src, seg) -> id) }
+        .groupBy(_._1).collect {
+          case (key, xs) if xs.map(_._2).distinct.size > maxDocs => key
+        }.toSet
+      val ref = docs.map { case (id, src, t) =>
+        val segs = segsOf(t)
+        val kept = segs.filterNot(seg => boiler((src, seg)))
+        id -> ((segs.size, (segs.size - kept.size).toLong, kept.mkString(" ")))
+      }.toMap
+      assert(got == ref, s"docs=$docs maxDocs=$maxDocs")
+    }
+  }
+
   test("literal_scan_count equals the alternation regex AND a driver-side " +
     "Matcher reference on random mixed-script text") {
     import graft.functions.TextFunctions.literal_scan_count

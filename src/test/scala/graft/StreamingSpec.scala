@@ -328,6 +328,55 @@ class StreamingSpec extends AnyFunSuite {
     Tables.deleteRecursively(work)
   }
 
+  test("s12 corpus dedup replay is micro-batch-boundary-invariant: random " +
+    "corpora at random chunk counts equal global batch dedup") {
+    // round 12 (verdict Next #4): the stateful cross-batch fingerprint
+    // set must make the RESULT independent of where micro-batch
+    // boundaries fall — any nChunks replay of a doc_id-ordered corpus
+    // equals the batch-global min-doc_id-per-novel-text rule
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    val pool = Seq("AAA", "BBB", "CCC", "DDD") // tiny pool → dense dups
+    val gen = for {
+      nd    <- Gen.chooseNum(4, 10)
+      texts <- Gen.listOfN(nd, Gen.oneOf(pool))
+      nSeen <- Gen.chooseNum(0, 2)
+      seen  <- Gen.pick(nSeen, pool)
+      nc    <- Gen.chooseNum(2, 6)
+    } yield (texts, seen.toSeq, nc)
+    val cases = (0 until 5).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(1200L + i)))
+    cases.zipWithIndex.foreach { case ((texts, seen, nc), it) =>
+      val nChunks = math.max(2, math.min(nc, texts.length))
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i + 1L, "web", t.length.toLong, t,
+          new Timestamp(1700000000000L + (i + 1) * 60000L))
+      }
+      val work = Files.createTempDirectory(s"graft_s12_rand$it").toString
+      val schema = Streams.writeOrderedReplay(
+        docs.toDF("doc_id", "source", "n_chars", "text", "ingest_ts"),
+        "doc_id", nChunks, s"$work/in")
+      val corpusSeen =
+        if (seen.isEmpty) Seq.empty[(Long, String)].toDF("_h", "_seen_text")
+        else seen.toDF("_seen_text")
+          .select(xxhash64(col("_seen_text")).as("_h"), col("_seen_text"))
+      val got = Streams.runToCompletionAppend(spark,
+          Streams.corpusIncrementalDedup(spark,
+            Streams.replayStream(spark, s"$work/in", schema, maxFilesPerTrigger = 1),
+            corpusSeen, watermarkDelay = "1 second",
+            stateTtlMs = 24L * 3600 * 1000),
+          s"t_s12_rand$it")
+        .select("doc_id").as[Long].collect().toSet
+      val ref = docs.filterNot(d => seen.contains(d._4))
+        .groupBy(_._4).map(_._2.map(_._1).min).toSet
+      assert(got == ref,
+        s"texts=$texts seen=$seen nChunks=$nChunks got=$got ref=$ref")
+      Tables.deleteRecursively(work)
+    }
+  }
+
   test("cdcApply: tombstones block older late upserts; newer upserts resurrect; any arrival order") {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graft_cdc").toString
