@@ -110,17 +110,33 @@ object Dedup {
     * id_b against `right` (identical relations ⇒ identical semantics). */
   def verifyJaccardAcross(pairs: DataFrame, left: DataFrame, right: DataFrame,
                           idCol: String, textCol: String,
-                          threshold: Double, shingleN: Int): DataFrame = {
+                          threshold: Double, shingleN: Int): DataFrame =
+    verifyJaccardDetailed(pairs, left, right, idCol, textCol,
+      threshold, shingleN)
+      .select("id_a", "id_b", "jaccard")
+
+  /** [[verifyJaccardAcross]] plus the exact intersection COUNT
+    * (`_common`, a long) the verification already computes — so
+    * consumers that weight pairs by shared-shingle count
+    * ([[clusterMedoids]]) reuse this pass instead of re-joining the
+    * corpus-wide shingle relation and re-intersecting (round 12, the
+    * c99 probe: the re-derivation was ~a third of the query). */
+  private def verifyJaccardDetailed(pairs: DataFrame, left: DataFrame,
+                                    right: DataFrame, idCol: String,
+                                    textCol: String, threshold: Double,
+                                    shingleN: Int): DataFrame = {
     def sets(d: DataFrame, idAs: String, wsAs: String) =
       d.select(col(idCol).as(idAs), shingles(col(textCol), shingleN).as(wsAs))
     pairs
       .join(sets(left, "id_a", "_wa"), Seq("id_a"))
       .join(sets(right, "id_b", "_wb"), Seq("id_b"))
+      .withColumn("_common",
+        size(array_intersect(col("_wa"), col("_wb"))).cast("long"))
       .withColumn("jaccard",
-        size(array_intersect(col("_wa"), col("_wb"))).cast("double") /
+        col("_common").cast("double") /
         size(array_union(col("_wa"), col("_wb"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "jaccard", "_common")
   }
 
   /** Shared candidate stage of the exact Jaccard joins: hashed inverted
@@ -375,11 +391,14 @@ object Dedup {
     * is a handful of shuffles on (node, label) pairs, never materializing
     * anything super-linear. Each round the growing plan lineage is cut
     * with a checkpoint (the standard Spark iterative-graph pattern):
-    * `localCheckpoint` by default (fast, executor-memory-pinned — an
-    * executor loss mid-iteration kills the job), or a RELIABLE
-    * `checkpoint()` when `checkpointDir` is given (survives executor
-    * loss; the right choice for a long-running 100 TB job, at the cost
-    * of a write to reliable storage per round). */
+    * a LOCAL checkpoint by default (round 12: DISK_ONLY-backed via the
+    * shared [[Ckpt]] hook — serialized blocks through the OS page
+    * cache, flat RSS; `spark.graft.graph.checkpointStorage=memdisk`
+    * restores memory-backed blocks; either way an executor loss
+    * mid-iteration kills the job), or a RELIABLE `checkpoint()` when
+    * `checkpointDir` is given (survives executor loss; the right
+    * choice for a long-running 100 TB job, at the cost of a write to
+    * reliable storage per round). */
   /** `pairs` must carry `id_a`/`id_b` columns (the shape every pair
     * generator in this file emits). The node set is `allNodes` ∪ the
     * pair endpoints, so an id appearing only in `pairs` still gets
@@ -390,7 +409,10 @@ object Dedup {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      // conf-selectable backend shared with the Graph iterative family
+      // (round 12: DISK_ONLY default, `memdisk` opt-out — A/B'd on
+      // pagerank/kcore AND on this CC loop via tools/ProbeMedoid)
+      case None => df => Ckpt.local(df)
     }
     val edges = cut(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -1005,14 +1027,21 @@ object Dedup {
   def clusterMedoids(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleN, threshold)
-      .select("id_a", "id_b")
-    val sets = df.select(col(idCol), shingles(col(textCol), shingleN).as("_sh"))
-    val wpairs = pairs
-      .join(sets.select(col(idCol).as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("_w"))
+    // one verify pass yields BOTH the qualifying pairs and their exact
+    // shared-shingle counts (round 12 — previously the weights re-joined
+    // the corpus-wide shingle relation and re-intersected per pair),
+    // and the pair relation is consumed twice (CC edges + weights), so
+    // it is checkpointed ONCE here: it is near-dup-pair-sized (bounded
+    // far below the corpus), and without the cut the whole
+    // index+prune+verify pipeline re-executes per consumer — measured
+    // 4.8 → ~3.3 s at sf0.1 (tools/ProbeMedoid)
+    val detailed = Ckpt.local(verifyJaccardDetailed(
+      jaccardSurvivors(df, df, idCol, textCol, shingleN, threshold,
+        sameRelation = true),
+      df, df, idCol, textCol, threshold, shingleN))
+    val pairs = detailed.select("id_a", "id_b")
+    val wpairs = detailed.select(col("id_a"), col("id_b"),
+      col("_common").as("_w"))
     val labels = dupClusters(pairs, df, idCol)
     val wedges = wpairs.select(col("id_a").as("_n"), col("_w"))
       .unionByName(wpairs.select(col("id_b").as("_n"), col("_w")))

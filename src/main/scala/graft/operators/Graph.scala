@@ -3,6 +3,18 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Shared lineage-flattening local checkpoint for the iterative
+  * operator families (Graph traversals here, [[Dedup.dupClusters]]'s
+  * min-label propagation), with the storage backend selectable per
+  * session — see [[Graph.ckpt]] for the rationale and the A/B record. */
+private[operators] object Ckpt {
+  def local(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.graph.checkpointStorage").contains("memdisk"))
+      df.localCheckpoint()
+    else df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+}
+
 /** Graph traversal over an edge relation — the layer above
   * [[Dedup.dupClusters]]'s connected components: CC answers "which
   * nodes touch at all", BFS answers "how far apart are they", which is
@@ -32,11 +44,7 @@ object Graph {
     * 2-7× inflation of exactly this query family). On a real cluster,
     * spilling per-iteration BSP state to local disk is the standard
     * bounded-memory posture. */
-  private def ckpt(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf
-        .getOption("spark.graft.graph.checkpointStorage").contains("memdisk"))
-      df.localCheckpoint()
-    else df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+  private def ckpt(df: DataFrame): DataFrame = Ckpt.local(df)
 
   /** Breadth-first hop distances from `start` over an undirected edge
     * list, bounded at `maxHops`. Returns (node, hops) with hops =

@@ -832,6 +832,95 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters equals driver-side union-find min-labels on random " +
+    "pair sets with extra singleton nodes") {
+    def refCC(pairs: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+      val all = (nodes ++ pairs.flatMap(p => Seq(p._1, p._2))).distinct
+      val parent = collection.mutable.Map(all.map(n => n -> n): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      all.map(n => n -> find(n)).toMap
+    }
+    val gen = for {
+      nn    <- Gen.chooseNum(1, 10)
+      np    <- Gen.chooseNum(0, 12)
+      pairs <- Gen.listOfN(np, for {
+        a <- Gen.chooseNum(1, 14); b0 <- Gen.chooseNum(1, 14)
+      } yield {
+        val b = if (a == b0) b0 % 14 + 1 else b0 // avoid self-pairs sans filter
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      })
+    } yield ((1 to nn).map(_.toLong), pairs)
+    samples(gen, 12).foreach { case (nodes, pairs) =>
+      val got = Dedup.dupClusters(pairs.toDF("id_a", "id_b"),
+          nodes.toDF("id"), "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = refCC(pairs, nodes)
+      assert(got == ref, s"nodes=$nodes pairs=$pairs")
+    }
+  }
+
+  test("clusterMedoids equals a driver-side jaccard→CC→argmax reference " +
+    "on random docs") {
+    import org.apache.spark.sql.functions.col
+    val n = 2
+    val t = 0.4
+    def shingleSet(text: String): Set[String] = {
+      val words = text.toLowerCase.split("\\s+", -1)
+      val starts = math.max(words.length - (n - 1), 1)
+      (0 until starts).map(i =>
+        words.slice(i, math.min(i + n, words.length)).mkString(" ")).toSet
+    }
+    val gen = for {
+      nd <- Gen.chooseNum(2, 8)
+      ds <- Gen.listOfN(nd, Gen.chooseNum(1, 8).flatMap(len =>
+        Gen.listOfN(len, word).map(_.mkString(" "))))
+    } yield ds.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+    samples(gen, 10).foreach { docs =>
+      val sets = docs.map { case (id, txt) => id -> shingleSet(txt) }.toMap
+      val pairs = for {
+        (ia, _) <- docs; (ib, _) <- docs if ia < ib
+        j = (sets(ia) & sets(ib)).size.toDouble / (sets(ia) | sets(ib)).size.toDouble
+        if j >= t
+      } yield (ia, ib)
+      // CC min-labels (quadratic closure is fine at this size)
+      val label = collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+      var moved = true
+      while (moved) {
+        moved = false
+        pairs.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m || label(b) != m) {
+            label(a) = m; label(b) = m; moved = true
+          }
+        }
+      }
+      val score = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      pairs.foreach { case (a, b) =>
+        val w = (sets(a) & sets(b)).size.toLong
+        score(a) += w; score(b) += w
+      }
+      val ref = label.values.toSeq.distinct.map { rep =>
+        val members = docs.map(_._1).filter(label(_) == rep)
+        val medoid =
+          if (members.size == 1) rep
+          else members.maxBy(m => (score(m), -m))
+        rep -> ((members.size.toLong, medoid))
+      }.toMap
+      val got = Dedup.clusterMedoids(docs.toDF("id", "text"), "id", "text",
+          shingleN = n, threshold = t)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == ref, s"docs=$docs pairs=$pairs")
+    }
+  }
+
   test("literal_scan_count equals the alternation regex AND a driver-side " +
     "Matcher reference on random mixed-script text") {
     import graft.functions.TextFunctions.literal_scan_count
