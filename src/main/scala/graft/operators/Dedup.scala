@@ -414,9 +414,21 @@ object Dedup {
       // pagerank/kcore AND on this CC loop via tools/ProbeMedoid)
       case None => df => Ckpt.local(df)
     }
-    val edges = cut(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // cut the pair relation BEFORE the symmetrizing self-union: the
+    // union's two branches would otherwise each execute the caller's
+    // pair pipeline (index+prune+verify — the expensive part of every
+    // c23-family query; exchange reuse recovers only the sub-shuffle
+    // work). The cut relation is near-dup-PAIR-sized; the union of its
+    // blocks is trivial to recompute per iteration. Local A/B (round
+    // 12, tools/ProbeSlow, sf0.1): wash-to-mild-win (c23 best 3.62 →
+    // 3.25 s, c90 3.34 → 2.58 across runs, noise ±0.5 s) — adopted for
+    // the structural guarantee: the pair pipeline executes ONCE
+    // regardless of how much of it exchange reuse happens to cover,
+    // which is what matters when the verify join dominates at scale.
+    val p = cut(pairs.select(col("id_a"), col("id_b")))
+    val edges =
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = cut(allNodes.select(col(idCol).cast("long").as("node"))
       .union(edges.select(col("src").cast("long").as("node")))
       .distinct()

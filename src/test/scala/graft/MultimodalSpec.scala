@@ -704,4 +704,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one.getInt(1) == 4 && one.getInt(2) == 0)
     assert(one.getDouble(3) == 0.0 && one.getDouble(4) == 0.0)
   }
+
+  test("attachBinaryCached self-heals after an external unpersist sweep") {
+    // round 12: the bench's per-query hygiene unpersists everything; the
+    // shared binary fixture must re-pin itself (and stay value-stable)
+    // instead of silently re-encoding the corpus on every later action
+    import org.apache.spark.storage.StorageLevel
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.multimodal.Multimodal.attachBinaryCached(spark, dir)
+    val before = df.select("doc_id").count()
+    assert(df.storageLevel != StorageLevel.NONE, "fixture must be pinned")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    val healed = graft.multimodal.Multimodal.attachBinaryCached(spark, dir)
+    assert(healed.storageLevel != StorageLevel.NONE,
+      "fixture must be re-pinned after the sweep")
+    assert(healed.select("doc_id").count() == before)
+  }
 }
