@@ -832,6 +832,101 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("substringDecontam equals a driver-side windows→mark→islands replay " +
+    "on random small-alphabet train/bench corpora") {
+    val k = 5
+    def windowsOf(t: String): Seq[(Int, String)] = {
+      val starts = math.max(t.length - (k - 1), 1)
+      (1 to starts).map(i => i -> t.substring(i - 1, math.min(i - 1 + k, t.length)))
+    }
+    def refStats(train: Seq[(Long, String)], bench: Seq[(Long, String)])
+        : Map[Long, (Long, Long, Long, Double)] = {
+      val benchSet = bench.flatMap(b => windowsOf(b._2).map(_._2)).toSet
+      train.flatMap { case (id, t) =>
+        val marked = windowsOf(t).collect {
+          case (p, w) if benchSet(w) => p
+        }.sorted
+        if (marked.isEmpty) None
+        else {
+          // gaps-and-islands: starts <= k apart fuse
+          val islands = marked.tail.foldLeft(
+            List(List(marked.head))) { (acc, p) =>
+            if (p - acc.head.head <= k) (p :: acc.head) :: acc.tail
+            else List(p) :: acc
+          }.map(_.reverse).reverse
+          val per = islands.map { is =>
+            val p0 = is.min; val p1 = is.max
+            (is.size.toLong, (math.min(p1 + k - 1, t.length) - p0 + 1).toLong)
+          }
+          val chars = per.map(_._2).sum
+          Some(id -> ((islands.size.toLong, per.map(_._1).sum, chars,
+            BigDecimal(chars.toDouble / t.length)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        }
+      }.toMap
+    }
+    val chars = Gen.oneOf('a', 'b', 'c')
+    val gen = for {
+      nb    <- Gen.chooseNum(1, 2)
+      bs    <- Gen.listOfN(nb, Gen.chooseNum(3, 12).flatMap(l =>
+        Gen.listOfN(l, chars).map(_.mkString)))
+      nt    <- Gen.chooseNum(1, 6)
+      ts    <- Gen.listOfN(nt, Gen.chooseNum(0, 20).flatMap(l =>
+        Gen.listOfN(l, chars).map(_.mkString)))
+      // plant one train doc that embeds a benchmark substring
+      pre   <- Gen.listOfN(4, chars).map(_.mkString)
+      post  <- Gen.listOfN(4, chars).map(_.mkString)
+    } yield (ts :+ (pre + bs.head + post), bs)
+    samples(gen, 10).foreach { case (ts, bs) =>
+      val train = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val bench = bs.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      val got = Dedup.substringDecontam(train.toDF("id", "text"),
+          bench.toDF("id", "text"), "id", "text", windowChars = k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      val ref = refStats(train.filter(_._2.nonEmpty), bench)
+      assert(got == ref, s"train=$train bench=$bench")
+    }
+  }
+
+  test("neighborJaccard equals the quadratic reference, with and without " +
+    "the hub cap, on random bipartite relations") {
+    import graft.operators.Graph
+    def ref(rel: Seq[(Long, Long)], minCommon: Long, cap: Long)
+        : Map[(Long, Long), (Long, Long, Long, Double)] = {
+      val b = rel.distinct
+      val deg = b.groupBy(_._1).map { case (e, xs) => e -> xs.size.toLong }
+      val items = b.groupBy(_._2)
+      val kept = if (cap > 0) items.filter(_._2.size <= cap) else items
+      val pairCommon = collection.mutable.Map[(Long, Long), Long]()
+        .withDefaultValue(0L)
+      kept.values.foreach { es =>
+        val ents = es.map(_._1).distinct.sorted
+        for (i <- ents.indices; j <- (i + 1) until ents.length)
+          pairCommon((ents(i), ents(j))) += 1
+      }
+      pairCommon.toMap.collect { case ((a, bb), c) if c >= minCommon =>
+        (a, bb) -> ((c, deg(a), deg(bb),
+          c.toDouble / (deg(a) + deg(bb) - c)))
+      }
+    }
+    val gen = for {
+      m   <- Gen.chooseNum(2, 24)
+      rel <- Gen.listOfN(m, for {
+        e <- Gen.chooseNum(1, 6); i <- Gen.chooseNum(1, 8)
+      } yield (e.toLong, i.toLong))
+      mc  <- Gen.chooseNum(1, 3)
+      cap <- Gen.oneOf(0L, 2L, 3L)
+    } yield (rel, mc.toLong, cap)
+    samples(gen, 15).foreach { case (rel, mc, cap) =>
+      val got = Graph.neighborJaccard(rel.toDF("e", "i"), "e", "i",
+          minCommon = mc, maxItemDeg = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      assert(got == ref(rel, mc, cap), s"rel=$rel mc=$mc cap=$cap")
+    }
+  }
+
   test("dupClusters equals driver-side union-find min-labels on random " +
     "pair sets with extra singleton nodes") {
     def refCC(pairs: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
