@@ -832,6 +832,86 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simHash and simHashDupPairs equal a driver-side reference under " +
+    "the oracle word hash on random corpora") {
+    import org.apache.spark.sql.Column
+    def fp64(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    def whDriver(s: String): Long = graft.functions.Mix64.mix(fp64(s))
+    val whCol: Column => Column = c =>
+      graft.functions.TextFunctions.mix64(
+        graft.functions.TextFunctions.fingerprint64(c))
+    def refSig(text: String): Long = {
+      val hs = text.toLowerCase.split("\\s+").map(whDriver)
+      (0 until 64).map { i =>
+        val s = hs.map(h => if (((h >> i) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << i else 0L
+      }.reduce(_ | _)
+    }
+    val gen = for {
+      nd  <- Gen.chooseNum(2, 8)
+      ds  <- Gen.listOfN(nd, Gen.chooseNum(1, 10).flatMap(l =>
+        Gen.listOfN(l, word).map(_.mkString(" "))))
+      dup <- Gen.chooseNum(0, nd - 1) // planted exact dup → hamming 0
+      mh  <- Gen.chooseNum(0, 3)
+    } yield ((ds :+ ds(dup)).zipWithIndex.map { case (t, i) => (i.toLong, t) }, mh)
+    samples(gen, 10).foreach { case (docs, maxHamming) =>
+      val sigs = Dedup.simHash(docs.toDF("id", "text"), "id", "text", whCol)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val refs = docs.map { case (id, t) => id -> refSig(t) }.toMap
+      assert(sigs == refs, s"docs=$docs")
+      // 4-band blocking is EXACT for maxHamming <= 3 (pigeonhole: 3 flipped
+      // bits leave one clean 16-bit band), so the pair set must equal the
+      // quadratic hamming filter, not just contain it
+      val got = Dedup.simHashDupPairs(docs.toDF("id", "text"), "id", "text",
+          maxHamming, whCol)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.get(2).asInstanceOf[Number].longValue).toMap
+      val ref = (for {
+        (ia, _) <- docs; (ib, _) <- docs if ia < ib
+        h = java.lang.Long.bitCount(refs(ia) ^ refs(ib)).toLong
+        if h <= maxHamming
+      } yield (ia, ib) -> h).toMap
+      assert(got == ref, s"docs=$docs maxHamming=$maxHamming")
+    }
+  }
+
+  test("leakFreeSplit equals the driver-side seeded-key assignment and " +
+    "never splits a cluster") {
+    import graft.operators.Sampling
+    def fp64(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    def u(rep: Long, seed: Long): Double =
+      graft.functions.Mix64.mix(fp64(s"$seed:$rep")).toDouble /
+        1.8446744073709552e19 + 0.5
+    val fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    def refSplit(rep: Long, seed: Long): String = {
+      val x = u(rep, seed)
+      fractions.map(_._1).zip(cuts).init
+        .collectFirst { case (n, c) if x < c => n }
+        .getOrElse(fractions.last._1)
+    }
+    val gen = for {
+      n     <- Gen.chooseNum(2, 20)
+      reps  <- Gen.listOfN(n, Gen.chooseNum(1L, 6L)) // few reps → shared clusters
+      seed  <- Gen.chooseNum(1L, 1000L)
+    } yield (reps.zipWithIndex.map { case (r, i) => (i.toLong, r) }, seed)
+    samples(gen, 12).foreach { case (clusters, seed) =>
+      val got = Sampling.leakFreeSplit(clusters.toDF("id", "rep"),
+          "id", "rep", fractions, seed)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+      clusters.foreach { case (id, rep) =>
+        assert(got(id) == ((rep, refSplit(rep, seed))),
+          s"id=$id rep=$rep seed=$seed got=${got(id)}")
+      }
+      // leak-freedom restated: one split per cluster representative
+      got.values.groupBy(_._1).values.foreach(v =>
+        assert(v.map(_._2).toSet.size == 1))
+    }
+  }
+
   test("substringDecontam equals a driver-side windows→mark→islands replay " +
     "on random small-alphabet train/bench corpora") {
     val k = 5
