@@ -377,6 +377,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcApply replay equals per-key latest-wins at random change sets, " +
+    "arrival permutations, and chunk counts") {
+    // round-12 generalization of the fwd/rev permutation pins below:
+    // the mirror must equal the batch latest-change-per-key rule for
+    // ANY arrival order and ANY micro-batch chunking (tombstone
+    // retention is what makes this hold)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import java.nio.file.Files
+    val gen = for {
+      n    <- Gen.chooseNum(4, 10)
+      keys <- Gen.listOfN(n, Gen.chooseNum(1L, 4L))
+      tss  <- Gen.listOfN(n, Gen.chooseNum(1L, 6L))
+      ops  <- Gen.listOfN(n, Gen.oneOf("upsert", "delete"))
+      perm <- Gen.chooseNum(0, 1000)
+      nc   <- Gen.chooseNum(2, 5)
+    } yield (keys, tss, ops, perm, nc)
+    val cases = (0 until 4).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(2200L + i)))
+    cases.zipWithIndex.foreach { case ((keys, tss, ops, permSeed, nc), it) =>
+      val changes = keys.indices.map { i =>
+        (keys(i), tss(i), 100L + i, ops(i), (100 + i).toDouble)
+      }
+      // deterministic pseudo-random arrival order from permSeed
+      val arrival = changes.indices
+        .sortBy(i => graft.functions.Mix64.mix(permSeed * 1000L + i))
+      val rows = changes.zip(arrival.map(_.toLong + 1))
+        .map { case ((k, ts, eid, op, v), arr) => (k, ts, eid, op, v, arr) }
+      val work = Files.createTempDirectory(s"graft_s22_rand$it").toString
+      val df = rows.toDF("user_id", "ts", "event_id", "op", "value", "arrival")
+      val nChunks = math.max(2, math.min(nc, rows.length))
+      val schema = Streams.writeOrderedReplay(df, "arrival", nChunks, s"$work/in")
+      val got = Streams.cdcApply(spark,
+          Streams.replayStream(spark, s"$work/in", schema, maxFilesPerTrigger = 1),
+          "user_id", "ts", "event_id", "op", "value", s"$work/state")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ref = changes.groupBy(_._1).flatMap { case (k, cs) =>
+        val latest = cs.maxBy(c => (c._2, c._3))
+        if (latest._4 == "upsert") Some(k -> latest._5) else None
+      }
+      assert(got == ref,
+        s"changes=$changes arrival=$arrival nChunks=$nChunks got=$got ref=$ref")
+      Tables.deleteRecursively(work)
+    }
+  }
+
   test("cdcApply: tombstones block older late upserts; newer upserts resurrect; any arrival order") {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graft_cdc").toString
