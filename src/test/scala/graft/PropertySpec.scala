@@ -832,6 +832,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMergeTable equals a driver-side BPE training loop on random " +
+    "corpora (pair counts, tie-breaks, greedy re-segmentation)") {
+    import graft.operators.TextAnalysis
+    def refTable(corpus: Seq[String], numMerges: Int)
+        : Seq[(Int, String, String, Long)] = {
+      val freq = corpus.flatMap(_.toLowerCase.split("\\s+"))
+        .filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      var segs: Map[String, List[String]] =
+        freq.keys.map(w => w -> w.map(_.toString).toList).toMap
+      (1 to numMerges).map { round =>
+        val counts = collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        for ((w, c) <- freq; p <- segs(w).sliding(2) if p.length == 2)
+          counts((p.head, p(1))) += c
+        val ((l, r), f) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        segs = segs.map { case (w, ss) =>
+          // greedy left-to-right non-overlapping merge — the documented
+          // semantics of the operator's consumed-delimiter replace
+          val out = collection.mutable.ListBuffer[String]()
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          w -> out.toList
+        }
+        (round, l, r, f)
+      }
+    }
+    val gen = for {
+      nd   <- Gen.chooseNum(1, 5)
+      ds   <- Gen.listOfN(nd, Gen.chooseNum(1, 6).flatMap(l =>
+        Gen.listOfN(l, word).map(_.mkString(" "))))
+      long <- Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      nm   <- Gen.chooseNum(1, 3)
+    } yield (ds :+ s"$long $long", nm) // the long word keeps pairs alive
+    samples(gen, 10).foreach { case (corpus, numMerges) =>
+      val got = TextAnalysis.bpeMergeTable(
+          corpus.zipWithIndex.map(_.swap).toDF("id", "text"), "text", numMerges)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val ref = refTable(corpus, numMerges)
+      assert(got == ref, s"corpus=$corpus numMerges=$numMerges")
+    }
+  }
+
   test("simHash and simHashDupPairs equal a driver-side reference under " +
     "the oracle word hash on random corpora") {
     import org.apache.spark.sql.Column
