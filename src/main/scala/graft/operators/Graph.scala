@@ -294,7 +294,8 @@ object Graph {
     * computation, the honest form at corpus scale where a pathological
     * chain graph would need O(n) peels; real co-occurrence graphs settle
     * in a handful. A converged round is a no-op, so extra rounds never
-    * change the answer.
+    * change the answer — which is also why the implementation may skip
+    * them once the edge count fixes (see the inline note below).
     *
     * Scale shape: per round ONE degree aggregation keyed by the 8-byte
     * node id and TWO semi-joins of the edge relation against the
@@ -317,15 +318,33 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
       .transform(ckpt)
+    // Early exit on convergence (round 12): the peel only ever REMOVES
+    // edges, so an unchanged edge count proves the edge SET is
+    // unchanged — a fixed point, after which every remaining round
+    // recomputes the identical relation. Skipping those rounds is
+    // value-identical by that argument (and stays pinned by the
+    // randomized-rounds generative peel test). The per-round count runs
+    // on the just-checkpointed relation — one scan-and-count job, no
+    // shuffle — vs a whole degree-agg + two-semi-join + checkpoint
+    // round saved whenever the budget outlives the peel. Probed at
+    // sf0.1 (ProbeKCore, PLANS.md round 12): c104's graph never
+    // converges inside its 8-round budget (28 686 → 5 534 directed
+    // edges, still shrinking), so there the exit never fires and the
+    // A/B reads as a wash (count overhead below run noise); kept for
+    // the asymmetric payoff on peels that DO converge under budget and
+    // for the empty-graph short-circuit.
+    var prev = e.count()
     var r = 0
-    while (r < rounds) {
+    while (r < rounds && prev > 0) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
       e = e.join(keep, Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select("u", "v")
         .transform(ckpt)
-      r += 1
+      val cur = e.count()
+      r = if (cur == prev) rounds else r + 1
+      prev = cur
     }
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
   }

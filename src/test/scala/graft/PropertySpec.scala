@@ -1181,4 +1181,207 @@ class PropertySpec extends AnyFunSuite {
       assert(got == ref, s"scan != driver Matcher for $lits")
     }
   }
+
+  test("pageRank equals a driver-side power iteration at randomized " +
+    "damping/iters in both directed and undirected modes") {
+    import graft.operators.Graph
+    // replays the implemented semantics exactly: distinct edge list
+    // (symmetrized when undirected), self-loops kept, uniform 1/N
+    // start, PR' = (1-d)/N + d*Σ rank/outdeg, dangling mass NOT
+    // redistributed (directed mode), final ranks mean-normalized (*N)
+    def refPr(edges: Seq[(Long, Long)], iters: Int, d: Double,
+              undirected: Boolean): Map[String, Double] = {
+      val raw = edges.map { case (a, b) => (a.toString, b.toString) }
+      val dir = (if (undirected) raw ++ raw.map(_.swap) else raw).distinct
+      val nodes = (dir.map(_._1) ++ dir.map(_._2)).distinct
+      val n = nodes.size
+      val outdeg = dir.groupBy(_._1).map { case (a, es) => a -> es.size }
+      var rank = nodes.map(_ -> 1.0 / n).toMap
+      (1 to iters).foreach { _ =>
+        val in = dir.groupBy(_._2).map { case (b, es) =>
+          b -> es.map { case (a, _) => rank(a) / outdeg(a) }.sum
+        }
+        rank = nodes.map(v =>
+          v -> ((1.0 - d) / n + d * in.getOrElse(v, 0.0))).toMap
+      }
+      rank.map { case (v, r) => v -> r * n }
+    }
+    val gen = for {
+      nn <- Gen.chooseNum(2, 8)
+      m  <- Gen.chooseNum(1, 14)
+      es <- Gen.listOfN(m, for { // self-loops and duplicates on purpose
+        u <- Gen.chooseNum(1, nn); v <- Gen.chooseNum(1, nn)
+      } yield (u.toLong, v.toLong))
+      it <- Gen.chooseNum(1, 4)
+      dm <- Gen.oneOf(0.5, 0.85, 0.9)
+      ud <- Gen.oneOf(true, false)
+    } yield (es, it, dm, ud)
+    samples(gen, 8).foreach { case (es, it, dm, ud) =>
+      val got = Graph.pageRank(es.toDF("u", "v"), "u", "v", it, dm, ud)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val ref = refPr(es, it, dm, ud)
+      assert(got.keySet == ref.keySet,
+        s"node sets differ: edges=$es ud=$ud ${got.keySet} vs ${ref.keySet}")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - ref(v)) < 1e-9,
+          s"edges=$es it=$it d=$dm ud=$ud node=$v: $r vs ${ref(v)}")
+      }
+    }
+  }
+
+  test("ivfKnnFromCentroids: literal and broadcast-join assignment paths " +
+    "are value-identical, and full-probe equals brute force, on random vectors") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val dim = 4
+    val gen = for {
+      n  <- Gen.chooseNum(6, 30)
+      vs <- Gen.listOfN(n, Gen.listOfN(dim,
+              Gen.chooseNum(-1000, 1000).map(_ / 997.0)))
+      nc <- Gen.chooseNum(2, 5)
+      cs <- Gen.listOfN(nc, Gen.listOfN(dim,
+              Gen.chooseNum(-1000, 1000).map(_ / 997.0)))
+      k  <- Gen.chooseNum(1, 4)
+    } yield (vs, cs, k)
+    samples(gen, 8).foreach { case (vs, cs, k) =>
+      val e = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val qs = e.filter(col("vec_id") % 3 === 0)
+      val cents = cs.map(_.toSeq)
+      def run(joinFrom: Int, nProbe: Int) =
+        Similarity.ivfKnnFromCentroids(e, qs, "vec_id", "embedding",
+            k, cents, nProbe, centroidJoinFrom = joinFrom)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+      (1 to cents.size).foreach { p =>
+        val lit = run(256, p)  // nCells < 256 → literal-expression path
+        val bc  = run(1, p)    // nCells >= 1 → broadcast-join path
+        assert(lit == bc, s"paths differ at nProbe=$p: vs=$vs cs=$cs")
+      }
+      // nProbe = nCells probes every cell → exact search; tie-breaks
+      // and the cosine expression are shared with the oracle, so the
+      // result sets must be identical, not merely recall-1.0
+      val full  = run(256, cents.size)
+      val brute = Similarity.bruteForceKnn(e, qs, "vec_id", "embedding", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(full == brute, s"full-probe != brute force: vs=$vs cs=$cs k=$k")
+    }
+  }
+
+  test("coOccurrencePairs equals a quadratic driver-side reference at " +
+    "randomized minShared/hub caps (the c104 edge builder)") {
+    import graft.operators.Graph
+    def ref(rel: Seq[(Long, Long)], minShared: Long,
+            cap: Long): Map[(Long, Long), Long] = {
+      val b = rel.distinct
+      val kept = if (cap > 0) {
+        val deg = b.groupBy(_._2).map { case (i, es) => i -> es.size }
+        b.filter(p => deg(p._2) <= cap)
+      } else b
+      val byItem = kept.groupBy(_._2).values.toSeq
+      byItem.flatMap { es =>
+        val owners = es.map(_._1).distinct
+        for (a <- owners; bb <- owners if a < bb) yield (a, bb)
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+        .filter(_._2 >= minShared)
+    }
+    val gen = for {
+      ne <- Gen.chooseNum(2, 6)
+      ni <- Gen.chooseNum(2, 6)
+      m  <- Gen.chooseNum(1, 24)
+      rel <- Gen.listOfN(m, for { // duplicates on purpose (distinct'd)
+        e <- Gen.chooseNum(1, ne); i <- Gen.chooseNum(1, ni)
+      } yield (e.toLong, i.toLong))
+      ms  <- Gen.chooseNum(1, 3)
+      cap <- Gen.oneOf(0L, 1L, 2L, 4L)
+    } yield (rel, ms.toLong, cap)
+    samples(gen, 15).foreach { case (rel, ms, cap) =>
+      val got = Graph.coOccurrencePairs(rel.toDF("e", "i"), "e", "i",
+          minShared = ms, maxItemDeg = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == ref(rel, ms, cap),
+        s"rel=$rel minShared=$ms cap=$cap: $got vs ${ref(rel, ms, cap)}")
+    }
+  }
+
+  test("pcaProject equals an independent driver-side eigensolve " +
+    "(power iteration + deflation) on planted-spectrum random data") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    // top-k eigenvectors by power iteration + deflation — a different
+    // algorithm from the operator's Jacobi sweep, so agreement is a
+    // genuine cross-check, not a replay
+    def eigTop(a0: Array[Array[Double]], k: Int): Seq[Array[Double]] = {
+      val d = a0.length
+      val m = a0.map(_.clone())
+      (0 until k).map { c =>
+        var v = Array.tabulate(d)(i => 1.0 + 0.013 * ((i + c) % d))
+        (0 until 4000).foreach { _ =>
+          val w = m.map(row => row.indices.map(j => row(j) * v(j)).sum)
+          val nw = math.sqrt(w.map(x => x * x).sum)
+          v = w.map(_ / nw).toArray
+        }
+        val lam = v.indices.map(i =>
+          v(i) * m(i).indices.map(j => m(i)(j) * v(j)).sum).sum
+        for (i <- 0 until d; j <- 0 until d) m(i)(j) -= lam * v(i) * v(j)
+        val lead = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
+        if (lead < 0) v.map(-_) else v
+      }
+    }
+    val dimGen = Gen.chooseNum(3, 5)
+    val gen = for {
+      d  <- dimGen
+      n  <- Gen.chooseNum(40, 90)
+      // planted spectrum: coordinate j has scale 0.5^j → well-separated
+      // sample eigen gaps w.h.p., which both solvers need to agree
+      zs <- Gen.listOfN(n, Gen.listOfN(d, Gen.chooseNum(-1000, 1000)))
+      rot <- Gen.listOfN(d, Gen.listOfN(d, Gen.chooseNum(-1000, 1000)))
+      k  <- Gen.chooseNum(1, 2)
+    } yield (d, zs.map(_.zipWithIndex.map { case (x, j) =>
+        (x / 997.0) * math.pow(0.5, j) }),
+        rot.map(_.map(_ / 997.0)), k)
+    samples(gen, 6).foreach { case (d, zs, rot, k) =>
+      // random orthonormal basis via Gram-Schmidt on the raw matrix
+      val basis = rot.map(_.toArray).foldLeft(Vector.empty[Array[Double]]) {
+        (acc, r0) =>
+          val r = r0.clone()
+          acc.foreach { b =>
+            val pr = r.indices.map(i => r(i) * b(i)).sum
+            r.indices.foreach(i => r(i) -= pr * b(i))
+          }
+          val nr = math.sqrt(r.map(x => x * x).sum)
+          if (nr > 1e-6) acc :+ r.map(_ / nr) else acc
+      }
+      if (basis.size == d) { // degenerate raw matrix → skip this sample
+        val xs = zs.map(z => (0 until d).map(i =>
+          (0 until d).map(j => basis(j)(i) * z(j)).sum).toArray)
+        val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x.toSeq) }
+          .toDF("vec_id", "embedding")
+        val got = Similarity.pcaProject(df, "vec_id", "embedding", k)
+          .select(col("vec_id"), col("pc"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        // reference: covariance (scaling-invariant for eigenvectors) +
+        // power-iteration eigensolve + the same sign normalization
+        val n = xs.size
+        val mu = (0 until d).map(i => xs.map(_(i)).sum / n)
+        val cov = Array.tabulate(d, d)((i, j) =>
+          xs.map(x => (x(i) - mu(i)) * (x(j) - mu(j))).sum / n)
+        val comps = eigTop(cov, k)
+        val ref = xs.zipWithIndex.map { case (x, i) =>
+          i.toLong -> comps.map(w =>
+            (0 until d).map(j => (x(j) - mu(j)) * w(j)).sum)
+        }.toMap
+        got.foreach { case (id, pcs) =>
+          pcs.zip(ref(id)).zipWithIndex.foreach { case ((g, r), c) =>
+            assert(math.abs(g - r) < 1e-6 * math.max(1.0, math.abs(r)),
+              s"d=$d n=$n k=$k id=$id comp=$c: $g vs $r")
+          }
+        }
+      }
+    }
+  }
 }
