@@ -377,6 +377,75 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful running totals are micro-batch-boundary-invariant: random " +
+    "event sets at random chunk counts equal a driver-side fold") {
+    // round-12 extension of the fixture-level batch-window pin
+    // (StatefulExtensionsSpec): the flatMapGroupsWithState operator's
+    // cross-batch state must make the result independent of where
+    // micro-batch boundaries fall in an event_id-ordered replay. The
+    // driver reference folds each user's events in event_id order —
+    // sequential double accumulation, so equality is EXACT (the
+    // streaming side accumulates per user in the same order)
+    import graft.streaming.Stateful
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import java.nio.file.Files
+    val gen = for {
+      n  <- Gen.chooseNum(4, 14)
+      us <- Gen.listOfN(n, Gen.chooseNum(1L, 4L))
+      vs <- Gen.listOfN(n, Gen.chooseNum(-500, 500).map(_ / 100.0))
+      nc <- Gen.chooseNum(2, 6)
+    } yield (us, vs, nc)
+    val cases = (0 until 4).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(3200L + i)))
+    cases.zipWithIndex.foreach { case ((us, vs, nc), it) =>
+      // unique event_ids: the within-batch sort is keyed on event_id,
+      // so duplicates would have no deterministic fold order
+      val rows = us.zip(vs).zipWithIndex.map { case ((u, v), i) =>
+        (u, (i + 1).toLong, v)
+      }
+      val work = Files.createTempDirectory(s"graft_s3_rand$it").toString
+      val df = rows.toDF("user_id", "event_id", "value")
+      val nChunks = math.max(2, math.min(nc, rows.length))
+      val schema = Streams.writeOrderedReplay(df, "event_id", nChunks, s"$work/in")
+      def replay = Streams.replayStream(spark, s"$work/in", schema,
+        maxFilesPerTrigger = 1)
+      val got = Streams.runToCompletionAppend(spark,
+          Stateful.runningTotals(spark, replay).toDF(), s"t_s3_rand$it")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // the transformWithState twin shares the fold by construction —
+      // pin it against the same reference (RocksDB provider scoped to
+      // this run, as in Stateful.runTwsToCompletion)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      val gotTws =
+        try Streams.runToCompletionAppend(spark,
+            Stateful.runningTotalsTws(spark, replay).toDF(), s"t_tws_rand$it")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      val ref = rows.groupBy(_._1).flatMap { case (u, es) =>
+        var n = 0L
+        var tot = 0.0
+        es.sortBy(_._2).map { case (_, eid, v) =>
+          n += 1; tot += v; (u, eid, n, tot)
+        }
+      }.toSet
+      assert(got == ref, s"rows=$rows nChunks=$nChunks got=$got ref=$ref")
+      assert(gotTws == ref,
+        s"tws: rows=$rows nChunks=$nChunks got=$gotTws ref=$ref")
+      Tables.deleteRecursively(work)
+    }
+  }
+
   test("cdcApply replay equals per-key latest-wins at random change sets, " +
     "arrival permutations, and chunk counts") {
     // round-12 generalization of the fwd/rev permutation pins below:
