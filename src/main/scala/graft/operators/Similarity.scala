@@ -215,35 +215,146 @@ object Similarity {
       .filter(col("cosine").isNotNull)
   }
 
+  /** One-pass packed moment buffer behind [[covarianceMatrix]] /
+    * [[pcaProject]]: per-dimension counts and sums plus per-upper-
+    * triangle-cell counts and product sums, packed i ≤ j at
+    * idx = j(j+1)/2 + i. Per-cell counts keep the ragged/null-element
+    * semantics of the old exploded form: every cell averages over
+    * exactly the rows that HAVE both elements non-null. Buffers are
+    * MUTATED in place (Spark's ObjectHashAggregate holds one live
+    * buffer object per partition; encoding happens only at merge
+    * boundaries), so the hot loop is d(d+1)/2 fused multiply-adds per
+    * row with no per-product row materialization. */
+  private[operators] case class CovBuf(counts: Array[Long], sums: Array[Double],
+                                       pcounts: Array[Long], prods: Array[Double])
+
+  private[operators] class CovStatsAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[java.lang.Double], CovBuf, CovBuf] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    override def zero: CovBuf = CovBuf(Array.emptyLongArray,
+      Array.emptyDoubleArray, Array.emptyLongArray, Array.emptyDoubleArray)
+    private def grow(b: CovBuf, d: Int): CovBuf =
+      if (b.counts.length >= d) b
+      else {
+        val t = d * (d + 1) / 2
+        CovBuf(java.util.Arrays.copyOf(b.counts, d),
+          java.util.Arrays.copyOf(b.sums, d),
+          java.util.Arrays.copyOf(b.pcounts, t),
+          java.util.Arrays.copyOf(b.prods, t))
+      }
+    override def reduce(b0: CovBuf, in: Seq[java.lang.Double]): CovBuf = {
+      if (in == null) return b0
+      val d = in.size
+      val b = grow(b0, d)
+      val v = new Array[Double](d)
+      var anyNull = false
+      var i = 0
+      while (i < d) {
+        val x = in(i)
+        if (x == null) anyNull = true else v(i) = x.doubleValue()
+        i += 1
+      }
+      if (!anyNull) { // fast path: tight FMA over the packed triangle
+        i = 0
+        while (i < d) {
+          b.counts(i) += 1; b.sums(i) += v(i)
+          var j = i
+          while (j < d) {
+            val idx = j * (j + 1) / 2 + i
+            b.pcounts(idx) += 1; b.prods(idx) += v(i) * v(j)
+            j += 1
+          }
+          i += 1
+        }
+      } else { // null elements: skip exactly the cells the old form skipped
+        i = 0
+        while (i < d) {
+          if (in(i) != null) {
+            b.counts(i) += 1; b.sums(i) += v(i)
+            var j = i
+            while (j < d) {
+              if (in(j) != null) {
+                val idx = j * (j + 1) / 2 + i
+                b.pcounts(idx) += 1; b.prods(idx) += v(i) * v(j)
+              }
+              j += 1
+            }
+          }
+          i += 1
+        }
+      }
+      b
+    }
+    override def merge(a0: CovBuf, c0: CovBuf): CovBuf = {
+      val d = math.max(a0.counts.length, c0.counts.length)
+      val a = grow(a0, d); val c = grow(c0, d)
+      var i = 0
+      while (i < d) { a.counts(i) += c.counts(i); a.sums(i) += c.sums(i); i += 1 }
+      var t = 0
+      while (t < a.pcounts.length) {
+        a.pcounts(t) += c.pcounts(t); a.prods(t) += c.prods(t); t += 1
+      }
+      a
+    }
+    override def finish(b: CovBuf): CovBuf = b
+    override def bufferEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+    override def outputEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+  }
+
+  /** Run the one-pass moment aggregation and return the packed buffer.
+    * Shared by [[covarianceMatrix]] (which tabulates the d² relation)
+    * and [[pcaProject]] (which consumes means + covariance directly —
+    * ONE corpus scan where the old form paid three). */
+  private def covarianceStats(df: DataFrame, vecCol: String): CovBuf = {
+    val covAgg = udaf(new CovStatsAgg)
+    df.select(col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
+      .agg(covAgg(col("_v")).as("_s"))
+      .as(org.apache.spark.sql.Encoders.product[Tuple1[CovBuf]])
+      .head()._1
+  }
+
   /** Embedding covariance matrix (upper triangle): cov(i,j) =
     * E[x_i·x_j] − E[x_i]·E[x_j] — the first step of PCA / whitening /
     * anisotropy diagnosis over an embedding corpus (the eigensolve on
     * the d×d result is driver-side model math, the Lloyd's-fit
     * precedent). Output: (i, j, cov) for 0-based i ≤ j.
     *
-    * Scale shape: each row expands to its own d(d+1)/2 upper-triangle
-    * products inside ONE codegen transform+explode (no row-keyed
-    * self-join of exploded dimensions), which map-side combines into
-    * the d²-sized average relation — the shuffle is dims²×partitions
-    * rows regardless of corpus size; the d-sized mean relation
-    * broadcast-joins in twice. The FLOPs are the Gram matrix's own —
-    * no algorithm pays less. */
+    * Scale shape (round-12 rewrite, measured c65 2.9-3.2 → 0.8-0.9 s
+    * and c66 2.9 → 0.8-0.9 s at sf0.1, ~3.4× both — ProbeSlow,
+    * PLANS.md): ONE typed-Aggregator pass accumulates every per-dimension
+    * and per-cell moment into a packed d(d+1)/2 buffer — tight
+    * multiply-add loops per row instead of materializing d(d+1)/2
+    * struct rows per row for the exploded groupBy (same FLOPs, none of
+    * the per-product row overhead). The shuffle is ONE ~d² buffer per
+    * partition (the old form's map-side combine also held a d²-sized
+    * hash per partition, so memory is unchanged); the d²-row output
+    * relation is model-sized and driver-tabulated, the Lloyd's/LSH
+    * precedent. Value-identical to the exploded form up to float
+    * summation order (both partition-order-dependent; pinned by a
+    * generative equivalence test incl. ragged and null-element
+    * corpora). */
   def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
-    val v = df.select(col(vecCol).cast("array<double>").as("_v"))
-      .filter(col("_v").isNotNull)
-    val prods = v.select(explode(expr(
-      """flatten(transform(_v, (xi, i) ->
-        |  transform(slice(_v, i + 1, size(_v) - i),
-        |            (xj, k) -> struct(i AS i, i + k AS j, xi * xj AS p))))"""
-        .stripMargin)).as("_e"))
-      .select(col("_e.i"), col("_e.j"), col("_e.p"))
-      .groupBy("i", "j").agg(avg("p").as("_pavg"))
-    val means = v.select(posexplode(col("_v")).as(Seq("i", "xi")))
-      .groupBy("i").agg(avg("xi").as("_m"))
-    prods
-      .join(broadcast(means.select(col("i"), col("_m").as("_mi"))), "i")
-      .join(broadcast(means.select(col("i").as("j"), col("_m").as("_mj"))), "j")
-      .select(col("i"), col("j"), (col("_pavg") - col("_mi") * col("_mj")).as("cov"))
+    val spark = df.sparkSession
+    val b = covarianceStats(df, vecCol)
+    val d = b.counts.length
+    val rows = for {
+      j <- 0 until d
+      i <- 0 to j
+      idx = j * (j + 1) / 2 + i
+      if b.pcounts(idx) > 0
+    } yield org.apache.spark.sql.Row(i, j,
+      b.prods(idx) / b.pcounts(idx) -
+        (b.sums(i) / b.counts(i)) * (b.sums(j) / b.counts(j)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("j",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cov",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /** Cyclic-Jacobi eigensolve of a symmetric matrix — driver-side
@@ -304,17 +415,20 @@ object Similarity {
     * projection against LITERAL component arrays — the corpus is
     * touched once for stats and once for projection, nothing else. */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val cells = covarianceMatrix(df, vecCol).collect()
-    val d = cells.map(_.getInt(1)).max + 1
+    val b = covarianceStats(df, vecCol)
+    val d = b.counts.length
     require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
     val cov = Array.ofDim[Double](d, d)
-    cells.foreach { r =>
-      cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-      cov(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    for (j <- 0 until d; i <- 0 to j) {
+      val idx = j * (j + 1) / 2 + i
+      if (b.pcounts(idx) > 0) {
+        val c = b.prods(idx) / b.pcounts(idx) -
+          (b.sums(i) / b.counts(i)) * (b.sums(j) / b.counts(j))
+        cov(i)(j) = c; cov(j)(i) = c
+      }
     }
-    val means = df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
-      .groupBy("i").agg(avg("x").as("m")).collect()
-      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    val means = Array.tabulate(d)(i =>
+      if (b.counts(i) > 0) b.sums(i) / b.counts(i) else 0.0)
     val (evals, evecs) = jacobiEigen(cov)
     val top = evals.zipWithIndex.sortBy(-_._1).take(k).map { case (_, i) =>
       val vec = evecs(i)

@@ -1308,6 +1308,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("covarianceMatrix equals a driver-side per-cell moment reference " +
+    "on random corpora incl. ragged sizes and null elements") {
+    import graft.operators.Similarity
+    // the old exploded form's semantics, replayed on the driver: every
+    // cell (i, j) averages over exactly the rows where BOTH elements
+    // are present and non-null; means are per-dimension over present
+    // non-null elements; cells with no co-present pair are absent
+    def ref(vs: Seq[Seq[Option[Double]]]): Map[(Int, Int), Double] = {
+      val cells = collection.mutable.Map[(Int, Int), (Double, Long)]()
+      val dims = collection.mutable.Map[Int, (Double, Long)]()
+      vs.foreach { v =>
+        v.indices.foreach { i =>
+          v(i).foreach { xi =>
+            val (s, n) = dims.getOrElse(i, (0.0, 0L))
+            dims(i) = (s + xi, n + 1)
+            (i until v.length).foreach { j =>
+              v(j).foreach { xj =>
+                val (ps, pn) = cells.getOrElse((i, j), (0.0, 0L))
+                cells((i, j)) = (ps + xi * xj, pn + 1)
+              }
+            }
+          }
+        }
+      }
+      cells.map { case ((i, j), (ps, pn)) =>
+        val mi = dims(i)._1 / dims(i)._2
+        val mj = dims(j)._1 / dims(j)._2
+        (i, j) -> (ps / pn - mi * mj)
+      }.toMap
+    }
+    val elem: Gen[Option[Double]] = Gen.frequency(
+      9 -> Gen.chooseNum(-1000, 1000).map(x => Some(x / 997.0)),
+      1 -> Gen.const(None))
+    val gen = for {
+      n  <- Gen.chooseNum(1, 30)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0, 5).flatMap(d =>
+              Gen.listOfN(d, elem))) // ragged on purpose
+    } yield vs
+    samples(gen, 10).foreach { vs =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.map(Double.box).orNull)) }
+        .toDF("id", "v")
+      val got = Similarity.covarianceMatrix(df, "v")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+        .toMap
+      val want = ref(vs)
+      assert(got.keySet == want.keySet, s"vs=$vs cells ${got.keySet} vs ${want.keySet}")
+      got.foreach { case (c, g) =>
+        assert(math.abs(g - want(c)) < 1e-12 * math.max(1.0, math.abs(want(c))),
+          s"vs=$vs cell=$c: $g vs ${want(c)}")
+      }
+    }
+  }
+
   test("pcaProject equals an independent driver-side eigensolve " +
     "(power iteration + deflation) on planted-spectrum random data") {
     import graft.operators.Similarity
