@@ -299,6 +299,117 @@ case class AdcScore(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `nTables` SRP-LSH signatures of a vector in ONE fused codegen
+  * pass: signature t has bit b set iff v · plane(t,b) > 0. Output is
+  * `array<long>` of length nTables (one packed bucket id per table).
+  *
+  * Why an expression and not `array(table-0 sig, table-1 sig, …)`
+  * composed from [[DotProduct]]: the production config is 16-48 tables
+  * × 2-8 bits, i.e. 64-192 independent dot-product subtrees with
+  * dim-sized literal arrays in ONE projection — far past the
+  * whole-stage-codegen method/splitting limits, so the projection
+  * degrades to interpreted evaluation and the signature step alone
+  * dominated its queries (measured: ~3.0 s of c14's ~4.3 s at sf0.1 on
+  * a 2 000-vector corpus — ~1000× the raw FLOPs; ProbeAnn, PLANS.md
+  * round 12). Here the plane matrix ships as ONE flattened double[]
+  * constant and the generated code is a triple loop over
+  * (table, bit, dim) — the vector is copied to a local primitive array
+  * once per row, every multiply-add stays in registers.
+  *
+  * Semantics are EXACTLY the composed form's, bit for bit: the same
+  * sequential-order dot products, and a vector whose length differs
+  * from the plane dim yields ALL-ZERO signatures (the old per-bit
+  * `when(dot > 0, …).otherwise(0)` turned the null dot of a mismatched
+  * pair into an unset bit — preserved, and pinned by a generative
+  * equivalence test). A null vector yields null. */
+case class SrpSignatures(child: Expression, planes: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.head.nonEmpty && planes.head.head.nonEmpty,
+    "srp_signatures requires a non-empty nTables x nBits x dim plane matrix")
+  private val nTables = planes.size
+  private val nBits = planes.head.size
+  private val dim = planes.head.head.size
+  require(nBits <= 63, s"at most 63 bits per signature, got $nBits")
+  require(planes.forall(t => t.size == nBits && t.forall(_.size == dim)),
+    "ragged plane matrix")
+
+  @transient private lazy val flat: Array[Double] =
+    planes.flatten.flatten.toArray
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "srp_signatures"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_signatures requires array<double> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val sigs = new Array[Long](nTables)
+    if (x.numElements() == dim) {
+      val vv = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { vv(i) = x.getDouble(i); i += 1 }
+      var p = 0
+      var t = 0
+      while (t < nTables) {
+        var sg = 0L
+        var b = 0
+        while (b < nBits) {
+          var s = 0.0
+          i = 0
+          while (i < dim) { s += vv(i) * flat(p + i); i += 1 }
+          if (s > 0.0) sg |= (1L << b)
+          p += dim
+          b += 1
+        }
+        sigs(t) = sg
+        t += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val pl = ctx.addReferenceObj("srpPlanes", flat, "double[]")
+      val sigs = ctx.freshName("sigs")
+      val vv = ctx.freshName("vv")
+      val p = ctx.freshName("p")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val sg = ctx.freshName("sg")
+      s"""
+         |long[] $sigs = new long[$nTables];
+         |if ($v.numElements() == $dim) {
+         |  double[] $vv = new double[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) { $vv[$i] = $v.getDouble($i); }
+         |  int $p = 0;
+         |  for (int $t = 0; $t < $nTables; $t++) {
+         |    long $sg = 0L;
+         |    for (int $b = 0; $b < $nBits; $b++) {
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) { $s += $vv[$i] * $pl[$p + $i]; }
+         |      if ($s > 0.0) { $sg |= (1L << $b); }
+         |      $p += $dim;
+         |    }
+         |    $sigs[$t] = $sg;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignatures =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level dot product backed by the codegen expression. */
   def dot_product(a: Column, b: Column): Column =
@@ -319,4 +430,9 @@ object VectorFunctions {
   def adc_score(codes: Column, table: Column, ksub: Int): Column =
     GraftColumnBridge.column(AdcScore(
       GraftColumnBridge.expression(codes), GraftColumnBridge.expression(table), ksub))
+
+  /** All nTables SRP signatures of an array<double> vector as ONE
+    * fused codegen pass (array<long>). */
+  def srp_signatures(v: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumnBridge.column(SrpSignatures(GraftColumnBridge.expression(v), planes))
 }

@@ -358,7 +358,7 @@ object Dedup {
     val planes = (0 until nTables).map(t => Similarity.hyperplanes(bits, dim, seed + t))
     val v = df.select(col(idCol).as("_eid"), col(vecCol).cast("array<double>").as("_v"))
       .withColumn("_norm", Similarity.l2norm(col("_v")))
-    val sigs = array(planes.map(p => Similarity.srpSignature(col("_v"), p)): _*)
+    val sigs = Similarity.srpSignatures(col("_v"), planes)
     // ids-only bucket pairing (the SelfPairsByKey exec: one exchange of
     // (table, bucket, id), per-bucket pair emission) → distinct
     // candidate pairs → one dot product per pair after joining vectors

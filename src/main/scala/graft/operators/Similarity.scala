@@ -541,6 +541,18 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** All `nTables` SRP signatures at once (array<long>), via the fused
+    * codegen expression [[graft.functions.SrpSignatures]] — the
+    * multi-table form every banded caller uses. Composing nTables ×
+    * nBits [[srpSignature]] dot subtrees into one projection blows the
+    * whole-stage-codegen limits and degrades to interpreted eval
+    * (measured ~1000× the raw FLOPs at the 48×4 config — ProbeAnn,
+    * PLANS.md round 12); the fused pass is bit-identical (generative
+    * equivalence test incl. the mismatched-dim all-zero-signature
+    * contract). */
+  def srpSignatures(vecCol: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.VectorFunctions.srp_signatures(vecCol, planes)
+
   /** Approximate top-k similar pairs via multi-table SRP-LSH: `nTables`
     * independent signatures of `nBits` hyperplane bits each; a pair is a
     * candidate if it collides in ANY table (standard L-table LSH — a
@@ -564,9 +576,8 @@ object Similarity {
     // leaked cache besides). Callers at extreme scale who can't afford
     // even a metadata count pass nBits explicitly.
     val bits = if (nBits > 0) nBits else sizeBits(df.count())
-    val sigs = array((0 until nTables).map { t =>
-      srpSignature(col("v"), hyperplanes(bits, dim, seed + t))
-    }: _*)
+    val sigs = srpSignatures(col("v"),
+      (0 until nTables).map(t => hyperplanes(bits, dim, seed + t)))
     // the bucket join carries IDS ONLY: a pair colliding in many of the
     // nTables tables would otherwise drag both dim-sized vectors through
     // every collision row and pay one dot product per collision — the
@@ -1221,7 +1232,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val bits = if (nBits > 0) nBits else sizeBits(corpus.count())
     val planes = (0 until nTables).map(t => hyperplanes(bits, dim, seed + t))
-    def sig(vc: Column): Column = array(planes.map(p => srpSignature(vc, p)): _*)
+    def sig(vc: Column): Column = srpSignatures(vc, planes)
     val cv = corpus
       .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))

@@ -1308,6 +1308,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("srpSignatures (fused codegen) equals the composed per-table " +
+    "srpSignature form AND a driver-side reference, incl. mismatched dims") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{array, col}
+    def refSigs(v: Seq[Double], planes: Seq[Seq[Seq[Double]]]): Seq[Long] =
+      planes.map { table =>
+        if (v.size != table.head.size) 0L // the composed form's contract
+        else table.zipWithIndex.foldLeft(0L) { case (acc, (p, b)) =>
+          val d = p.indices.map(i => v(i) * p(i)).sum
+          if (d > 0.0) acc | (1L << b) else acc
+        }
+      }
+    val gen = for {
+      dim     <- Gen.chooseNum(2, 8)
+      nTables <- Gen.chooseNum(1, 6)
+      nBits   <- Gen.chooseNum(1, 5)
+      seed    <- Gen.chooseNum(1L, 99L)
+      n       <- Gen.chooseNum(1, 12)
+      vs      <- Gen.listOfN(n, Gen.oneOf(dim, dim + 1).flatMap(sz =>
+                   Gen.listOfN(sz, Gen.chooseNum(-1000, 1000).map(_ / 997.0))))
+    } yield (dim, nTables, nBits, seed, vs)
+    samples(gen, 10).foreach { case (dim, nTables, nBits, seed, vs) =>
+      val planes = (0 until nTables).map(t =>
+        Similarity.hyperplanes(nBits, dim, seed + t))
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .select(col("id"), col("v").cast("array<double>").as("v"))
+      val fused = df.select(col("id"),
+          Similarity.srpSignatures(col("v"), planes).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = df.select(col("id"),
+          array(planes.map(p => Similarity.srpSignature(col("v"), p)): _*).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val ref = vs.zipWithIndex.map { case (v, i) =>
+        i.toLong -> refSigs(v, planes)
+      }.toMap
+      assert(fused == composed,
+        s"fused != composed: dim=$dim t=$nTables b=$nBits seed=$seed vs=$vs")
+      assert(fused.map { case (k, v) => k -> v.toSeq } == ref,
+        s"fused != driver ref: dim=$dim t=$nTables b=$nBits seed=$seed vs=$vs")
+    }
+  }
+
   test("covarianceMatrix equals a driver-side per-cell moment reference " +
     "on random corpora incl. ragged sizes and null elements") {
     import graft.operators.Similarity
