@@ -410,6 +410,104 @@ case class SrpSignatures(child: Expression, planes: Seq[Seq[Seq[Double]]])
     copy(child = newChild)
 }
 
+/** Per-centroid squared-distance scores (up to the ‖v‖² constant) of a
+  * vector against a literal centroid matrix, in ONE fused codegen pass:
+  * element c = ‖cen_c‖² − 2·(v · cen_c) — the same argmin as true
+  * squared distance. Output `array<double>` of length nCells.
+  *
+  * Same rationale as [[SrpSignatures]]: the composed form
+  * (`array(nCells × (lit − 2·dot(v, typedLit(cen))))`) puts nCells
+  * dot subtrees with dim-sized literal arrays into one projection and
+  * degrades to interpreted evaluation past the codegen limits; here the
+  * centroid matrix ships as one flattened double[] constant and the
+  * loop stays primitive.
+  *
+  * Semantics are the composed form's, bit for bit: norms² are
+  * precomputed in the SAME driver-side order (Σ x²), dots accumulate in
+  * element order, and a vector whose length differs from the centroid
+  * dim yields an ALL-NULL-element array (the composed form's null dot
+  * propagates through the arithmetic into each element) — pinned by a
+  * generative equivalence test. A null vector yields null. */
+case class CellDists(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(cents.nonEmpty && cents.head.nonEmpty,
+    "cell_dists requires a non-empty nCells x dim centroid matrix")
+  private val nCells = cents.size
+  private val dim = cents.head.size
+  require(cents.forall(_.size == dim), "ragged centroid matrix")
+
+  @transient private lazy val flat: Array[Double] = cents.flatten.toArray
+  @transient private lazy val norms2: Array[Double] =
+    cents.map(_.map(x => x * x).sum).toArray
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "cell_dists"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_dists requires array<double> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dim)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](nCells))
+    else {
+      val vv = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { vv(i) = x.getDouble(i); i += 1 }
+      val out = new Array[Double](nCells)
+      var c = 0
+      var p = 0
+      while (c < nCells) {
+        var s = 0.0
+        i = 0
+        while (i < dim) { s += vv(i) * flat(p + i); i += 1 }
+        out(c) = norms2(c) - 2.0 * s
+        p += dim
+        c += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cen = ctx.addReferenceObj("cellCents", flat, "double[]")
+      val nrm = ctx.addReferenceObj("cellNorms2", norms2, "double[]")
+      val vv = ctx.freshName("vv")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new Object[$nCells]);
+         |} else {
+         |  double[] $vv = new double[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) { $vv[$i] = $v.getDouble($i); }
+         |  double[] $out = new double[$nCells];
+         |  int $p = 0;
+         |  for (int $c = 0; $c < $nCells; $c++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) { $s += $vv[$i] * $cen[$p + $i]; }
+         |    $out[$c] = $nrm[$c] - 2.0 * $s;
+         |    $p += $dim;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CellDists =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level dot product backed by the codegen expression. */
   def dot_product(a: Column, b: Column): Column =
@@ -435,4 +533,9 @@ object VectorFunctions {
     * fused codegen pass (array<long>). */
   def srp_signatures(v: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     GraftColumnBridge.column(SrpSignatures(GraftColumnBridge.expression(v), planes))
+
+  /** Per-centroid ‖c‖²−2·v·c scores against a literal centroid matrix
+    * as ONE fused codegen pass (array<double>). */
+  def cell_dists(v: Column, cents: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(CellDists(GraftColumnBridge.expression(v), cents))
 }

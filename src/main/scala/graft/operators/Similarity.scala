@@ -675,9 +675,11 @@ object Similarity {
     require(pts.nonEmpty, "no vectors to cluster")
     val centroids = lloyds(pts, nCells, seed)
     val vc = col(vecCol).cast("array<double>")
-    val dists = array(centroids.map { cen =>
-      lit(cen.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(cen))
-    }: _*)
+    // one fused codegen pass over the centroid matrix — the composed
+    // nCells-dot-subtree array degrades to interpreted eval (see
+    // graft.functions.CellDists)
+    val dists = graft.functions.VectorFunctions.cell_dists(
+      vc, centroids.map(_.toSeq))
     df.withColumn(cellCol,
       (array_position(dists, array_min(dists)) - 1).cast("int"))
   }
@@ -724,10 +726,11 @@ object Similarity {
     val wp = Window.partitionBy("query_id").orderBy(asc("_cd"), asc("_cell"))
     val (assigned, probes) = if (nCells < centroidJoinFrom) {
       // squared distance to each centroid, up to the ||v||² constant:
-      // ||c||² − 2 v·c (same argmin) — codegen dot against literal planes
-      def cellDists(vc: Column): Column = array(centroids.map { cen =>
-        lit(cen.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(cen))
-      }: _*)
+      // ||c||² − 2 v·c (same argmin) — ONE fused codegen pass over the
+      // centroid matrix (graft.functions.CellDists; the composed
+      // nCells-dot-subtree array degrades to interpreted eval)
+      def cellDists(vc: Column): Column =
+        graft.functions.VectorFunctions.cell_dists(vc, centroids.map(_.toSeq))
       def nearestCell(vc: Column): Column = {
         val d = cellDists(vc)
         (array_position(d, array_min(d)) - 1).cast("int")
@@ -1127,11 +1130,10 @@ object Similarity {
   }
 
   /** ||c||² − 2 v·c per coarse cell — argmin over it is the nearest
-    * cell (the ||v||² constant cancels). */
+    * cell (the ||v||² constant cancels). One fused codegen pass
+    * ([[graft.functions.CellDists]]). */
   private def coarseCellDists(coarse: Seq[Seq[Double]])(vc: Column): Column =
-    array(coarse.map { cen =>
-      lit(cen.map(x => x * x).sum) - lit(2.0) * dot(vc, typedLit(cen))
-    }: _*)
+    graft.functions.VectorFunctions.cell_dists(vc, coarse)
 
   /** Encode stage of [[ivfPqKnn]], separable for persistence: each row
     * becomes (nn_id, coarse cell, m int codes, norm). Deterministic for

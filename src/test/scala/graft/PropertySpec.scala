@@ -1351,6 +1351,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cell_dists (fused codegen) equals the composed literal-dot form " +
+    "AND a driver-side reference, incl. mismatched dims") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.cell_dists
+    import org.apache.spark.sql.functions.{array, col, lit, typedLit}
+    val gen = for {
+      dim    <- Gen.chooseNum(2, 8)
+      nCells <- Gen.chooseNum(1, 6)
+      cs     <- Gen.listOfN(nCells, Gen.listOfN(dim,
+                  Gen.chooseNum(-1000, 1000).map(_ / 997.0)))
+      n      <- Gen.chooseNum(1, 12)
+      vs     <- Gen.listOfN(n, Gen.oneOf(dim, dim + 1).flatMap(sz =>
+                  Gen.listOfN(sz, Gen.chooseNum(-1000, 1000).map(_ / 997.0))))
+    } yield (cs.map(_.toSeq), vs)
+    samples(gen, 10).foreach { case (cents, vs) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .select(col("id"), col("v").cast("array<double>").as("v"))
+      def get(r: org.apache.spark.sql.Row): Seq[Option[Double]] = {
+        val s = r.getSeq[Any](1); s.map(x => Option(x).map(_.asInstanceOf[Double]))
+      }
+      val fused = df.select(col("id"), cell_dists(col("v"), cents).as("d"))
+        .collect().map(r => r.getLong(0) -> get(r)).toMap
+      val composed = df.select(col("id"), array(cents.map { cen =>
+          lit(cen.map(x => x * x).sum) -
+            lit(2.0) * Similarity.dot(col("v"), typedLit(cen))
+        }: _*).as("d"))
+        .collect().map(r => r.getLong(0) -> get(r)).toMap
+      val ref = vs.zipWithIndex.map { case (v, i) =>
+        i.toLong -> cents.map { cen =>
+          if (v.size != cen.size) None
+          else Some(cen.map(x => x * x).sum -
+            2.0 * cen.indices.map(j => v(j) * cen(j)).sum)
+        }
+      }.toMap
+      assert(fused == composed, s"fused != composed: cents=$cents vs=$vs")
+      assert(fused == ref, s"fused != driver ref: cents=$cents vs=$vs")
+    }
+  }
+
   test("covarianceMatrix equals a driver-side per-cell moment reference " +
     "on random corpora incl. ragged sizes and null elements") {
     import graft.operators.Similarity
