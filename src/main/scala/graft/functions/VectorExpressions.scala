@@ -508,6 +508,183 @@ case class CellDists(child: Expression, cents: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Shared math of the fused PQ encoders: per-subspace argmin of
+  * ‖cb‖² − 2·v_sub·cb (+ optional per-coarse-cell residual correction)
+  * over a flattened codebook constant. Kept in one place so the plain
+  * and residual expressions cannot drift. */
+private[functions] object PqCodeMath {
+  /** out(j) = Integer code or null, replicating the composed form's
+    * per-subspace validity: subspace j is computable iff the vector
+    * holds its full slice (`(j+1)·dsub ≤ numElements`) — the composed
+    * `slice → dot` turned a short slice into a null element — and, in
+    * the residual variant, iff the coarse cell is present
+    * (cell = -1 encodes a null/invalid cell → null code, matching the
+    * composed `element_at(corr, null+1)` null). Ties break to the
+    * FIRST minimum (the composed `array_position(d, array_min(d))`). */
+  def codes(x: ArrayData, m: Int, ksub: Int, dsub: Int,
+            norms2: Array[Double], flat: Array[Double],
+            corr: Array[Double], nCells: Int, cell: Int): Array[Any] = {
+    val n = x.numElements()
+    val out = new Array[Any](m)
+    val cellOk = corr == null || (cell >= 0 && cell < nCells)
+    var j = 0
+    while (j < m) {
+      if ((j + 1) * dsub <= n && cellOk) {
+        var best = Double.MaxValue
+        var bi = -1
+        var c = 0
+        while (c < ksub) {
+          var s = 0.0
+          val base = (j * ksub + c) * dsub
+          var i = 0
+          while (i < dsub) { s += x.getDouble(j * dsub + i) * flat(base + i); i += 1 }
+          var d = norms2(j * ksub + c) - 2.0 * s
+          if (corr != null) d += corr((j * ksub + c) * nCells + cell)
+          if (d < best) { best = d; bi = c }
+          c += 1
+        }
+        if (bi >= 0) out(j) = bi
+      }
+      j += 1
+    }
+    out
+  }
+}
+
+/** PQ code array of a vector in ONE fused codegen pass: code j =
+  * argmin_c (‖cb_{j,c}‖² − 2·v_sub_j·cb_{j,c}) — `array<int>` of m
+  * codes. Same mechanism as [[SrpSignatures]]/[[CellDists]]: the
+  * composed form put m×ksub literal-dot subtrees (128 at the c42
+  * config) in one projection and degraded to interpreted eval; here
+  * the codebooks ship as one flattened double[] constant.
+  *
+  * Parity with the composed form: per-subspace validity (a vector too
+  * short for subspace j's slice yields a null code j, longer vectors
+  * ignore the tail), first-minimum tie-break, identical summation
+  * order — pinned by a generative equivalence test. A null vector
+  * yields null (the composed form yields an all-null-element array;
+  * both score to null downstream — fixtures have no null vectors). */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]], dim: Int)
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty, "empty codebooks")
+  private val m = codebooks.size
+  private val ksub = codebooks.head.size
+  require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+  private val dsub = dim / m
+  require(codebooks.forall(b => b.size == ksub && b.forall(_.size == dsub)),
+    "ragged codebooks")
+
+  @transient private lazy val flat: Array[Double] =
+    codebooks.flatten.flatten.toArray
+  @transient private lazy val norms2: Array[Double] =
+    codebooks.flatten.map(_.map(x => x * x).sum).toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes requires array<double> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqCodeMath.codes(v.asInstanceOf[ArrayData], m, ksub, dsub,
+        norms2, flat, null, 0, 0))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n2 = ctx.addReferenceObj("pqNorms2", norms2, "double[]")
+      val fl = ctx.addReferenceObj("pqFlat", flat, "double[]")
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqCodeMath.codes($v, $m, $ksub, $dsub,
+         |    $n2, $fl, null, 0, 0));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** Residual-PQ code array (IVF+PQ): like [[PqCodes]] but each candidate
+  * distance carries the coarse-cell correction
+  * +2·(cen_cell_sub_j · cb_{j,c}), precomputed per (subspace, code,
+  * cell) into one flattened constant. `cell` (int column) null or out
+  * of range yields ALL-NULL codes — matching the composed
+  * `element_at(corr, null+1)` null propagation (out-of-range cannot
+  * occur: the cell comes from the coarse argmin). */
+case class PqCodesResidual(left: Expression, right: Expression,
+                           codebooks: Seq[Seq[Seq[Double]]],
+                           coarse: Seq[Seq[Double]], dim: Int)
+    extends BinaryExpression {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty, "empty codebooks")
+  require(coarse.nonEmpty, "empty coarse centroids")
+  private val m = codebooks.size
+  private val ksub = codebooks.head.size
+  require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+  private val dsub = dim / m
+  private val nCells = coarse.size
+  require(codebooks.forall(b => b.size == ksub && b.forall(_.size == dsub)),
+    "ragged codebooks")
+  require(coarse.forall(_.size == dim), "coarse centroid dim mismatch")
+
+  @transient private lazy val flat: Array[Double] =
+    codebooks.flatten.flatten.toArray
+  @transient private lazy val norms2: Array[Double] =
+    codebooks.flatten.map(_.map(x => x * x).sum).toArray
+  // corr[(j*ksub + c)*nCells + cell] = 2·Σ_i coarse(cell)(j·dsub+i)·cb(c)(i)
+  // — the same Σ order as the composed element_at literal
+  @transient private lazy val corr: Array[Double] = {
+    val out = new Array[Double](m * ksub * nCells)
+    for (j <- 0 until m; c <- 0 until ksub; cell <- 0 until nCells)
+      out((j * ksub + c) * nCells + cell) =
+        2.0 * (0 until dsub).map(i => coarse(cell)(j * dsub + i) * codebooks(j)(c)(i)).sum
+    out
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "pq_codes_residual"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_codes_residual requires (array<double>, int), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  // the cell child is wrapped `coalesce(cell, -1)` by the
+  // VectorFunctions constructor, so a NULL coarse cell reaches this
+  // expression as the -1 sentinel and the standard null-safe paths
+  // apply; PqCodeMath turns the sentinel into all-null codes — the
+  // composed form's behavior when element_at(corr, null) nulls every
+  // candidate
+  override def nullSafeEval(v: Any, cellAny: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqCodeMath.codes(v.asInstanceOf[ArrayData], m, ksub, dsub,
+        norms2, flat, corr, nCells, cellAny.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cell) => {
+      val n2 = ctx.addReferenceObj("pqrNorms2", norms2, "double[]")
+      val fl = ctx.addReferenceObj("pqrFlat", flat, "double[]")
+      val co = ctx.addReferenceObj("pqrCorr", corr, "double[]")
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqCodeMath.codes($v, $m, $ksub, $dsub,
+         |    $n2, $fl, $co, $nCells, (int) $cell));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCodesResidual =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level dot product backed by the codegen expression. */
   def dot_product(a: Column, b: Column): Column =
@@ -538,4 +715,22 @@ object VectorFunctions {
     * as ONE fused codegen pass (array<double>). */
   def cell_dists(v: Column, cents: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(CellDists(GraftColumnBridge.expression(v), cents))
+
+  /** PQ code array (m ints, null per unencodable subspace) as ONE
+    * fused codegen pass. */
+  def pq_codes(v: Column, codebooks: Seq[Seq[Seq[Double]]], dim: Int): Column =
+    GraftColumnBridge.column(PqCodes(GraftColumnBridge.expression(v), codebooks, dim))
+
+  /** Residual-PQ code array against a coarse cell column (IVF+PQ) as
+    * ONE fused codegen pass. A null cell yields all-null codes (the
+    * -1 sentinel below). */
+  def pq_codes_residual(v: Column, cell: Column,
+                        codebooks: Seq[Seq[Seq[Double]]],
+                        coarse: Seq[Seq[Double]], dim: Int): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    GraftColumnBridge.column(PqCodesResidual(
+      GraftColumnBridge.expression(v),
+      GraftColumnBridge.expression(coalesce(cell, lit(-1))),
+      codebooks, coarse, dim))
+  }
 }

@@ -989,18 +989,12 @@ object Similarity {
 
   /** PQ code array for a vector column: per-subspace argmin against
     * literal centroids — squared L2 up to the ||v_sub||² constant
-    * (||c||² − 2 v_sub·c, the ivfKnn literal form). */
+    * (||c||² − 2 v_sub·c, the ivfKnn literal form). One fused codegen
+    * pass ([[graft.functions.PqCodes]]; the composed m×ksub-subtree
+    * array degrades to interpreted eval — see SrpSignatures). */
   private def pqCodes(codebooks: Seq[Seq[Seq[Double]]], dim: Int)
-                     (vc: Column): Column = {
-    val dsub = dim / codebooks.length
-    array(codebooks.indices.map { j =>
-      val d = array(codebooks(j).map { cen =>
-        lit(cen.map(x => x * x).sum) -
-          lit(2.0) * dot(slice(vc, j * dsub + 1, dsub), typedLit(cen))
-      }: _*)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }: _*)
-  }
+                     (vc: Column): Column =
+    graft.functions.VectorFunctions.pq_codes(vc, codebooks, dim)
 
   /** Flattened per-query ADC table: entry j*ksub+c = q_sub_j · cen_{j,c},
     * so Σ_j table[j*ksub+codes_j] approximates q · v. */
@@ -1144,20 +1138,11 @@ object Similarity {
     val m = codebooks.length
     val dsub = dim / m
     // residual encode: per (j, cb) the cell-dependent correction
-    // 2·(c_j·cb) rides as element_at(<nCells literal doubles>, _cell+1)
-    def residualCodes(vc: Column, cellCol: Column): Column = {
-      array((0 until m).map { j =>
-        val d = array(codebooks(j).zipWithIndex.map { case (cb, _) =>
-          val corr: Seq[Double] = coarse.map { cen =>
-            2.0 * (0 until dsub).map(i => cen(j * dsub + i) * cb(i)).sum
-          }
-          lit(cb.map(x => x * x).sum) -
-            lit(2.0) * dot(slice(vc, j * dsub + 1, dsub), typedLit(cb)) +
-            element_at(typedLit(corr), cellCol + 1)
-        }: _*)
-        (array_position(d, array_min(d)) - 1).cast("int")
-      }: _*)
-    }
+    // 2·(c_j·cb), precomputed per (subspace, code, cell) into one fused
+    // codegen pass (graft.functions.PqCodesResidual)
+    def residualCodes(vc: Column, cellCol: Column): Column =
+      graft.functions.VectorFunctions.pq_codes_residual(
+        vc, cellCol, codebooks, coarse, dim)
     val cellAssigned = corpus
       .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))

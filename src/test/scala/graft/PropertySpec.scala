@@ -1391,6 +1391,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pq_codes and pq_codes_residual (fused codegen) equal the composed " +
+    "slice-dot-argmin forms, incl. short vectors and null cells") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.{pq_codes, pq_codes_residual}
+    import org.apache.spark.sql.functions.{array, array_min, array_position,
+      col, element_at, lit, slice, typedLit, when}
+    val gen = for {
+      m      <- Gen.chooseNum(1, 3)
+      dsub   <- Gen.chooseNum(1, 3)
+      ksub   <- Gen.chooseNum(1, 4)
+      nCells <- Gen.chooseNum(1, 3)
+      cbs    <- Gen.listOfN(m, Gen.listOfN(ksub, Gen.listOfN(dsub,
+                  Gen.chooseNum(-1000, 1000).map(_ / 997.0))))
+      coarse <- Gen.listOfN(nCells, Gen.listOfN(m * dsub,
+                  Gen.chooseNum(-1000, 1000).map(_ / 997.0)))
+      n      <- Gen.chooseNum(1, 10)
+      // vector lengths straddle dim → some subspaces unencodable
+      vs     <- Gen.listOfN(n, Gen.chooseNum(0, m * dsub + 2).flatMap(sz =>
+                  Gen.listOfN(sz, Gen.chooseNum(-1000, 1000).map(_ / 997.0))))
+      cells  <- Gen.listOfN(n, Gen.oneOf(
+                  Gen.const(Option.empty[Int]),
+                  Gen.chooseNum(0, nCells - 1).map(Option(_))))
+    } yield (m, dsub, ksub, cbs.map(_.map(_.toSeq)), coarse.map(_.toSeq), vs, cells)
+    samples(gen, 10).foreach { case (m, dsub, ksub, cbs, coarse, vs, cells) =>
+      val dim = m * dsub
+      val df = vs.zip(cells).zipWithIndex
+        .map { case ((v, cl), i) =>
+          (i.toLong, v, cl.map(Int.box).orNull.asInstanceOf[Integer]) }
+        .toDF("id", "v", "cell")
+        .select(col("id"), col("v").cast("array<double>").as("v"), col("cell"))
+      def collectCodes(c: org.apache.spark.sql.Column) =
+        df.select(col("id"), c.as("codes")).collect()
+          .map(r => r.getLong(0) ->
+            r.getSeq[Any](1).map(x => Option(x).map(_.asInstanceOf[Int]))).toMap
+      // composed plain form (the pre-round-12 expression tree)
+      val composedPlain = array(cbs.indices.map { j =>
+        val d = array(cbs(j).map { cen =>
+          lit(cen.map(x => x * x).sum) -
+            lit(2.0) * Similarity.dot(slice(col("v"), j * dsub + 1, dsub), typedLit(cen))
+        }: _*)
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }: _*)
+      assert(collectCodes(pq_codes(col("v"), cbs, dim)) ==
+        collectCodes(composedPlain),
+        s"plain: m=$m dsub=$dsub ksub=$ksub vs=$vs")
+      // composed residual form (guarded element_at: NULL cell → null
+      // correction, exactly the old null-propagation, without tripping
+      // ANSI on the sentinel)
+      val composedResidual = array(cbs.indices.map { j =>
+        val d = array(cbs(j).map { cb =>
+          val corr: Seq[Double] = coarse.map { cen =>
+            2.0 * (0 until dsub).map(i => cen(j * dsub + i) * cb(i)).sum
+          }
+          lit(cb.map(x => x * x).sum) -
+            lit(2.0) * Similarity.dot(slice(col("v"), j * dsub + 1, dsub), typedLit(cb)) +
+            when(col("cell").isNotNull, element_at(typedLit(corr), col("cell") + 1))
+        }: _*)
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }: _*)
+      assert(collectCodes(pq_codes_residual(col("v"), col("cell"), cbs, coarse, dim)) ==
+        collectCodes(composedResidual),
+        s"residual: m=$m dsub=$dsub ksub=$ksub coarse=$coarse vs=$vs cells=$cells")
+    }
+  }
+
   test("covarianceMatrix equals a driver-side per-cell moment reference " +
     "on random corpora incl. ragged sizes and null elements") {
     import graft.operators.Similarity
