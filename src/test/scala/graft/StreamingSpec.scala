@@ -446,6 +446,107 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL running totals equal a driver-side state-machine replay at " +
+    "random activity patterns, TTLs, and chunk counts") {
+    // round-12 randomized extension of the hand-built eviction pins
+    // below: the driver model replays Spark's documented semantics —
+    // the watermark for batch B is the max event time through batch
+    // B-1 (delay 0, advanced at batch boundaries); a key WITH data in
+    // a batch always folds onto its existing state (an expired timer
+    // fires only for keys WITHOUT data); eviction emits nothing and a
+    // returning key restarts from zero; the re-armed timer is
+    // max(batch-max-ts + ttl, watermark + 1). Event times sit on a
+    // minute grid and TTLs carry a +17 ms offset so no timer ever TIES
+    // the watermark — boundary semantics stay out of the generated
+    // domain. Time-ordered chunking (replay by ts) means no late data.
+    import graft.streaming.Stateful
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import java.nio.file.Files
+    val t0 = 1700000000000L
+    def refTtl(rows: Seq[(Long, Long, Double, Long)], // (user, eid, value, ts)
+               chunks: Seq[Seq[Long]], // event_ids per batch, ts-ordered
+               ttlMs: Long): Set[(Long, Long, Long, Double)] = {
+      val byId = rows.map(r => r._2 -> r).toMap
+      var wm = Long.MinValue // watermark during the current batch
+      var seenMax = Long.MinValue // max event time through this batch
+      val state = collection.mutable.Map[Long, (Long, Double, Long)]() // u -> (n, tot, timer)
+      val out = collection.mutable.Buffer[(Long, Long, Long, Double)]()
+      chunks.foreach { ids =>
+        val batch = ids.map(byId)
+        val withData = batch.map(_._1).toSet
+        // expired timers fire for keys WITHOUT data in this batch
+        state.keys.toSeq.foreach { u =>
+          if (!withData(u) && state(u)._3 < wm) state.remove(u)
+        }
+        batch.groupBy(_._1).foreach { case (u, es) =>
+          var (n, tot, _) = state.getOrElse(u, (0L, 0.0, 0L))
+          es.sortBy(_._2).foreach { case (_, eid, v, _) =>
+            n += 1; tot += v; out += ((u, eid, n, tot))
+          }
+          val timer = math.max(es.map(_._4).max + ttlMs, wm + 1)
+          state(u) = (n, tot, timer)
+        }
+        seenMax = math.max(seenMax, batch.map(_._4).max)
+        wm = seenMax // the NEXT batch sees this watermark
+      }
+      out.toSet
+    }
+    val gen = for {
+      n   <- Gen.chooseNum(5, 14)
+      us  <- Gen.listOfN(n, Gen.chooseNum(1L, 3L))
+      mins<- Gen.listOfN(n, Gen.chooseNum(0, 9)) // minute grid
+      vs  <- Gen.listOfN(n, Gen.chooseNum(-300, 300).map(_ / 100.0))
+      ttl <- Gen.oneOf(90017L, 150017L, 240017L) // 1.5/2.5/4 min + offset
+      nc  <- Gen.chooseNum(2, 5)
+    } yield (us, mins, vs, ttl, nc)
+    val cases = (0 until 4).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(4200L + i)))
+    cases.zipWithIndex.foreach { case ((us, mins, vs, ttl, nc), it) =>
+      // unique ts per row (minute grid + per-index ms) keeps chunk cuts
+      // clean; event_id order matches ts order for a deterministic fold
+      val sorted = us.indices.map { i =>
+        (us(i), t0 + mins(i) * 60000L + i)
+      }.sortBy(_._2)
+      val rows = sorted.zipWithIndex.map { case ((u, ts), i) =>
+        (u, (i + 1).toLong, vs(i), ts)
+      }
+      val work = Files.createTempDirectory(s"graft_ttl_rand$it").toString
+      val df = rows.map { case (u, eid, v, ts) =>
+        (u, eid, v, new java.sql.Timestamp(ts))
+      }.toDF("user_id", "event_id", "value", "ts")
+      val nChunks = math.max(2, math.min(nc, rows.length))
+      val schema = Streams.writeOrderedReplay(df, "event_id", nChunks, s"$work/in")
+      val got = Streams.runToCompletionAppend(spark,
+          Stateful.runningTotalsWithTTL(spark,
+            Streams.replayStream(spark, s"$work/in", schema,
+              maxFilesPerTrigger = 1), ttl).toDF(),
+          s"t_ttl_rand$it")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // replicate the replay's chunking exactly: writeOrderedReplay cuts
+      // at percentiles of the sort column — recompute the same cuts
+      val ids = rows.map(_._2.toDouble)
+      val qs = (1 until nChunks).map(_.toDouble / nChunks)
+      def pct(xs: Seq[Double], q: Double): Double = { // Spark percentile (linear)
+        val s = xs.sorted
+        val pos = q * (s.length - 1)
+        val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+        s(lo) + (pos - lo) * (s(hi) - s(lo))
+      }
+      val cuts = qs.map(pct(ids, _))
+      val edges = (Double.MinValue +: cuts) :+ Double.MaxValue
+      val chunks = edges.sliding(2).map { case Seq(lo, hi) =>
+        rows.filter(r => r._2 > lo && r._2 <= hi).map(_._2)
+      }.filter(_.nonEmpty).toSeq
+      val ref = refTtl(rows, chunks, ttl)
+      assert(got == ref,
+        s"rows=$rows ttl=$ttl nChunks=$nChunks chunks=$chunks\ngot=$got\nref=$ref")
+      Tables.deleteRecursively(work)
+    }
+  }
+
   test("cdcApply replay equals per-key latest-wins at random change sets, " +
     "arrival permutations, and chunk counts") {
     // round-12 generalization of the fwd/rev permutation pins below:
