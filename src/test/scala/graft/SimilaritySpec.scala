@@ -318,6 +318,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out((0, 1)) + 1.0 / 9) < 1e-12)
   }
 
+  test("covarianceMatrix: empty and all-null corpora yield an empty relation") {
+    val empty = Seq.empty[Seq[Double]].toDF("embedding")
+    assert(Similarity.covarianceMatrix(empty, "embedding").count() == 0)
+    val allNull = Seq(Option.empty[Seq[Double]], None).toDF("embedding")
+    assert(Similarity.covarianceMatrix(allNull, "embedding").count() == 0)
+  }
+
   test("pcaProject: recovers a planted principal axis; variance ordering holds") {
     import org.apache.spark.sql.functions._
     // points t·(0.6, 0.8), t ∈ -2..2: the principal axis is (0.6, 0.8)
