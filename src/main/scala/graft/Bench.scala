@@ -122,7 +122,8 @@ object Bench {
     // it proves or refutes the mechanism for the run it measured.
     var peakMemMb = 0L; var peakRdds = 0; var peakAt = ""
     var leakedRdds = 0L
-    def reclaimAfter(name: String): Unit = {
+    var resultCkpts = 0L
+    def reclaimAfter(name: String, keepFixtures: Boolean): Unit = {
       val infos = spark.sparkContext.getRDDStorageInfo
       val mem = infos.map(_.memSize).sum / (1024L * 1024L)
       // strict > (ADVICE r11): on ties — the common all-zero run — keep
@@ -131,6 +132,22 @@ object Bench {
       if (mem > peakMemMb || peakAt.isEmpty) {
         peakMemMb = mem; peakRdds = infos.length; peakAt = name
       }
+      // round 13: graft operators now release superseded per-round
+      // checkpoints themselves (Ckpt/CkptChain); the one RESULT-backing
+      // checkpoint a call returns is caller-owned, and the bench IS the
+      // caller — after the noop sink completes the result is fully
+      // consumed, so free those deterministically via the operator
+      // library's own release API. Counted separately from leaks: a
+      // leak is storage nothing will ever reclaim by design, which
+      // after this round should be ~0.
+      resultCkpts += graft.operators.Ckpt.releaseIssued(spark)
+      if (keepFixtures) return
+      // deliberate fixture storage (the media tier's synthesized binary
+      // column — the stand-in for a STORED parquet column) is released
+      // through its own hook so it never reads as an operator leak;
+      // `keepFixtures` skips this blanket sweep between adjacent
+      // m-queries so the fixture survives the media block intact
+      graft.multimodal.Multimodal.releaseBinaryCache()
       val persistent = spark.sparkContext.getPersistentRDDs
       if (persistent.nonEmpty) {
         leakedRdds += persistent.size
@@ -168,19 +185,59 @@ object Bench {
     // always-on deployment pays per trigger; wall − batch_sum is
     // start/stop harness overhead this replay rig pays per run.
     val batchDurMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-micro-batch phase attribution (round 13): wall − batch_sum
+    // separated harness overhead from per-trigger cost, but a slow
+    // trigger itself still conflated compute (addBatch) with machinery
+    // (offset-log walCommit/commitOffsets, state-store update/commit).
+    // Sum every StreamingQueryProgress.durationMs phase plus the state
+    // operators' update/commit times across the measured run — on a
+    // driver rig whose s-walls read 2× builder replications, the
+    // artifact now shows WHICH phase absorbed the difference (fault-tax
+    // inflation lands in walCommit/addBatch wall, not in extra batches).
+    val progLock = new Object
+    val progDur = collection.mutable.Map[String, Long]()
+    var progBatches = 0L
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit =
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
           batchDurMs.addAndGet(e.progress.batchDuration)
+          progLock.synchronized {
+            progBatches += 1
+            e.progress.durationMs.forEach { (k: String, v: java.lang.Long) =>
+              progDur(k) = progDur.getOrElse(k, 0L) + v
+            }
+            e.progress.stateOperators.foreach { so =>
+              progDur("stateAllUpdates") =
+                progDur.getOrElse("stateAllUpdates", 0L) + so.allUpdatesTimeMs
+              progDur("stateCommit") =
+                progDur.getOrElse("stateCommit", 0L) + so.commitTimeMs
+            }
+          }
+        }
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       })
 
     val reps = 3
     val streamBatchSum = collection.mutable.Map[String, Double]()
+    val streamProgress = collection.mutable.Map[String, (Long, Map[String, Long])]()
     val queryEnv = collection.mutable.Map[String, QueryEnv]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-probe knob ONLY (regex, substring-matched): lets a builder
+    // iterate on one query family without the 270-query sweep. The
+    // driver never sets it — an artifact produced under a filter is a
+    // probe, not a round bench.
+    val nameFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER").map(_.r)
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
+    val results = sorted.zipWithIndex.map { case ((name, fn), qi) =>
+      // round 13: pin the media tier's binary fixture BEFORE the
+      // per-query block, so neither the warmup nor any measured rep —
+      // nor the query's gc/fault env record — pays fixture synthesis;
+      // the scaling audit's m-family ratios then compare operator work,
+      // not fixture-rebuild cadence at whichever SF last swept it
+      if (name.startsWith("m"))
+        graft.multimodal.Multimodal.attachBinaryCached(spark, sfDir)
       // env snapshot spans the whole per-query block (warmup included:
       // warmup-side faults/GC are exactly the signal that distinguishes
       // cold-page tax from sustained contention when read next to the
@@ -210,9 +267,14 @@ object Bench {
           // listener events are async; drain before reading the counter
           spark.streams.resetTerminated()
           batchDurMs.set(0L)
+          progLock.synchronized { progDur.clear(); progBatches = 0L }
           val wall = runOnce(name, fn)
           Thread.sleep(50) // let the final progress event land
-          if (wall >= 0) streamBatchSum(name) = batchDurMs.get() / 1e3
+          if (wall >= 0) {
+            streamBatchSum(name) = batchDurMs.get() / 1e3
+            streamProgress(name) =
+              progLock.synchronized { (progBatches, progDur.toMap) }
+          }
           queryEnv(name) = envRecord(warm, Seq(wall))
           (name, wall)
         }
@@ -244,7 +306,11 @@ object Bench {
           (name, if (samples.length < reps) -1.0 else samples.sorted.apply(reps / 2))
         }
       }
-      reclaimAfter(name)
+      // fixture survives between adjacent media queries (it is the
+      // stored-column stand-in, not per-query state); the first
+      // non-media successor gets the full sweep
+      reclaimAfter(name, keepFixtures =
+        qi + 1 < sorted.length && sorted(qi + 1)._1.startsWith("m"))
       timing
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
@@ -267,7 +333,17 @@ object Bench {
     val storageJson = s""""storage":{"peak":{"mem_mb":$peakMemMb,""" +
       s""""rdds":$peakRdds,"after":"$peakAt"},""" +
       s""""end":{"mem_mb":$endMemMb,"rdds":${endInfos.length}},""" +
+      s""""result_ckpts_released":$resultCkpts,""" +
       s""""leaked_rdds_unpersisted":$leakedRdds}"""
+    // per-s*-query micro-batch phase sums (round 13): batches counted
+    // plus every StreamingQueryProgress.durationMs phase and the state
+    // operators' update/commit ms, summed over the measured run
+    val spJson = streamProgress.toSeq.sortBy(_._1).map { case (k, (nb, m)) =>
+      val phases = m.toSeq.sortBy(_._1)
+        .map { case (p, ms) => "\"" + p + "_ms\":" + ms }.mkString(",")
+      "\"" + k + "\":{\"batches\":" + nb +
+        (if (phases.nonEmpty) "," + phases else "") + "}"
+    }.mkString("{", ",", "}")
     // per-query environment records (round 12) — a SIBLING map keyed
     // like "queries"; run-wide aggregates repeated on the
     // truncation-proof summary line together with the slowest-5's
@@ -286,7 +362,8 @@ object Bench {
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
       s""""stream_batch_sum_sec":$streamBatchSec,""" +
       s""""reps":$reps,"failed":$failedJson,"queries":$qs,""" +
-      s""""stream_batch_sum":$sbs,"query_env":$envJson,$envAggJson,""" +
+      s""""stream_batch_sum":$sbs,"stream_progress":$spJson,""" +
+      s""""query_env":$envJson,$envAggJson,""" +
       s"""$ccJson,$storageJson,"sf":"$sfDir"}""")
     // truncation-proof headline: totals + failures + 5 slowest queries
     // (with their environment records)
@@ -296,11 +373,23 @@ object Bench {
     val slowestEnv = slowest5.flatMap { case (k, _) =>
       queryEnv.get(k).map(e => "\"" + k + "\":" + e.json) }
       .mkString("{", ",", "}")
+    // the slowest streaming queries' phase records repeat on the
+    // truncation-proof line: they are exactly the rows a driver-rig
+    // inflation dispute needs
+    val slowestSp = slowest5.flatMap { case (k, _) =>
+      streamProgress.get(k).map { case (nb, m) =>
+        val phases = m.toSeq.sortBy(_._1)
+          .map { case (p, ms) => "\"" + p + "_ms\":" + ms }.mkString(",")
+        "\"" + k + "\":{\"batches\":" + nb +
+          (if (phases.nonEmpty) "," + phases else "") + "}"
+      }
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
       s""""stream_batch_sum_sec":$streamBatchSec,""" +
       s""""reps":$reps,"failed":$failedJson,"slowest":$slowest,""" +
-      s""""slowest_env":$slowestEnv,$envAggJson,""" +
+      s""""slowest_env":$slowestEnv,""" +
+      s""""slowest_stream_progress":$slowestSp,$envAggJson,""" +
       s"""$ccJson,$storageJson,"sf":"$sfDir"}""")
     spark.stop()
   }

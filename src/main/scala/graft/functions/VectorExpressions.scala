@@ -520,7 +520,15 @@ private[functions] object PqCodeMath {
     * the residual variant, iff the coarse cell is present
     * (cell = -1 encodes a null/invalid cell → null code, matching the
     * composed `element_at(corr, null+1)` null). Ties break to the
-    * FIRST minimum (the composed `array_position(d, array_min(d))`). */
+    * FIRST minimum (the composed `array_position(d, array_min(d))`).
+    *
+    * Known parity edge, out of contract (ADVICE r12): if EVERY
+    * candidate distance in a subspace is NaN, `d < best` never fires
+    * and the code is null here, whereas the composed
+    * array_min/array_position path (NaN orders as largest and equal to
+    * itself) returns code 0. Reachable only with NaN in vectors or
+    * codebooks — the ANN operators reject/never produce NaN inputs, so
+    * the bit-for-bit parity claim is scoped to NaN-free data. */
   def codes(x: ArrayData, m: Int, ksub: Int, dsub: Int,
             norms2: Array[Double], flat: Array[Double],
             corr: Array[Double], nCells: Int, cell: Int): Array[Any] = {
@@ -646,7 +654,15 @@ case class PqCodesResidual(left: Expression, right: Expression,
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
-  override def nullable: Boolean = left.nullable
+  // BOTH children (ADVICE r12): the vector child's null is the obvious
+  // path, but a nullable CELL child must also declare a nullable output
+  // — nullSafeEval/nullSafeCodeGen yield null when either child is
+  // null. The VectorFunctions constructor wraps the cell in
+  // coalesce(cell, -1), making the right side non-nullable there, but
+  // the case class must be safe when constructed directly too: a
+  // non-nullable declaration over a null-producing path lets downstream
+  // codegen read an uninitialized value.
+  override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "pq_codes_residual"
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -702,6 +702,17 @@ object Multimodal {
     df
   }
 
+  /** Unpersist and forget every cached binary fixture. Bench/harness
+    * hygiene (round 13): the fixture is the stand-in for a STORED
+    * parquet binary column, so a harness that is done with the media
+    * tier releases it explicitly — deliberate fixture storage must not
+    * read as an operator leak in the harness's storage accounting, and
+    * the next media run re-synthesizes deterministically. */
+  def releaseBinaryCache(): Unit = {
+    binaryCache.values.foreach(_.unpersist(blocking = false))
+    binaryCache.clear()
+  }
+
   def attachBinary(docs: DataFrame): DataFrame = {
     val enc = Encoders.row(payloadSchema)
     docs.select(col("doc_id").cast("long"), col("text"))

@@ -398,22 +398,23 @@ object Dedup {
     * mid-iteration kills the job), or a RELIABLE `checkpoint()` when
     * `checkpointDir` is given (survives executor loss; the right
     * choice for a long-running 100 TB job, at the cost of a write to
-    * reliable storage per round). */
+    * reliable storage per round). Round 13: each round's superseded
+    * label checkpoint is RELEASED as soon as the new round
+    * materializes (the [[CkptChain]] contract — O(1) checkpoints held,
+    * not O(rounds)); the cut pair relation is released before
+    * returning, so exactly the final label checkpoint (which backs the
+    * returned DataFrame) outlives the call — callers free it with
+    * [[Ckpt.release]] once consumed. */
   /** `pairs` must carry `id_a`/`id_b` columns (the shape every pair
     * generator in this file emits). The node set is `allNodes` ∪ the
     * pair endpoints, so an id appearing only in `pairs` still gets
     * labeled (and carries transitivity) rather than silently vanishing. */
   def dupClusters(pairs: DataFrame, allNodes: DataFrame, idCol: String,
                   checkpointDir: Option[String] = None): DataFrame = {
-    val cut: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
-      // conf-selectable backend shared with the Graph iterative family
-      // (round 12: DISK_ONLY default, `memdisk` opt-out — A/B'd on
-      // pagerank/kcore AND on this CC loop via tools/ProbeMedoid)
-      case None => df => Ckpt.local(df)
-    }
+    // backend per checkpointDir, shared with the Graph iterative family
+    // (round 12: DISK_ONLY default, `memdisk` opt-out — A/B'd on
+    // pagerank/kcore AND on this CC loop via tools/ProbeMedoid)
+    val ch = new CkptChain(pairs.sparkSession, checkpointDir)
     // cut the pair relation BEFORE the symmetrizing self-union: the
     // union's two branches would otherwise each execute the caller's
     // pair pipeline (index+prune+verify — the expensive part of every
@@ -425,11 +426,11 @@ object Dedup {
     // the structural guarantee: the pair pipeline executes ONCE
     // regardless of how much of it exchange reuse happens to cover,
     // which is what matters when the verify join dominates at scale.
-    val p = cut(pairs.select(col("id_a"), col("id_b")))
+    val p = ch.cut("pairs")(pairs.select(col("id_a"), col("id_b")))
     val edges =
       p.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = cut(allNodes.select(col(idCol).cast("long").as("node"))
+    var labels = ch.cut("labels")(allNodes.select(col(idCol).cast("long").as("node"))
       .union(edges.select(col("src").cast("long").as("node")))
       .distinct()
       .withColumn("rep", col("node")))
@@ -441,7 +442,7 @@ object Dedup {
         .join(labels.select(col("node").as("src"), col("rep").as("srep")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("srep")).as("nrep"))
-      val updated = cut(labels
+      val updated = ch.cut("labels")(labels
         .join(candidates, Seq("node"), "left")
         .select(col("node"), col("rep").as("_old"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep")))
@@ -454,6 +455,7 @@ object Dedup {
     require(changed == 0,
       s"dupClusters did not converge within $maxIter rounds " +
         s"(component diameter exceeds cap; $changed labels still moving)")
+    ch.close("labels")
     labels.select(col("node").as(idCol), col("rep").as("cluster_rep"))
   }
 

@@ -3,53 +3,43 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Shared lineage-flattening local checkpoint for the iterative
-  * operator families (Graph traversals here, [[Dedup.dupClusters]]'s
-  * min-label propagation), with the storage backend selectable per
-  * session — see [[Graph.ckpt]] for the rationale and the A/B record. */
-private[operators] object Ckpt {
-  def local(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf
-        .getOption("spark.graft.graph.checkpointStorage").contains("memdisk"))
-      df.localCheckpoint()
-    else df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-}
-
 /** Graph traversal over an edge relation — the layer above
   * [[Dedup.dupClusters]]'s connected components: CC answers "which
   * nodes touch at all", BFS answers "how far apart are they", which is
   * what link-graph crawl-frontier analysis and entity-neighborhood
   * expansion actually ask.
+  *
+  * Checkpoint posture (round 13 — see [[Ckpt]] for the full lifecycle):
+  * every iterative member takes an optional `checkpointDir`. `None`
+  * (default) cuts lineage with LOCAL checkpoints — DISK_ONLY blocks by
+  * default, `spark.graft.graph.checkpointStorage=memdisk` opts back
+  * into MEMORY_AND_DISK (the round-12 A/B: DISK_ONLY measured
+  * flat-to-better at 8 GiB and 3 GiB heaps with 2-4× lower GC,
+  * tools/ProbeCheckpointStorage, PLANS.md) — fast, but an executor
+  * loss mid-iteration is unrecoverable because local checkpoints have
+  * no lineage fallback. `Some(dir)` switches every cut to a RELIABLE
+  * `checkpoint()` into `dir` — the posture a multi-hour 100 TB
+  * PageRank ships with: each round persists to durable storage and the
+  * job survives executor loss. All backends are value-identical
+  * (GraphSpec pins local-disk / memdisk / reliable-dir).
+  *
+  * Superseded rounds are released as soon as their successor
+  * materializes (the [[CkptChain]] contract), so a loop holds O(1)
+  * checkpoints — not O(rounds) — in block storage (local) or the
+  * checkpoint dir (reliable). The single final cut that backs the
+  * returned DataFrame outlives the call by necessity; callers free it
+  * with [[Ckpt.release]] once the result is consumed.
   */
 object Graph {
-
-  /** Lineage-flattening checkpoint for the iterative family, with the
-    * storage backend selectable per session (round 12):
-    * `spark.graft.graph.checkpointStorage` = `disk` (default —
-    * `localCheckpoint(eager = true, DISK_ONLY)`) or `memdisk`
-    * (`localCheckpoint()`'s MEMORY_AND_DISK). Same checkpoint
-    * semantics either way — only where the materialized blocks live.
-    *
-    * Why DISK_ONLY is the default (A/B in tools/ProbeCheckpointStorage,
-    * numbers in PLANS.md round 12): measured flat-to-better in both an
-    * 8 GiB and a 3 GiB heap at sf0.1 (pagerank 6.35-6.80 s vs
-    * 6.57-7.94, k-core 4.67-5.63 vs 5.05-6.22 at 8 GiB) with GC time
-    * 2-4× lower and identical output. Mechanically: memory-backed
-    * checkpoint blocks commit fresh anon pages on the hot path of
-    * every iteration AND occupy unified storage memory that evicts
-    * under pressure; DISK_ONLY writes serialized blocks through the OS
-    * page cache, keeping process RSS flat — the robust choice on hosts
-    * where first-touch anon faults cost milliseconds (this rig,
-    * build.sbt notes; the prime suspect for the driver's recurring
-    * 2-7× inflation of exactly this query family). On a real cluster,
-    * spilling per-iteration BSP state to local disk is the standard
-    * bounded-memory posture. */
-  private def ckpt(df: DataFrame): DataFrame = Ckpt.local(df)
 
   /** Breadth-first hop distances from `start` over an undirected edge
     * list, bounded at `maxHops`. Returns (node, hops) with hops =
     * minimum hop count, 0 for the start node; nodes beyond `maxHops`
     * are absent.
+    *
+    * EAGER: runs Spark jobs at call time (each frontier round is
+    * checkpoint-materialized and emptiness-tested), not at first action
+    * on the returned DataFrame.
     *
     * Scale shape: per level, ONE equi-join of the (symmetrized) edge
     * relation against the current frontier on the node key, a distinct
@@ -57,7 +47,8 @@ object Graph {
     * set so no node re-expands — the frontier relation is
     * reachable-set-sized, never path-count-sized. The driver loop runs
     * a bounded `maxHops` iterations (the dupClusters precedent);
-    * frontiers are localCheckpoint'ed so lineage stays flat.
+    * frontiers are checkpointed so lineage stays flat, superseded
+    * rounds released as soon as the next materializes.
     *
     * `edgesDistinctDisjoint`: set when `edges` is already duplicate-free
     * AND no edge appears in both orientations (e.g. a bipartite graph
@@ -70,29 +61,35 @@ object Graph {
     * exchange, never answers. */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               start: String, maxHops: Int,
-              edgesDistinctDisjoint: Boolean = false): DataFrame = {
+              edgesDistinctDisjoint: Boolean = false,
+              checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 0 && maxHops <= 32, s"unreasonable maxHops $maxHops")
+    val ch = new CkptChain(edges.sparkSession, checkpointDir)
     val sym = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
       .unionAll(edges
         .select(col(dstCol).cast("string").as("a"), col(srcCol).cast("string").as("b")))
     val und = (if (edgesDistinctDisjoint) sym else sym.distinct())
-      .transform(ckpt)
+      .transform(ch.cut("und"))
     import edges.sparkSession.implicits._
-    var visited = Seq((start, 0)).toDF("node", "hops").transform(ckpt)
+    var visited = Seq((start, 0)).toDF("node", "hops").transform(ch.cut("visited"))
     var frontier = visited.select("node")
     var h = 0
-    while (h < maxHops) {
+    var grown = true
+    while (h < maxHops && grown) {
       h += 1
       val next = und.join(frontier, und("a") === frontier("node"))
         .select(col("b").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
-        .transform(ckpt)
-      if (next.isEmpty) return visited
-      visited = visited.unionAll(next).transform(ckpt)
-      frontier = next.select("node")
+        .transform(ch.cut("next"))
+      if (next.isEmpty) grown = false
+      else {
+        visited = visited.unionAll(next).transform(ch.cut("visited"))
+        frontier = next.select("node")
+      }
     }
+    ch.close("visited")
     visited
   }
 
@@ -106,20 +103,27 @@ object Graph {
     * uniform score) — callers compare importance ratios, and the O(1)
     * scale keeps downstream rounding meaningful at any graph size.
     *
+    * EAGER: runs Spark jobs at call time (node count + one
+    * checkpoint-materialized join/agg round per iteration), not at
+    * first action on the returned DataFrame.
+    *
     * Scale shape: the contribution relation (src, dst, 1/outdeg) is
-    * built ONCE (one aggregation + one join) and localCheckpoint'ed;
-    * each iteration is then a single equi-join of the rank vector
+    * built ONCE (one aggregation + one join) and checkpointed; each
+    * iteration is then a single equi-join of the rank vector
     * (node-sized, not edge-sized) against it plus one map-side-combined
     * sum by dst — the canonical BSP step, shuffle keyed on the node id.
     * Nothing is collected to the driver; the loop is a bounded `iters`
     * (the [[bfsHops]] / dupClusters precedent), each rank vector
-    * localCheckpoint'ed so lineage stays flat. Node count N is computed
+    * checkpointed so lineage stays flat and the superseded round
+    * released once the new one materializes. Node count N is computed
     * once and folded in as a literal. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
-               undirected: Boolean = true): DataFrame = {
+               undirected: Boolean = true,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 32, s"unreasonable iters $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val ch = new CkptChain(edges.sparkSession, checkpointDir)
     val raw = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
     val dir = (if (undirected)
@@ -127,14 +131,14 @@ object Graph {
       .distinct()
     val nodes = dir.select(col("a").as("node"))
       .unionAll(dir.select(col("b").as("node")))
-      .distinct().transform(ckpt)
+      .distinct().transform(ch.cut("nodes"))
     val n = nodes.count()
     // (a, b, w = 1/outdeg(a)): the per-edge share of a's rank
     val contrib = dir
       .join(dir.groupBy("a").agg(count(lit(1)).as("_deg")), "a")
       .select(col("a"), col("b"), (lit(1.0) / col("_deg")).as("w"))
-      .transform(ckpt)
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).transform(ckpt)
+      .transform(ch.cut("contrib"))
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).transform(ch.cut("ranks"))
     for (_ <- 1 to iters) {
       val inflow = contrib
         .join(ranks, contrib("a") === ranks("node"))
@@ -145,8 +149,9 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("_in"), lit(0.0)))
             .as("rank"))
-        .transform(ckpt)
+        .transform(ch.cut("ranks"))
     }
+    ch.close("ranks")
     ranks.select(col("node"), (col("rank") * n).as("rank"))
   }
 
@@ -169,14 +174,16 @@ object Graph {
     * compact-forward bound), so the wedge self-join cannot explode on a
     * hub the way a naive neighbor-pair join does; every join and
     * aggregation is keyed on 8-byte node ids. No driver-side state, no
-    * global sort. */
+    * global sort. Not iterative — its two cuts (the deduped edge list
+    * and the oriented list) BOTH back the returned plan, so there is
+    * nothing to release before the caller is done with the result. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .transform(ckpt)
+      .transform(Ckpt.local)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -191,7 +198,7 @@ object Graph {
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("hi"))
-      .transform(ckpt)
+      .transform(Ckpt.local)
     // wedges lo -> {b, c} with b before c in orientation order need no
     // explicit tie-break: orientation is a strict total order restricted
     // to edges, so requiring the closing edge (b -> c) oriented picks
@@ -234,7 +241,7 @@ object Graph {
   def neighborJaccard(rel: DataFrame, entityCol: String, itemCol: String,
                       minCommon: Long, maxItemDeg: Long = 0L): DataFrame = {
     val b = rel.select(col(entityCol).as("e"), col(itemCol).as("i")).distinct()
-      .transform(ckpt)
+      .transform(Ckpt.local)
     val deg = b.groupBy(col("e").as("node")).agg(count(lit(1)).as("d"))
     val pairs = pairsFromDeduped(b, minCommon, maxItemDeg)
     // no broadcast hint: deg is entity-sized, which a 100 TB corpus can
@@ -297,15 +304,23 @@ object Graph {
     * change the answer — which is also why the implementation may skip
     * them once the edge count fixes (see the inline note below).
     *
+    * EAGER: runs Spark jobs at call time (the symmetrized edge relation
+    * is checkpoint-materialized and counted before the loop, then one
+    * count per executed round drives the convergence exit), not at
+    * first action on the returned DataFrame.
+    *
     * Scale shape: per round ONE degree aggregation keyed by the 8-byte
     * node id and TWO semi-joins of the edge relation against the
     * surviving-node set — edge-relation-sized shuffles that SHRINK
-    * monotonically; localCheckpoint keeps lineage flat across rounds
-    * (the BFS discipline). No driver-side state, no global sort. */
+    * monotonically; per-round checkpoints keep lineage flat (the BFS
+    * discipline), each released when the next round materializes. No
+    * driver-side state, no global sort. */
   def kCoreBounded(edges: DataFrame, srcCol: String, dstCol: String,
-                   k: Int, rounds: Int): DataFrame = {
+                   k: Int, rounds: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 64, s"unreasonable rounds $rounds")
+    val ch = new CkptChain(edges.sparkSession, checkpointDir)
     // self-loop filter AFTER the symmetrizing union: filtering only the
     // forward orientation let a loop re-enter via the reversed branch
     // and inflate its node's degree by one (caught by the round-12
@@ -317,7 +332,7 @@ object Graph {
         col(srcCol).cast("long").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .transform(ckpt)
+      .transform(ch.cut("e"))
     // Early exit on convergence (round 12): the peel only ever REMOVES
     // edges, so an unchanged edge count proves the edge SET is
     // unchanged — a fixed point, after which every remaining round
@@ -341,11 +356,12 @@ object Graph {
       e = e.join(keep, Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
         .select("u", "v")
-        .transform(ckpt)
+        .transform(ch.cut("e"))
       val cur = e.count()
       r = if (cur == prev) rounds else r + 1
       prev = cur
     }
+    ch.close("e")
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
   }
 }

@@ -320,6 +320,12 @@ object Similarity {
     * the d×d result is driver-side model math, the Lloyd's-fit
     * precedent). Output: (i, j, cov) for 0-based i ≤ j.
     *
+    * EAGER (ADVICE r12): the one-pass moment aggregation runs at CALL
+    * time — the corpus scan happens here, and the returned DataFrame is
+    * a driver-local d²-row literal relation, not a deferred plan.
+    * Callers that relied on plan-building-only semantics pay the scan
+    * up front.
+    *
     * Scale shape (round-12 rewrite, measured c65 2.9-3.2 → 0.8-0.9 s
     * and c66 2.9 → 0.8-0.9 s at sf0.1, ~3.4× both — ProbeSlow,
     * PLANS.md): ONE typed-Aggregator pass accumulates every per-dimension

@@ -171,15 +171,21 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val SEP = "\u0001"
+    // round 13: the per-round segmentation checkpoints run through a
+    // CkptChain so each superseded round's blocks are released the
+    // moment the next materializes, and — because the returned merge
+    // table is a driver-local literal relation, not a view over any
+    // checkpoint — close() releases EVERYTHING before returning: this
+    // operator holds zero checkpoint storage after the call
+    val ch = new CkptChain(spark, None)
     // ONE corpus pass: the word-frequency aggregation materializes via
     // localCheckpoint BEFORE anything reads it — the separator check
     // and the initial segmentation both derive from the checkpointed
     // vocab table instead of each re-running the explode+shuffle lineage
-    val words = df
+    val words = ch.cut("words")(df
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .groupBy("w").agg(count(lit(1)).as("c")))
     require(words.filter(col("w").contains(SEP)).isEmpty,
       "bpeMergeTable: corpus words contain the \\u0001 segmentation separator")
     var seg = words.select(
@@ -206,10 +212,10 @@ object TextAnalysis {
       val (l, r, f) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
       merges += ((round, l, r, f))
       if (round < numMerges)
-        seg = seg.withColumn("seg",
-          replace(col("seg"), lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP)))
-          .localCheckpoint()
+        seg = ch.cut("seg")(seg.withColumn("seg",
+          replace(col("seg"), lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP))))
     }
+    ch.close()
     merges.result().toDF("merge_rank", "lhs", "rhs", "freq")
   }
 

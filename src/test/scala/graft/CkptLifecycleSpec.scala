@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Ckpt, Dedup, Graph, TextAnalysis}
+
+/** Round-13 checkpoint LIFECYCLE pins (the r12 verdict's top item):
+  *
+  *   1. iterative operators release every SUPERSEDED per-round
+  *      checkpoint themselves — after a call returns, exactly the
+  *      result-backing cut(s) remain persisted, no matter how many
+  *      rounds ran (O(1) storage held, not O(rounds));
+  *   2. `Ckpt.release(result)` frees those too — a caller that has
+  *      consumed the result can return storage to baseline;
+  *   3. the reliable `checkpointDir` backend is value-identical to the
+  *      local backends AND deletes superseded round FILES from the
+  *      checkpoint dir as it goes (durable storage must not accumulate
+  *      either).
+  */
+class CkptLifecycleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edges = Seq(
+    ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"), ("x", "y")
+  ).toDF("src", "dst")
+  private def kedges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+    (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Run `op`, assert it left exactly `expectHeld` new persistent RDDs
+    * (the result-backing cuts), then release the result and assert
+    * storage returned to baseline. Returns the collected rows. */
+  private def pinHeld(expectHeld: Int)(op: => DataFrame): Set[Seq[Any]] = {
+    val base = persistedIds
+    val out = op
+    val rows = out.collect().map(_.toSeq).toSet
+    val added = persistedIds -- base
+    assert(added.size == expectHeld,
+      s"expected $expectHeld result-backing checkpoint(s), found ${added.size}")
+    Ckpt.release(out)
+    assert((persistedIds -- base).isEmpty,
+      "Ckpt.release(result) must return storage to baseline")
+    rows
+  }
+
+  test("pageRank holds ONE checkpoint after 5 iterations; release frees it") {
+    // without the chain this loop would hold nodes + contrib + 6 rank
+    // vectors = 8 cuts
+    pinHeld(1)(Graph.pageRank(edges, "src", "dst", iters = 5))
+  }
+
+  test("bfsHops holds ONE checkpoint across its frontier rounds") {
+    pinHeld(1)(Graph.bfsHops(edges, "src", "dst", "a", maxHops = 10))
+  }
+
+  test("kCoreBounded holds ONE checkpoint across its peel rounds") {
+    pinHeld(1)(Graph.kCoreBounded(kedges, "a", "b", k = 2, rounds = 8))
+  }
+
+  test("triangleCounts holds exactly its two result-backing cuts") {
+    pinHeld(2)(Graph.triangleCounts(kedges, "a", "b"))
+  }
+
+  test("dupClusters holds ONE checkpoint; pair cut released at return") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = (1L to 12L).toDF("doc_id")
+    val rows = pinHeld(1)(Dedup.dupClusters(pairs, nodes, "doc_id"))
+    // sanity: transitivity landed (1-2-3 collapse to rep 1)
+    assert(rows.contains(Seq(3L, 1L)) && rows.contains(Seq(11L, 10L)))
+  }
+
+  test("bpeMergeTable holds ZERO checkpoints after returning " +
+    "(driver-local result; the whole chain is released)") {
+    val docs = Seq("banana bandana banana", "band anna banana",
+      "nab ban anna").toDF("text")
+    val base = persistedIds
+    val merges = TextAnalysis.bpeMergeTable(docs, "text", numMerges = 3)
+    assert(merges.count() == 3)
+    assert((persistedIds -- base).isEmpty,
+      "bpeMergeTable must release every per-round checkpoint")
+  }
+
+  test("releaseIssued frees graft-issued checkpoints but not foreign caches") {
+    val base = persistedIds
+    val pr = Graph.pageRank(edges, "src", "dst", iters = 3)
+    pr.collect()
+    val foreign = kedges.persist()
+    foreign.count()
+    assert(Ckpt.releaseIssued(spark) >= 1)
+    val remaining = persistedIds -- base
+    // the foreign cache must survive a graft sweep
+    assert(remaining.nonEmpty && foreign.storageLevel.useMemory,
+      "foreign cache must not be swept by releaseIssued")
+    foreign.unpersist(blocking = true)
+    assert((persistedIds -- base).isEmpty)
+  }
+
+  // ---- reliable checkpointDir backend ----
+
+  private def rddDirCount(root: String): Int = {
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(p)) 0
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(q => java.nio.file.Files.isDirectory(q) &&
+          q.getFileName.toString.startsWith("rdd-")).count().toInt
+      finally s.close()
+    }
+  }
+
+  test("reliable checkpointDir: value-identical to local backends, " +
+    "superseded round files deleted, release empties the dir, " +
+    "nothing persisted in the block manager") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    try {
+      val base = persistedIds
+      val localV = Seq(
+        Graph.pageRank(edges, "src", "dst", iters = 3),
+        Graph.bfsHops(edges, "src", "dst", "a", maxHops = 10),
+        Graph.kCoreBounded(kedges, "a", "b", k = 2, rounds = 3),
+        Dedup.dupClusters(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"),
+          (1L to 5L).toDF("doc_id"), "doc_id")
+      ).map { df => val r = df.collect().map(_.toSeq).toSet; Ckpt.release(df); r }
+      assert((persistedIds -- base).isEmpty)
+
+      def withDirCheck(df: DataFrame, expectDirs: Int): Set[Seq[Any]] = {
+        val rows = df.collect().map(_.toSeq).toSet
+        // superseded rounds' files are deleted as the loop advances:
+        // only the result-backing cut(s) remain on disk
+        assert(rddDirCount(dir) == expectDirs,
+          s"checkpoint dir must hold exactly $expectDirs rdd dirs " +
+            s"after the call, found ${rddDirCount(dir)}")
+        Ckpt.release(df)
+        assert(rddDirCount(dir) == 0,
+          "release must delete the result-backing checkpoint files")
+        rows
+      }
+      val relV = Seq(
+        withDirCheck(Graph.pageRank(edges, "src", "dst", iters = 3,
+          checkpointDir = Some(dir)), 1),
+        withDirCheck(Graph.bfsHops(edges, "src", "dst", "a", maxHops = 10,
+          checkpointDir = Some(dir)), 1),
+        withDirCheck(Graph.kCoreBounded(kedges, "a", "b", k = 2, rounds = 3,
+          checkpointDir = Some(dir)), 1),
+        withDirCheck(Dedup.dupClusters(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"),
+          (1L to 5L).toDF("doc_id"), "doc_id", checkpointDir = Some(dir)), 1)
+      )
+      localV.zip(relV).zipWithIndex.foreach { case ((l, r), i) =>
+        assert(l == r, s"operator $i differs between local and reliable backends")
+      }
+      // reliable cuts write files, not block-manager entries
+      assert((persistedIds -- base).isEmpty,
+        "reliable mode must not leave persistent RDDs behind")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+}
