@@ -23,6 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // round 13: the parquet write consumed the result — free its
+      // result-backing checkpoint(s) so the 270-query sweep holds O(1)
+      // checkpoint storage, same caller contract as the bench
+      graft.operators.Ckpt.releaseIssued(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
