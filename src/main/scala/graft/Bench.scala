@@ -123,6 +123,7 @@ object Bench {
     var peakMemMb = 0L; var peakRdds = 0; var peakAt = ""
     var leakedRdds = 0L
     var resultCkpts = 0L
+    val leakedAfter = collection.mutable.ListBuffer[String]()
     def reclaimAfter(name: String, keepFixtures: Boolean): Unit = {
       val infos = spark.sparkContext.getRDDStorageInfo
       val mem = infos.map(_.memSize).sum / (1024L * 1024L)
@@ -151,6 +152,7 @@ object Bench {
       val persistent = spark.sparkContext.getPersistentRDDs
       if (persistent.nonEmpty) {
         leakedRdds += persistent.size
+        leakedAfter += name // name the culprit in the artifact
         persistent.values.foreach(_.unpersist(blocking = false))
       }
       spark.catalog.clearCache()
@@ -334,7 +336,8 @@ object Bench {
       s""""rdds":$peakRdds,"after":"$peakAt"},""" +
       s""""end":{"mem_mb":$endMemMb,"rdds":${endInfos.length}},""" +
       s""""result_ckpts_released":$resultCkpts,""" +
-      s""""leaked_rdds_unpersisted":$leakedRdds}"""
+      s""""leaked_rdds_unpersisted":$leakedRdds,""" +
+      s""""leaked_after":${leakedAfter.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     // per-s*-query micro-batch phase sums (round 13): batches counted
     // plus every StreamingQueryProgress.durationMs phase and the state
     // operators' update/commit ms, summed over the measured run
