@@ -151,14 +151,23 @@ object Ckpt {
   * the same slot each round therefore holds O(1) checkpoints instead of
   * O(rounds). `close(keep*)` releases every still-held slot except the
   * ones backing the returned result (those are caller-owned — see
-  * [[Ckpt]]'s lifecycle note). */
+  * [[Ckpt]]'s lifecycle note).
+  *
+  * Backend resolution: the per-call `checkpointDir` argument wins; when
+  * it is None, the session conf `spark.graft.checkpointDir` (if set)
+  * supplies the reliable directory — so a cluster deployment turns the
+  * WHOLE iterative family durable with one conf line, without editing
+  * every call site (the packaged queries all call with defaults);
+  * otherwise the local backend applies. */
 private[graft] final class CkptChain(spark: SparkSession,
                                      checkpointDir: Option[String]) {
-  checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+  private val dir: Option[String] =
+    checkpointDir.orElse(spark.conf.getOption("spark.graft.checkpointDir"))
+  dir.foreach(spark.sparkContext.setCheckpointDir)
   private var held = Map.empty[String, DataFrame]
 
   def cut(slot: String)(df: DataFrame): DataFrame = {
-    val cur = if (checkpointDir.isDefined) Ckpt.reliable(df) else Ckpt.local(df)
+    val cur = if (dir.isDefined) Ckpt.reliable(df) else Ckpt.local(df)
     held.get(slot).foreach(Ckpt.release)
     held += slot -> cur
     cur

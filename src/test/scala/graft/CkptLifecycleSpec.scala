@@ -158,4 +158,33 @@ class CkptLifecycleSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("spark.graft.checkpointDir conf turns default-args calls reliable " +
+    "(the one-conf-line cluster posture); per-call arg still wins") {
+    val confDir = java.nio.file.Files.createTempDirectory("graft-ckpt-conf-").toString
+    val argDir = java.nio.file.Files.createTempDirectory("graft-ckpt-arg-").toString
+    try {
+      spark.conf.set("spark.graft.checkpointDir", confDir)
+      val base = persistedIds
+      // a packaged-query-shaped call: NO checkpointDir argument
+      val pr = Graph.pageRank(edges, "src", "dst", iters = 3)
+      pr.collect()
+      assert((persistedIds -- base).isEmpty,
+        "conf-selected reliable mode must not persist block-manager RDDs")
+      assert(rddDirCount(confDir) == 1,
+        "default-args call must checkpoint into the conf directory")
+      // explicit argument overrides the conf
+      val pr2 = Graph.pageRank(edges, "src", "dst", iters = 3,
+        checkpointDir = Some(argDir))
+      pr2.collect()
+      assert(rddDirCount(argDir) == 1, "per-call dir must win over the conf")
+      assert(rddDirCount(confDir) == 1, "conf dir must not receive the arg call's cuts")
+      Ckpt.release(pr); Ckpt.release(pr2)
+      assert(rddDirCount(confDir) == 0 && rddDirCount(argDir) == 0)
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(confDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(argDir))
+    }
+  }
 }
