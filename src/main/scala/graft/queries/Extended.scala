@@ -178,8 +178,11 @@ object Extended {
           "vec_id", "embedding", 5, dim, ksub, rerank = Int.MaxValue)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
-        // materialize (lineage truncated) so the temp index can go away
-        .localCheckpoint(true)
+        // materialize (lineage truncated) so the temp index can go away;
+        // through the TRACKED cut (round 13) so the result-backing blocks
+        // are released by Ckpt.releaseIssued once the caller consumes the
+        // result — this was the bench's one remaining "leaked" RDD
+        .transform(graft.operators.Ckpt.local)
       graft.Tables.deleteRecursively(root)
       served
     },
