@@ -23,6 +23,16 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // safety net under the round-13 checkpoint lifecycle: operators
+      // release superseded rounds themselves and callers release
+      // result-backing cuts (Ckpt.release / releaseIssued), but a
+      // caller that drops a reliable-mode result without releasing it
+      // would otherwise strand its files in the checkpoint dir forever;
+      // with this set the ContextCleaner deletes them when the RDD is
+      // GC'd. (Local-mode blocks already get that treatment by
+      // default.) Deterministic release remains the primary path — GC
+      // timing is a backstop, not a budget.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
