@@ -158,7 +158,14 @@ object Ckpt {
   * supplies the reliable directory — so a cluster deployment turns the
   * WHOLE iterative family durable with one conf line, without editing
   * every call site (the packaged queries all call with defaults);
-  * otherwise the local backend applies. */
+  * otherwise the local backend applies.
+  *
+  * Reliable mode routes through the context-global
+  * `setCheckpointDir`; two reliable-mode operators running
+  * CONCURRENTLY with different dirs would race on it (each cut lands
+  * in whichever dir was set last — correct data, surprising
+  * placement). Concurrent reliable calls should share one dir, which
+  * the conf form gives naturally. */
 private[graft] final class CkptChain(spark: SparkSession,
                                      checkpointDir: Option[String]) {
   private val dir: Option[String] =
