@@ -266,7 +266,10 @@ object Bench {
         val warm = runOnce(name, fn)
         if (warm < 0) { queryEnv(name) = envRecord(warm, Nil); (name, -1.0) }
         else {
-          // listener events are async; drain before reading the counter
+          // listener events are async: drain the WARMUP run's final
+          // progress event before resetting, or it lands after the
+          // clear and contaminates the measured run's phase sums
+          Thread.sleep(50)
           spark.streams.resetTerminated()
           batchDurMs.set(0L)
           progLock.synchronized { progDur.clear(); progBatches = 0L }
@@ -308,10 +311,13 @@ object Bench {
           (name, if (samples.length < reps) -1.0 else samples.sorted.apply(reps / 2))
         }
       }
-      // fixture survives between adjacent media queries (it is the
-      // stored-column stand-in, not per-query state); the first
-      // non-media successor gets the full sweep
-      reclaimAfter(name, keepFixtures =
+      // fixture survives between ADJACENT media queries (it is the
+      // stored-column stand-in, not per-query state); both sides of the
+      // boundary must be media — the non-media query just before the
+      // m-block must still get its full sweep and leak accounting, or
+      // its residue would ride through the whole media block and land
+      // in leaked_after under the wrong name
+      reclaimAfter(name, keepFixtures = name.startsWith("m") &&
         qi + 1 < sorted.length && sorted(qi + 1)._1.startsWith("m"))
       timing
     }
@@ -340,13 +346,18 @@ object Bench {
       s""""leaked_after":${leakedAfter.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     // per-s*-query micro-batch phase sums (round 13): batches counted
     // plus every StreamingQueryProgress.durationMs phase and the state
-    // operators' update/commit ms, summed over the measured run
-    val spJson = streamProgress.toSeq.sortBy(_._1).map { case (k, (nb, m)) =>
+    // operators' update/commit ms, summed over the measured run. ONE
+    // serializer for both artifact sections so the truncation-proof
+    // summary can never drift from the full line.
+    def progressJson(k: String, nb: Long, m: Map[String, Long]): String = {
       val phases = m.toSeq.sortBy(_._1)
         .map { case (p, ms) => "\"" + p + "_ms\":" + ms }.mkString(",")
       "\"" + k + "\":{\"batches\":" + nb +
         (if (phases.nonEmpty) "," + phases else "") + "}"
-    }.mkString("{", ",", "}")
+    }
+    val spJson = streamProgress.toSeq.sortBy(_._1)
+      .map { case (k, (nb, m)) => progressJson(k, nb, m) }
+      .mkString("{", ",", "}")
     // per-query environment records (round 12) — a SIBLING map keyed
     // like "queries"; run-wide aggregates repeated on the
     // truncation-proof summary line together with the slowest-5's
@@ -380,12 +391,7 @@ object Bench {
     // truncation-proof line: they are exactly the rows a driver-rig
     // inflation dispute needs
     val slowestSp = slowest5.flatMap { case (k, _) =>
-      streamProgress.get(k).map { case (nb, m) =>
-        val phases = m.toSeq.sortBy(_._1)
-          .map { case (p, ms) => "\"" + p + "_ms\":" + ms }.mkString(",")
-        "\"" + k + "\":{\"batches\":" + nb +
-          (if (phases.nonEmpty) "," + phases else "") + "}"
-      }
+      streamProgress.get(k).map { case (nb, m) => progressJson(k, nb, m) }
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +

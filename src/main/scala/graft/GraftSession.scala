@@ -35,6 +35,10 @@ object GraftSession {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // harness opt-in: the checkpoint lifecycle's deliberate
+    // unpersist-of-superseded-rounds otherwise logs one scary (and
+    // here meaningless) lineage-truncation warning per released round
+    graft.operators.Ckpt.quietDeliberateUnpersistWarnings()
     spark
   }
 }

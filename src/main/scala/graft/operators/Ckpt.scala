@@ -47,25 +47,36 @@ import org.apache.spark.storage.StorageLevel
   */
 object Ckpt {
 
-  /** Ids of checkpoint RDDs issued by graft operators and not yet
-    * released. Ids only — holding the RDDs themselves would extend
-    * their lifetime past the ContextCleaner's weak-reference reclaim
-    * and turn the registry into its own leak. Pruned against the
-    * context's live persistent set on every [[releaseIssued]]. */
-  private val issued = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  /** (applicationId, rddId) of checkpoint RDDs issued by graft
+    * operators and not yet released. Ids only — holding the RDDs
+    * themselves would extend their lifetime past the ContextCleaner's
+    * weak-reference reclaim and turn the registry into its own leak.
+    * Scoping by applicationId matters in a long-lived JVM: RDD ids
+    * restart at 0 per SparkContext, so a bare-id registry carrying a
+    * stale entry from a stopped context could match — and
+    * [[releaseIssued]] would then unpersist — a FOREIGN cache in the
+    * next context that happened to get the same id. Pruned against the
+    * current context's live persistent set on every [[releaseIssued]]. */
+  private val issued =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+  private def key(rdd: RDD[_]): (String, Int) =
+    (rdd.context.applicationId, rdd.id)
 
-  // The release path unpersists locally-checkpointed RDDs ON PURPOSE —
-  // the successor round is materialized before the predecessor's
-  // storage drops, so nothing can ever recompute it. Spark logs a
-  // per-RDD "lineage has been truncated and cannot be recomputed"
-  // warning for exactly this case; accurate for an ACCIDENTAL
-  // unpersist, pure noise for this deliberate lifecycle (hundreds per
-  // bench run). Raise that one logger to ERROR rather than training
-  // readers to ignore warnings.
-  try org.apache.logging.log4j.core.config.Configurator.setLevel(
-    "org.apache.spark.rdd.MapPartitionsRDD",
-    org.apache.logging.log4j.Level.ERROR)
-  catch { case _: Throwable => () }
+  /** Raise the one logger that warns per deliberate
+    * unpersist-of-local-checkpoint to ERROR. The release path
+    * unpersists locally-checkpointed RDDs ON PURPOSE — the successor
+    * round is materialized before the predecessor's storage drops, so
+    * nothing can ever recompute it — and Spark's per-RDD "lineage has
+    * been truncated" warning is pure noise there (hundreds per bench
+    * run) while staying accurate for an ACCIDENTAL unpersist elsewhere.
+    * Explicit OPT-IN for harnesses (GraftSession/TestSpark call it);
+    * deliberately NOT a class-load side effect, so an application that
+    * merely links the library keeps its own warning trail. */
+  def quietDeliberateUnpersistWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 
   /** The checkpoint-backing RDDs under a Dataset: `checkpoint()` /
     * `localCheckpoint()` return a Dataset whose analyzed plan is a
@@ -79,7 +90,7 @@ object Ckpt {
     }
 
   private def track(df: DataFrame): DataFrame = {
-    backingRdds(df).foreach(r => issued.add(r.id))
+    backingRdds(df).foreach(r => issued.add(key(r)))
     df
   }
 
@@ -97,7 +108,18 @@ object Ckpt {
 
   /** Reliable checkpoint cut into the context's checkpoint dir (the
     * caller — normally [[CkptChain]] — has set it). Survives executor
-    * loss at the cost of a durable write per cut. */
+    * loss at the cost of a durable write per cut.
+    *
+    * Known cost shape (probed round 13, tools/ProbeReliable): eager
+    * `Dataset.checkpoint()` on an unpersisted plan runs the result
+    * stage twice — once for the eager count, once for the
+    * checkpoint-file write — but shuffle map stages are REUSED, so the
+    * recompute is the final stage only. Staging through a local
+    * checkpoint first (compute once → blocks, file-write reads blocks)
+    * measured as a wash-to-slightly-worse at sf0.1 (plain 6.43 s vs
+    * staged 6.74 on the c57 loop, identical checksums): the saved
+    * final-stage recompute is repaid in block write+read. Kept plain
+    * per the measured-win-only rule. */
   def reliable(df: DataFrame): DataFrame = track(df.checkpoint())
 
   /** Release the storage behind a checkpointed DataFrame — block-manager
@@ -107,7 +129,7 @@ object Ckpt {
     * lineage to recompute from and reliable files are deleted. Call
     * only once the result is fully consumed. */
   def release(df: DataFrame): Unit = backingRdds(df).foreach { rdd =>
-    issued.remove(rdd.id)
+    issued.remove(key(rdd))
     rdd.unpersist(blocking = false)
     rdd.getCheckpointFile.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
@@ -127,15 +149,17 @@ object Ckpt {
     * RDDs and so are NOT swept here; their files are caller-owned via
     * [[release]]. */
   def releaseIssued(spark: SparkSession): Int = {
+    val app = spark.sparkContext.applicationId
     val persistent = spark.sparkContext.getPersistentRDDs
     var n = 0
     persistent.foreach { case (id, rdd) =>
-      if (issued.remove(id)) { rdd.unpersist(blocking = false); n += 1 }
+      if (issued.remove((app, id))) { rdd.unpersist(blocking = false); n += 1 }
     }
-    // ids no longer persistent are gone for good (their RDD objects are
-    // ContextCleaner property once unreachable) — drop them so the
-    // registry stays bounded by the number of LIVE checkpoints
-    issued.removeIf(id => !persistent.contains(id))
+    // this context's ids that are no longer persistent are gone for
+    // good (their RDD objects are ContextCleaner property once
+    // unreachable) — drop them so the registry stays bounded by the
+    // number of LIVE checkpoints plus any stopped-context residue
+    issued.removeIf(k => k._1 == app && !persistent.contains(k._2))
     n
   }
 
@@ -170,6 +194,12 @@ private[graft] final class CkptChain(spark: SparkSession,
                                      checkpointDir: Option[String]) {
   private val dir: Option[String] =
     checkpointDir.orElse(spark.conf.getOption("spark.graft.checkpointDir"))
+  // the context checkpoint dir is GLOBAL state; remember what the
+  // application had set so close() can put it back — one operator call
+  // must not silently redirect the app's own later df.checkpoint()
+  // calls into this call's directory
+  private val priorDir: Option[String] =
+    if (dir.isDefined) spark.sparkContext.getCheckpointDir else None
   dir.foreach(spark.sparkContext.setCheckpointDir)
   private var held = Map.empty[String, DataFrame]
 
@@ -180,11 +210,18 @@ private[graft] final class CkptChain(spark: SparkSession,
     cur
   }
 
-  /** Release every held checkpoint except the `keep` slots. Call once,
-    * right before returning the result. */
+  /** Release every held checkpoint except the `keep` slots, and restore
+    * the application's prior checkpoint dir. Call once on EVERY exit
+    * path — right before returning the result, and with no `keep` from
+    * a failure handler (a loop that throws mid-round must not strand
+    * its held rounds; see the operators' try/catch). */
   def close(keep: String*): Unit = {
     val ks = keep.toSet
     held.foreach { case (slot, df) => if (!ks.contains(slot)) Ckpt.release(df) }
     held = held.filter { case (slot, _) => ks.contains(slot) }
+    // restore only when we changed it AND the app had one (there is no
+    // public unset; a None prior under our Some stays ours — documented
+    // global-state residue, same as any setCheckpointDir caller)
+    if (dir.isDefined) priorDir.foreach(spark.sparkContext.setCheckpointDir)
   }
 }

@@ -415,6 +415,10 @@ object Dedup {
     // (round 12: DISK_ONLY default, `memdisk` opt-out — A/B'd on
     // pagerank/kcore AND on this CC loop via tools/ProbeMedoid)
     val ch = new CkptChain(pairs.sparkSession, checkpointDir)
+    // a failure mid-loop — including the non-convergence require below —
+    // must not strand held rounds (in reliable mode: durable files with
+    // no owner): release everything and rethrow
+    try {
     // cut the pair relation BEFORE the symmetrizing self-union: the
     // union's two branches would otherwise each execute the caller's
     // pair pipeline (index+prune+verify — the expensive part of every
@@ -457,6 +461,7 @@ object Dedup {
         s"(component diameter exceeds cap; $changed labels still moving)")
     ch.close("labels")
     labels.select(col("node").as(idCol), col("rep").as("cluster_rep"))
+    } catch { case t: Throwable => ch.close(); throw t }
   }
 
   /** 64-bit SimHash of the word multiset: per bit, sum +1/-1 over each

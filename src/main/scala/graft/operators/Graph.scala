@@ -65,6 +65,9 @@ object Graph {
               checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 0 && maxHops <= 32, s"unreasonable maxHops $maxHops")
     val ch = new CkptChain(edges.sparkSession, checkpointDir)
+    // a mid-loop failure must not strand held rounds (in reliable mode:
+    // durable files with no owner) — release everything and rethrow
+    try {
     val sym = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
       .unionAll(edges
@@ -91,6 +94,7 @@ object Graph {
     }
     ch.close("visited")
     visited
+    } catch { case t: Throwable => ch.close(); throw t }
   }
 
   /** PageRank by bounded power iteration: `iters` rounds of
@@ -124,6 +128,8 @@ object Graph {
     require(iters >= 1 && iters <= 32, s"unreasonable iters $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val ch = new CkptChain(edges.sparkSession, checkpointDir)
+    // a mid-loop failure must not strand held rounds — release, rethrow
+    try {
     val raw = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
     val dir = (if (undirected)
@@ -153,6 +159,7 @@ object Graph {
     }
     ch.close("ranks")
     ranks.select(col("node"), (col("rank") * n).as("rank"))
+    } catch { case t: Throwable => ch.close(); throw t }
   }
 
   /** Per-node triangle counts over an undirected simple graph given as
@@ -321,6 +328,8 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 64, s"unreasonable rounds $rounds")
     val ch = new CkptChain(edges.sparkSession, checkpointDir)
+    // a mid-loop failure must not strand held rounds — release, rethrow
+    try {
     // self-loop filter AFTER the symmetrizing union: filtering only the
     // forward orientation let a loop re-enter via the reversed branch
     // and inflate its node's degree by one (caught by the round-12
@@ -363,5 +372,6 @@ object Graph {
     }
     ch.close("e")
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+    } catch { case t: Throwable => ch.close(); throw t }
   }
 }

@@ -178,6 +178,9 @@ object TextAnalysis {
     // checkpoint — close() releases EVERYTHING before returning: this
     // operator holds zero checkpoint storage after the call
     val ch = new CkptChain(spark, None)
+    // a failure mid-loop — including the exhausted-pairs require below —
+    // must not strand held rounds: release everything and rethrow
+    try {
     // ONE corpus pass: the word-frequency aggregation materializes via
     // localCheckpoint BEFORE anything reads it — the separator check
     // and the initial segmentation both derive from the checkpointed
@@ -217,6 +220,7 @@ object TextAnalysis {
     }
     ch.close()
     merges.result().toDF("merge_rank", "lhs", "rhs", "freq")
+    } catch { case t: Throwable => ch.close(); throw t }
   }
 
   /** Apply a learned BPE merge table: segment every word with the

@@ -159,6 +159,40 @@ class CkptLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("a failing operator releases every held checkpoint " +
+    "(bpeMergeTable's exhausted-pairs guard fires with a round cut held)") {
+    val base = persistedIds
+    // one mergeable pair only: round 1 merges (a,b) and CUTS the new
+    // segmentation; round 2 finds no adjacent pairs and throws — the
+    // failure path must release the held words + seg cuts
+    val docs = Seq("ab ab", "ab").toDF("text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMergeTable(docs, "text", numMerges = 3)
+    }
+    assert((persistedIds -- base).isEmpty,
+      "failed bpeMergeTable must strand no checkpoints")
+  }
+
+  test("per-call reliable dir does not hijack the application's own " +
+    "checkpoint dir (restored by close on success and failure paths)") {
+    val appDir = java.nio.file.Files.createTempDirectory("graft-app-ckpt-").toString
+    val opDir = java.nio.file.Files.createTempDirectory("graft-op-ckpt-").toString
+    try {
+      spark.sparkContext.setCheckpointDir(appDir)
+      val pr = Graph.pageRank(edges, "src", "dst", iters = 2,
+        checkpointDir = Some(opDir))
+      pr.collect(); Ckpt.release(pr)
+      // getCheckpointDir returns a URI (file:/...) of a UUID subdir —
+      // containment of the app's root is the restore guarantee
+      val after = spark.sparkContext.getCheckpointDir.get
+      assert(after.contains(appDir),
+        s"app checkpoint dir hijacked by operator call: $after")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(appDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(opDir))
+    }
+  }
+
   test("spark.graft.checkpointDir conf turns default-args calls reliable " +
     "(the one-conf-line cluster posture); per-call arg still wins") {
     val confDir = java.nio.file.Files.createTempDirectory("graft-ckpt-conf-").toString

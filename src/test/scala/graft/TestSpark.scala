@@ -15,6 +15,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // harness opt-in (the GraftSession pattern): suites exercise the
+    // checkpoint lifecycle's deliberate unpersists hundreds of times
+    graft.operators.Ckpt.quietDeliberateUnpersistWarnings()
     s
   }
 }
