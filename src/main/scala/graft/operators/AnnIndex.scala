@@ -85,13 +85,14 @@ object AnnIndex {
     * [[graft.streaming.Stateful.writeViaForeachBatch]] idempotency
     * hook) or through a transactional table format. */
   def ingestStream(spark: SparkSession, newVecs: DataFrame, root: String,
-                   encode: DataFrame => DataFrame): Unit = {
-    val q = newVecs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        encode(batch).write.mode(SaveMode.Append).parquet(s"$root/codes")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-  }
+                   encode: DataFrame => DataFrame): Unit =
+    graft.streaming.Streams.runHarnessQuery("ann_ingest") { ckpt =>
+      newVecs.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          encode(batch).write.mode(SaveMode.Append).parquet(s"$root/codes")
+        }
+        .start()
+    }
 }

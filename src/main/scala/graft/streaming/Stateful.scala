@@ -135,9 +135,11 @@ object Stateful {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         spark.catalog.dropTempView(name)
-        val q = runningTotalsTws(spark, Streams.eventStream(spark, dir))
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
+        Streams.runHarnessQuery(name) { ckpt =>
+          runningTotalsTws(spark, Streams.eventStream(spark, dir))
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        }
         spark.table(name)
       } finally prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -150,9 +152,11 @@ object Stateful {
   def runToCompletion(spark: SparkSession, dir: String, name: String): DataFrame =
     Streams.withHarnessPartitions(spark) {
       spark.catalog.dropTempView(name)
-      val q = runningTotals(spark, Streams.eventStream(spark, dir))
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      Streams.runHarnessQuery(name) { ckpt =>
+        runningTotals(spark, Streams.eventStream(spark, dir))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+      }
       spark.table(name)
     }
 
@@ -161,13 +165,15 @@ object Stateful {
     * idempotency hooks; here: append one parquet dir per batch). */
   def writeViaForeachBatch(spark: SparkSession, events: DataFrame,
                            outDir: String): Unit = {
-    val q = Streams.tumblingCounts(events)
-      .writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    Streams.runHarnessQuery("foreach_batch") { ckpt =>
+      Streams.tumblingCounts(events)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        }
+        .start()
+    }
   }
 }
