@@ -33,6 +33,14 @@ object GraftSession {
       // default.) Deterministic release remains the primary path — GC
       // timing is a backstop, not a budget.
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // round 14: the durable-posture end-to-end proof needs the WHOLE
+      // packaged surface (verify sweep + bench) runnable in reliable
+      // mode without code edits — the env var feeds the session conf
+      // that CkptChain already resolves (arg > conf > local). Unset =
+      // unchanged local-checkpoint behavior.
+      .config(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        .map(d => Map("spark.graft.checkpointDir" -> d))
+        .getOrElse(Map.empty[String, String]))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // harness opt-in: the checkpoint lifecycle's deliberate

@@ -18,14 +18,23 @@ object Verify {
       case None        => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // round 14 (ADVICE r13): retain the result and release it through
+      // Ckpt.releaseResult once the parquet write has consumed it —
+      // deterministic for BOTH backends. Under the one-conf-line
+      // spark.graft.checkpointDir posture every result-backing cut is
+      // reliable FILES, which the old persistent-RDD-only sweep never
+      // freed — the 270-query sweep would have accumulated checkpoint
+      // dirs until the GC-timed ContextCleaner backstop. releaseIssued
+      // stays as the backstop sweep (it too deletes current-app
+      // reliable files since round 14).
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        graft.operators.Ckpt.releaseResult(df)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // round 13: the parquet write consumed the result — free its
-      // result-backing checkpoint(s) so the 270-query sweep holds O(1)
-      // checkpoint storage, same caller contract as the bench
       graft.operators.Ckpt.releaseIssued(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

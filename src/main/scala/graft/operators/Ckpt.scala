@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.graft.CheckpointDirAccess
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -40,43 +41,99 @@ import org.apache.spark.storage.StorageLevel
   *     exactly one checkpoint per call (two for [[Graph.triangleCounts]],
   *     whose result reads both cuts) outlives the call, caller-owned.
   *     Callers that have fully consumed the result free it with
-  *     [[Ckpt.release]]; harnesses that know ALL outstanding results
-  *     are consumed (the bench, after each query's sink completes) use
+  *     [[Ckpt.release]] (or the foreign-leaf-safe [[Ckpt.releaseResult]]);
+  *     harnesses that know ALL outstanding results are consumed (the
+  *     bench, after each query's sink completes) use
   *     [[Ckpt.releaseIssued]], which frees every graft-issued
-  *     checkpoint still persisted and leaves foreign blocks alone.
+  *     checkpoint still held — block-manager blocks AND reliable-mode
+  *     files (round 14; their paths are recorded at issue time) — and
+  *     leaves foreign blocks alone.
   */
 object Ckpt {
 
-  /** (applicationId, rddId) of checkpoint RDDs issued by graft
-    * operators and not yet released. Ids only — holding the RDDs
+  /** (applicationId, rddId) → checkpoint file path ("" for local-mode
+    * block checkpoints) of checkpoint RDDs issued by graft operators
+    * and not yet released. Ids + paths only — holding the RDDs
     * themselves would extend their lifetime past the ContextCleaner's
     * weak-reference reclaim and turn the registry into its own leak.
     * Scoping by applicationId matters in a long-lived JVM: RDD ids
     * restart at 0 per SparkContext, so a bare-id registry carrying a
     * stale entry from a stopped context could match — and
     * [[releaseIssued]] would then unpersist — a FOREIGN cache in the
-    * next context that happened to get the same id. Pruned against the
-    * current context's live persistent set on every [[releaseIssued]]. */
+    * next context that happened to get the same id. Pruned on every
+    * [[releaseIssued]]: live-context entries against the persistent
+    * set, and (round 14) ALL entries of other applicationIds — only
+    * one SparkContext can be active per JVM, so a foreign app key is
+    * stopped-context residue by construction. */
   private val issued =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
   private def key(rdd: RDD[_]): (String, Int) =
     (rdd.context.applicationId, rdd.id)
 
-  /** Raise the one logger that warns per deliberate
-    * unpersist-of-local-checkpoint to ERROR. The release path
-    * unpersists locally-checkpointed RDDs ON PURPOSE — the successor
-    * round is materialized before the predecessor's storage drops, so
-    * nothing can ever recompute it — and Spark's per-RDD "lineage has
-    * been truncated" warning is pure noise there (hundreds per bench
-    * run) while staying accurate for an ACCIDENTAL unpersist elsewhere.
-    * Explicit OPT-IN for harnesses (GraftSession/TestSpark call it);
-    * deliberately NOT a class-load side effect, so an application that
-    * merely links the library keeps its own warning trail. */
-  def quietDeliberateUnpersistWarnings(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
+  /** Serializes reliable-mode cuts process-wide: the checkpoint
+    * directory is SparkContext-GLOBAL state, so the
+    * [point at chain's dir → eager checkpoint → exact-restore prior]
+    * window of one cut must not interleave with another chain's. Held
+    * for the duration of the checkpoint job — two CONCURRENT
+    * reliable-mode operators therefore serialize their per-round
+    * durable writes (placement correctness over write overlap; their
+    * compute stages still overlap freely, and local-mode callers never
+    * touch the lock). An application thread calling its own
+    * `df.checkpoint()` concurrently does not take this lock and can
+    * still land in the chain's dir during a cut window — inherent to
+    * Spark's context-global API; the exact-restore keeps the window as
+    * narrow as one cut. */
+  private[operators] val reliableLock = new Object
+
+  /** Test-only registry injection (CkptLifecycleSpec's stopped-context
+    * residue pin). */
+  private[graft] def registerForTest(app: String, id: Int, file: String): Unit =
+    issued.put((app, id), file)
+
+  @volatile private var quieted = false
+
+  /** Suppress exactly the one warning the release path makes deliberate
+    * noise of — Spark's per-RDD "lineage has been truncated and cannot
+    * be recomputed after unpersisting" — via a log4j2 RegexFilter on
+    * that message, NOT a logger level change (round 14, was a blanket
+    * MapPartitionsRDD→ERROR raise): an ACCIDENTAL unpersist elsewhere
+    * logs a different message through the same loggers and must stay
+    * visible, and checkpoint RDDs of other concrete classes share the
+    * fate. The filter is installed on the `org.apache.spark.rdd` and
+    * `org.apache.spark.sql.execution` logger configs (DENY on match,
+    * NEUTRAL otherwise), covering every RDD subclass that can back a
+    * local checkpoint. Explicit OPT-IN for harnesses
+    * (GraftSession/TestSpark call it); deliberately NOT a class-load
+    * side effect, so an application that merely links the library keeps
+    * its own warning trail. Idempotent. */
+  def quietDeliberateUnpersistWarnings(): Unit = {
+    if (quieted) return
+    try {
+      import org.apache.logging.log4j.core.Filter.Result
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      Seq("org.apache.spark.rdd", "org.apache.spark.sql.execution")
+        .foreach { name =>
+          val resolved = cfg.getLoggerConfig(name)
+          val lc =
+            if (resolved.getName == name) resolved
+            else { // no config at this name yet: add an additive one
+              val nu = new LoggerConfig(name, resolved.getLevel, true)
+              cfg.addLogger(name, nu)
+              nu
+            }
+          lc.addFilter(RegexFilter.createFilter(
+            ".*truncated and cannot be recomputed after unpersisting.*",
+            null, false, Result.DENY, Result.NEUTRAL))
+        }
+      ctx.updateLoggers()
+      quieted = true
+    } catch { case _: Throwable => () }
+  }
 
   /** The checkpoint-backing RDDs under a Dataset: `checkpoint()` /
     * `localCheckpoint()` return a Dataset whose analyzed plan is a
@@ -90,7 +147,9 @@ object Ckpt {
     }
 
   private def track(df: DataFrame): DataFrame = {
-    backingRdds(df).foreach(r => issued.add(key(r)))
+    backingRdds(df).foreach { r =>
+      issued.put(key(r), r.getCheckpointFile.getOrElse(""))
+    }
     df
   }
 
@@ -107,8 +166,10 @@ object Ckpt {
     else df.localCheckpoint(true, StorageLevel.DISK_ONLY))
 
   /** Reliable checkpoint cut into the context's checkpoint dir (the
-    * caller — normally [[CkptChain]] — has set it). Survives executor
-    * loss at the cost of a durable write per cut.
+    * caller — normally [[CkptChain]], which holds [[reliableLock]] and
+    * exact-restores the application's prior dir around the cut — has
+    * set it). Survives executor loss at the cost of a durable write per
+    * cut.
     *
     * Known cost shape (probed round 13, tools/ProbeReliable): eager
     * `Dataset.checkpoint()` on an unpersisted plan runs the result
@@ -122,44 +183,93 @@ object Ckpt {
     * per the measured-win-only rule. */
   def reliable(df: DataFrame): DataFrame = track(df.checkpoint())
 
+  /** Free one checkpoint RDD's storage: block-manager blocks (local
+    * mode; no-op for reliable cuts, which persist nothing) and the
+    * checkpoint files (reliable mode). */
+  private def free(rdd: RDD[_], hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    rdd.unpersist(blocking = false)
+    rdd.getCheckpointFile.foreach(deleteFile(_, hadoopConf))
+  }
+
+  private def deleteFile(f: String,
+                         hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(f)
+    try p.getFileSystem(hadoopConf).delete(p, true)
+    catch { case _: java.io.IOException => () }
+  }
+
   /** Release the storage behind a checkpointed DataFrame — block-manager
     * blocks (local mode) and checkpoint files (reliable mode) of EVERY
-    * checkpoint the plan depends on. The DataFrame (and any view built
-    * on it) is unusable afterwards: local-checkpointed data has no
-    * lineage to recompute from and reliable files are deleted. Call
-    * only once the result is fully consumed. */
-  def release(df: DataFrame): Unit = backingRdds(df).foreach { rdd =>
-    issued.remove(key(rdd))
-    rdd.unpersist(blocking = false)
-    rdd.getCheckpointFile.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      try p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        .delete(p, true)
-      catch { case _: java.io.IOException => () }
+    * checkpoint the plan depends on, graft-issued or not. The DataFrame
+    * (and any view built on it) is unusable afterwards: local-
+    * checkpointed data has no lineage to recompute from and reliable
+    * files are deleted. Call only once the result is fully consumed.
+    * Harnesses sweeping results they did not build should prefer
+    * [[releaseResult]], which skips foreign `LogicalRDD` leaves. */
+  def release(df: DataFrame): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    backingRdds(df).foreach { rdd =>
+      issued.remove(key(rdd))
+      free(rdd, conf)
     }
   }
 
-  /** Release every graft-issued checkpoint still persisted in `spark`'s
+  /** [[release]] restricted to graft-ISSUED checkpoints: frees exactly
+    * the backing leaves this library created (registry hit) and leaves
+    * any other `LogicalRDD` leaf — e.g. a cached fixture the caller
+    * built from an RDD — untouched. Deterministic for BOTH backends
+    * (blocks unpersisted, reliable files deleted), which makes it the
+    * right per-query sweep for harnesses: under the one-conf-line
+    * `spark.graft.checkpointDir` posture every result-backing cut is
+    * durable FILES that a persistent-RDD sweep would never see.
+    * Returns the number of checkpoints freed. */
+  def releaseResult(df: DataFrame): Int = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    var n = 0
+    backingRdds(df).foreach { rdd =>
+      if (issued.remove(key(rdd)) != null) { free(rdd, conf); n += 1 }
+    }
+    n
+  }
+
+  /** Release every graft-issued checkpoint still held against `spark`'s
     * context and return how many were freed. For harnesses that know
     * all outstanding operator results are consumed (the bench calls
-    * this after each query's sink completes) — a deterministic stand-in
-    * for per-result [[release]] calls when the results themselves are
-    * out of scope. Foreign persistent RDDs (caches the caller created)
-    * are never touched. Reliable-mode checkpoints are not persistent
-    * RDDs and so are NOT swept here; their files are caller-owned via
-    * [[release]]. */
+    * this after each query's sink completes) — a deterministic backstop
+    * behind per-result [[releaseResult]] calls when a result itself is
+    * out of scope. Local-mode entries are matched against the context's
+    * persistent set and unpersisted; reliable-mode entries (round 14)
+    * carry their checkpoint file path in the registry, so their FILES
+    * are deleted here too — previously they were caller-owned only and
+    * a full sweep under the conf-dir posture accumulated files until
+    * the GC-timed ContextCleaner backstop. Foreign persistent RDDs
+    * (caches the caller created) are never touched. */
   def releaseIssued(spark: SparkSession): Int = {
-    val app = spark.sparkContext.applicationId
-    val persistent = spark.sparkContext.getPersistentRDDs
+    import scala.jdk.CollectionConverters._
+    val sc = spark.sparkContext
+    val app = sc.applicationId
+    val persistent = sc.getPersistentRDDs
     var n = 0
     persistent.foreach { case (id, rdd) =>
-      if (issued.remove((app, id))) { rdd.unpersist(blocking = false); n += 1 }
+      if (issued.remove((app, id)) != null) {
+        rdd.unpersist(blocking = false); n += 1
+      }
     }
-    // this context's ids that are no longer persistent are gone for
-    // good (their RDD objects are ContextCleaner property once
-    // unreachable) — drop them so the registry stays bounded by the
-    // number of LIVE checkpoints plus any stopped-context residue
-    issued.removeIf(k => k._1 == app && !persistent.contains(k._2))
+    // current-app reliable entries: not persistent RDDs, but their file
+    // paths were recorded at issue time — delete and count them
+    issued.entrySet().asScala
+      .filter(e => e.getKey._1 == app && e.getValue.nonEmpty).toSeq
+      .foreach { e =>
+        if (issued.remove(e.getKey) != null) {
+          deleteFile(e.getValue, sc.hadoopConfiguration); n += 1
+        }
+      }
+    // prune: current-app local entries no longer persistent are gone
+    // for good (ContextCleaner property once unreachable), and ANY
+    // other-app entry is stopped-context residue (one live context per
+    // JVM) that this registry could never act on — drop both, so the
+    // registry is bounded by the number of LIVE checkpoints, period.
+    issued.keySet.removeIf(k => k._1 != app || !persistent.contains(k._2))
     n
   }
 
@@ -184,44 +294,61 @@ object Ckpt {
   * every call site (the packaged queries all call with defaults);
   * otherwise the local backend applies.
   *
-  * Reliable mode routes through the context-global
-  * `setCheckpointDir`; two reliable-mode operators running
-  * CONCURRENTLY with different dirs would race on it (each cut lands
-  * in whichever dir was set last — correct data, surprising
-  * placement). Concurrent reliable calls should share one dir, which
-  * the conf form gives naturally. */
+  * Reliable mode routes through the context-global `setCheckpointDir`
+  * state; every cut runs under a process-wide lock as
+  * [set this chain's dir → eager checkpoint → exact-restore the prior
+  * value] (round 14, was set-at-construction/restore-at-close with a
+  * documented-only race). Two concurrent reliable-mode chains with
+  * DIFFERENT dirs therefore place every cut correctly — their durable
+  * writes serialize on the lock — and the application's own checkpoint
+  * dir is untouched outside cut windows, INCLUDING the had-none case:
+  * the exact restore puts back `None` rather than leaving graft's dir
+  * set (the public API has no unset — see
+  * [[org.apache.spark.graft.CheckpointDirAccess]]). */
 private[graft] final class CkptChain(spark: SparkSession,
                                      checkpointDir: Option[String]) {
   private val dir: Option[String] =
     checkpointDir.orElse(spark.conf.getOption("spark.graft.checkpointDir"))
-  // the context checkpoint dir is GLOBAL state; remember what the
-  // application had set so close() can put it back — one operator call
-  // must not silently redirect the app's own later df.checkpoint()
-  // calls into this call's directory
-  private val priorDir: Option[String] =
-    if (dir.isDefined) spark.sparkContext.getCheckpointDir else None
-  dir.foreach(spark.sparkContext.setCheckpointDir)
+  // the chain's UUID subdir under `dir`, created by the first cut (the
+  // public setCheckpointDir mints one per call; reusing it keeps all of
+  // one call's rounds under a single subdir)
+  private var ourSub: Option[String] = None
   private var held = Map.empty[String, DataFrame]
 
+  private def reliableCut(d: String, df: DataFrame): DataFrame =
+    Ckpt.reliableLock.synchronized {
+      val sc = spark.sparkContext
+      val prior = CheckpointDirAccess.get(sc)
+      val sub = ourSub.getOrElse {
+        sc.setCheckpointDir(d)
+        val s = CheckpointDirAccess.get(sc).get
+        ourSub = Some(s)
+        s
+      }
+      CheckpointDirAccess.restore(sc, Some(sub))
+      try Ckpt.reliable(df)
+      finally CheckpointDirAccess.restore(sc, prior)
+    }
+
   def cut(slot: String)(df: DataFrame): DataFrame = {
-    val cur = if (dir.isDefined) Ckpt.reliable(df) else Ckpt.local(df)
+    val cur = dir match {
+      case Some(d) => reliableCut(d, df)
+      case None    => Ckpt.local(df)
+    }
     held.get(slot).foreach(Ckpt.release)
     held += slot -> cur
     cur
   }
 
-  /** Release every held checkpoint except the `keep` slots, and restore
-    * the application's prior checkpoint dir. Call once on EVERY exit
-    * path — right before returning the result, and with no `keep` from
-    * a failure handler (a loop that throws mid-round must not strand
-    * its held rounds; see the operators' try/catch). */
+  /** Release every held checkpoint except the `keep` slots. Call once
+    * on EVERY exit path — right before returning the result, and with
+    * no `keep` from a failure handler (a loop that throws mid-round
+    * must not strand its held rounds; see the operators' try/catch).
+    * The context checkpoint dir needs no restore here: each cut
+    * restores it exactly. */
   def close(keep: String*): Unit = {
     val ks = keep.toSet
     held.foreach { case (slot, df) => if (!ks.contains(slot)) Ckpt.release(df) }
     held = held.filter { case (slot, _) => ks.contains(slot) }
-    // restore only when we changed it AND the app had one (there is no
-    // public unset; a None prior under our Some stays ours — documented
-    // global-state residue, same as any setCheckpointDir caller)
-    if (dir.isDefined) priorDir.foreach(spark.sparkContext.setCheckpointDir)
   }
 }

@@ -193,6 +193,118 @@ class CkptLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable mode leaves NO checkpoint-dir residue when the app had " +
+    "none (exact restore to None — the public API cannot unset)") {
+    val sc = spark.sparkContext
+    val opDir = java.nio.file.Files.createTempDirectory("graft-op-ckpt2-").toString
+    val prior = org.apache.spark.graft.CheckpointDirAccess.get(sc)
+    try {
+      org.apache.spark.graft.CheckpointDirAccess.restore(sc, None)
+      val pr = Graph.pageRank(edges, "src", "dst", iters = 2,
+        checkpointDir = Some(opDir))
+      pr.collect(); Ckpt.release(pr)
+      assert(sc.getCheckpointDir.isEmpty,
+        "operator call must not leave its dir set on the context " +
+          s"(found ${sc.getCheckpointDir})")
+    } finally {
+      org.apache.spark.graft.CheckpointDirAccess.restore(sc, prior)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(opDir))
+    }
+  }
+
+  test("two CONCURRENT reliable-mode chains with different dirs place " +
+    "every cut in their own dir (per-cut lock, r13's documented race)") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ckpt-a-").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ckpt-b-").toString
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(Graph.pageRank(edges, "src", "dst", iters = 4,
+        checkpointDir = Some(dirA)))
+      val fb = Future(Graph.kCoreBounded(kedges, "a", "b", k = 2, rounds = 4,
+        checkpointDir = Some(dirB)))
+      val (pa, pb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+      val (ra, rb) = (pa.collect().map(_.toSeq).toSet, pb.collect().map(_.toSeq).toSet)
+      // each chain's result-backing cut must sit in ITS dir — under the
+      // r13 set-at-construction scheme one chain's rounds could land in
+      // the other's directory
+      assert(rddDirCount(dirA) == 1 && rddDirCount(dirB) == 1,
+        s"cut placement raced: dirA=${rddDirCount(dirA)} dirB=${rddDirCount(dirB)}")
+      // values match the serial local-backend runs
+      val la = Graph.pageRank(edges, "src", "dst", iters = 4)
+      val lb = Graph.kCoreBounded(kedges, "a", "b", k = 2, rounds = 4)
+      assert(ra == la.collect().map(_.toSeq).toSet)
+      assert(rb == lb.collect().map(_.toSeq).toSet)
+      Seq(pa, pb, la, lb).foreach(Ckpt.release)
+      assert(rddDirCount(dirA) == 0 && rddDirCount(dirB) == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirB))
+    }
+  }
+
+  test("releaseIssued prunes stopped-application residue and deletes " +
+    "current-app reliable FILES for dropped results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-sweep-").toString
+    try {
+      // stopped-context residue: an entry under a foreign applicationId
+      // can never be acted on (one live context per JVM) — one sweep
+      // must drop it
+      val before = Ckpt.issuedCount
+      Ckpt.registerForTest("app-stopped-000", 123456, "")
+      assert(Ckpt.issuedCount == before + 1)
+      Ckpt.releaseIssued(spark)
+      assert(Ckpt.issuedCount == 0,
+        "stopped-app residue must be pruned by releaseIssued")
+      // reliable files of a result the caller dropped without release:
+      // the harness sweep deletes them deterministically (pre-r14 they
+      // waited for the GC-timed ContextCleaner)
+      Graph.pageRank(edges, "src", "dst", iters = 2,
+        checkpointDir = Some(dir)).collect()
+      assert(rddDirCount(dir) == 1)
+      assert(Ckpt.releaseIssued(spark) >= 1)
+      assert(rddDirCount(dir) == 0,
+        "releaseIssued must delete current-app reliable checkpoint files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("the lineage-truncation log filter denies exactly the deliberate-" +
+    "release warning and passes other warnings through the same loggers") {
+    Ckpt.quietDeliberateUnpersistWarnings()
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    Seq("org.apache.spark.rdd.MapPartitionsRDD",
+        "org.apache.spark.sql.execution.SQLExecutionRDD").foreach { logger =>
+      val lc = cfg.getLoggerConfig(logger)
+      // the config that handles this logger is one of ours (a prefix
+      // config carrying the filter), not root
+      assert(lc.getName == "org.apache.spark.rdd" ||
+        lc.getName == "org.apache.spark.sql.execution",
+        s"logger $logger resolved to config ${lc.getName}")
+      val f = lc.getFilter
+      assert(f != null, s"no filter installed on ${lc.getName}")
+      import org.apache.logging.log4j.core.Filter.Result
+      import org.apache.logging.log4j.core.impl.Log4jLogEvent
+      import org.apache.logging.log4j.message.SimpleMessage
+      def eventFor(msg: String) = Log4jLogEvent.newBuilder()
+        .setLoggerName(logger)
+        .setLevel(org.apache.logging.log4j.Level.WARN)
+        .setMessage(new SimpleMessage(msg)).build()
+      assert(f.filter(eventFor("RDD 5 was locally checkpointed, its " +
+        "lineage has been truncated and cannot be recomputed after " +
+        "unpersisting")) == Result.DENY,
+        "the deliberate-release warning must be denied")
+      assert(f.filter(eventFor("Block rdd_5_0 could not be removed")) !=
+        Result.DENY,
+        "an accidental-unpersist-style warning must pass through")
+    }
+  }
+
   test("spark.graft.checkpointDir conf turns default-args calls reliable " +
     "(the one-conf-line cluster posture); per-call arg still wins") {
     val confDir = java.nio.file.Files.createTempDirectory("graft-ckpt-conf-").toString
