@@ -183,6 +183,18 @@ object Ckpt {
     * per the measured-win-only rule. */
   def reliable(df: DataFrame): DataFrame = track(df.checkpoint())
 
+  /** One-off conf-aware cut for the NON-iterative plan-flattening sites
+    * (triangleCounts' edge/orientation cuts, neighborJaccard's dedup,
+    * clusterMedoids' verified-pair cut, s13's index-lifetime cut):
+    * local by default, reliable into `spark.graft.checkpointDir` when
+    * the session conf is set — so the one-conf-line durable posture
+    * covers EVERY graft checkpoint, not only the iterative chains (a
+    * local cut truncates lineage, so on a cluster an executor loss
+    * after the cut kills the job exactly like a mid-loop loss would).
+    * Same lock/exact-restore discipline as a chain cut. */
+  def cut(df: DataFrame): DataFrame =
+    new CkptChain(df.sparkSession, None).cut("cut")(df)
+
   /** Free one checkpoint RDD's storage: block-manager blocks (local
     * mode; no-op for reliable cuts, which persist nothing) and the
     * checkpoint files (reliable mode). */

@@ -1054,7 +1054,7 @@ object Dedup {
     // far below the corpus), and without the cut the whole
     // index+prune+verify pipeline re-executes per consumer — measured
     // 4.8 → ~3.3 s at sf0.1 (tools/ProbeMedoid)
-    val detailed = Ckpt.local(verifyJaccardDetailed(
+    val detailed = Ckpt.cut(verifyJaccardDetailed(
       jaccardSurvivors(df, df, idCol, textCol, shingleN, threshold,
         sameRelation = true),
       df, df, idCol, textCol, threshold, shingleN))

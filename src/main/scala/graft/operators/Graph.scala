@@ -190,7 +190,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .transform(Ckpt.local)
+      .transform(Ckpt.cut)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -205,7 +205,7 @@ object Graph {
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("hi"))
-      .transform(Ckpt.local)
+      .transform(Ckpt.cut)
     // wedges lo -> {b, c} with b before c in orientation order need no
     // explicit tie-break: orientation is a strict total order restricted
     // to edges, so requiring the closing edge (b -> c) oriented picks
@@ -248,7 +248,7 @@ object Graph {
   def neighborJaccard(rel: DataFrame, entityCol: String, itemCol: String,
                       minCommon: Long, maxItemDeg: Long = 0L): DataFrame = {
     val b = rel.select(col(entityCol).as("e"), col(itemCol).as("i")).distinct()
-      .transform(Ckpt.local)
+      .transform(Ckpt.cut)
     val deg = b.groupBy(col("e").as("node")).agg(count(lit(1)).as("d"))
     val pairs = pairsFromDeduped(b, minCommon, maxItemDeg)
     // no broadcast hint: deg is entity-sized, which a 100 TB corpus can

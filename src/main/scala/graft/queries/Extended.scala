@@ -179,10 +179,11 @@ object Extended {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
         // materialize (lineage truncated) so the temp index can go away;
-        // through the TRACKED cut (round 13) so the result-backing blocks
-        // are released by Ckpt.releaseIssued once the caller consumes the
-        // result — this was the bench's one remaining "leaked" RDD
-        .transform(graft.operators.Ckpt.local)
+        // through the tracked conf-aware cut (round 14, was Ckpt.local)
+        // so the result-backing storage is released by
+        // Ckpt.releaseResult/releaseIssued once the caller consumes the
+        // result, and the one-conf-line durable posture covers it too
+        .transform(graft.operators.Ckpt.cut)
       graft.Tables.deleteRecursively(root)
       served
     },
