@@ -424,23 +424,26 @@ object Bench {
     val majfltTotal = queryEnv.values.map(e => math.max(e.majflt, 0L)).sum
     val minfltTotal = queryEnv.values.map(e => math.max(e.minflt, 0L)).sum
     val (_, _, rssEndPages) = procStat()
-    // run-level contention index (round 14): the run's gc_ms_total and
-    // minflt_total normalized against the steady-state envelope of the
-    // r12/r13 full-surface runs on this rig (r12 driver, the last
-    // uncontended driver window: gc 5 671 ms, minflt 14.5 M — the r13
-    // driver window that needed adjudication read 10 957 / 23.4 M).
-    // index ≈ 1 means the JVM did r12-steady amounts of GC and paging;
-    // ≥ 1.5 flags the run as contended IN-ARTIFACT, so a
-    // round-over-round total comparison can be discounted without a
-    // replication run. Meaningful only for a FULL unfiltered sweep
-    // (partial runs under SPARK_GRAFT_QUERY_FILTER do less total work
-    // and the index reads low by construction).
-    val gcRefMs = 5671.0; val minfltRef = 14.5e6
+    // run-level contention index (round 14): the run's GC and
+    // minor-fault RATES (per measured second) normalized against the
+    // steady-state envelope of the r12 driver run — the last
+    // uncontended full driver window: 5 671 ms GC and 14.5 M minflt
+    // over its 275.0 s of measured queries, i.e. 20.6 ms/s and
+    // 52.7 k faults/s (the r13 driver window that needed adjudication
+    // ran ~2× both). Rates rather than totals so the index stays
+    // meaningful on filtered/partial runs and across scale factors.
+    // index ≈ 1 means the JVM did r12-steady amounts of GC and paging
+    // per second of work; ≥ 1.5 flags the run as contended IN-ARTIFACT,
+    // so a round-over-round total comparison can be discounted without
+    // a replication run.
+    val gcRefMsPerSec = 20.6; val minfltRefPerSec = 52.7e3
+    val measuredSec = math.max(total, 1.0)
     val contentionIdx =
-      0.5 * (gcTotalMs / gcRefMs) + 0.5 * (minfltTotal / minfltRef)
+      0.5 * (gcTotalMs / measuredSec / gcRefMsPerSec) +
+        0.5 * (minfltTotal / measuredSec / minfltRefPerSec)
     val contentionJson =
       f""""contention_index":$contentionIdx%.2f,"contended":${contentionIdx >= 1.5},""" +
-        s""""contention_ref":{"gc_ms":${gcRefMs.toLong},"minflt":${minfltRef.toLong}}"""
+        f""""contention_ref":{"gc_ms_per_sec":$gcRefMsPerSec%.1f,"minflt_per_sec":${minfltRefPerSec.toLong}}"""
     val envAggJson = s""""env":{"gc_ms_total":$gcTotalMs,""" +
       s""""majflt_total":$majfltTotal,"minflt_total":$minfltTotal,""" +
       s""""rss_end_mb":${if (rssEndPages < 0) -1L else rssEndPages * pageKb / 1024L},""" +
