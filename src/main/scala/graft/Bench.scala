@@ -319,8 +319,12 @@ object Bench {
           progLock.synchronized { progDur.clear(); progBatches = 0L }
           measuredRuns.clear(); terminatedRuns.clear()
           capturing = true
-          val wall = try runOnce(name, fn) finally { capturing = false }
-          awaitMeasuredEvents()
+          // capturing stays true through the event wait: a very fast
+          // run's started-event could otherwise be processed after
+          // runOnce returns and be dropped (no stream starts between
+          // runOnce and the wait, so the window admits only our runs)
+          val wall = try { val w = runOnce(name, fn); awaitMeasuredEvents(); w }
+            finally { capturing = false }
           if (wall >= 0) {
             streamBatchSum(name) = batchDurMs.get() / 1e3
             streamProgress(name) =

@@ -74,11 +74,13 @@ object Ckpt {
     * directory is SparkContext-GLOBAL state, so the
     * [point at chain's dir → eager checkpoint → exact-restore prior]
     * window of one cut must not interleave with another chain's. Held
-    * for the duration of the checkpoint job — two CONCURRENT
-    * reliable-mode operators therefore serialize their per-round
-    * durable writes (placement correctness over write overlap; their
-    * compute stages still overlap freely, and local-mode callers never
-    * touch the lock). An application thread calling its own
+    * for the duration of the eager checkpoint job — two CONCURRENT
+    * reliable-mode operators therefore serialize their cuts, and since
+    * a BSP loop does most of its compute inside the eager cut, that
+    * means largely serializing the loops themselves (placement
+    * correctness over overlap — the judged alternative, failing fast on
+    * a dir conflict, turns a benign race into an error; local-mode
+    * callers never touch the lock). An application thread calling its own
     * `df.checkpoint()` concurrently does not take this lock and can
     * still land in the chain's dir during a cut window — inherent to
     * Spark's context-global API; the exact-restore keeps the window as
@@ -332,8 +334,16 @@ private[graft] final class CkptChain(spark: SparkSession,
       val sc = spark.sparkContext
       val prior = CheckpointDirAccess.get(sc)
       val sub = ourSub.getOrElse {
-        sc.setCheckpointDir(d)
-        val s = CheckpointDirAccess.get(sc).get
+        // mint the UUID subdir ourselves (the same layout the public
+        // setCheckpointDir creates) instead of calling it and reading
+        // the result back — an app thread racing its own
+        // setCheckpointDir between our set and our read could otherwise
+        // be adopted as this chain's directory
+        val path = new org.apache.hadoop.fs.Path(d,
+          java.util.UUID.randomUUID().toString)
+        val fs = path.getFileSystem(sc.hadoopConfiguration)
+        fs.mkdirs(path)
+        val s = fs.getFileStatus(path).getPath.toString
         ourSub = Some(s)
         s
       }
