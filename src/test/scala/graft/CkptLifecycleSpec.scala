@@ -271,6 +271,33 @@ class CkptLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("Ckpt.cut (the non-iterative plan-flattening sites) honors the " +
+    "conf posture: triangleCounts' two cuts land as reliable FILES " +
+    "under spark.graft.checkpointDir, zero block-manager residue, " +
+    "values identical to local mode") {
+    val confDir = java.nio.file.Files.createTempDirectory("graft-cut-conf-").toString
+    try {
+      val localV = {
+        val t = Graph.triangleCounts(kedges, "a", "b")
+        val r = t.collect().map(_.toSeq).toSet; Ckpt.release(t); r
+      }
+      spark.conf.set("spark.graft.checkpointDir", confDir)
+      val base = persistedIds
+      val t = Graph.triangleCounts(kedges, "a", "b")
+      val rows = t.collect().map(_.toSeq).toSet
+      assert(rows == localV, "conf-mode triangleCounts must match local")
+      assert((persistedIds -- base).isEmpty,
+        "conf-mode cuts must not persist block-manager RDDs")
+      assert(rddDirCount(confDir) == 2,
+        s"expected the 2 result-backing cuts as files, found ${rddDirCount(confDir)}")
+      Ckpt.release(t)
+      assert(rddDirCount(confDir) == 0)
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(confDir))
+    }
+  }
+
   test("the lineage-truncation log filter denies exactly the deliberate-" +
     "release warning and passes other warnings through the same loggers") {
     Ckpt.quietDeliberateUnpersistWarnings()
