@@ -193,7 +193,20 @@ object Ckpt {
     * covers EVERY graft checkpoint, not only the iterative chains (a
     * local cut truncates lineage, so on a cluster an executor loss
     * after the cut kills the job exactly like a mid-loop loss would).
-    * Same lock/exact-restore discipline as a chain cut. */
+    * Same lock/exact-restore discipline as a chain cut.
+    *
+    * Each call deliberately mints its OWN UUID subdir (a throwaway
+    * one-cut chain) rather than sharing a process-lifetime subdir per
+    * (app, conf-dir): the released-when-empty cleanup in [[deleteFile]]
+    * already reduces the residue of per-call isolation to zero, and a
+    * SHARED subdir would couple unrelated results' lifecycles — a
+    * sweep that observes "this subdir is empty, delete it" racing a
+    * concurrent cut is benign (non-recursive delete fails, the writer
+    * re-mkdirs), but a shared dir makes every such window concurrent
+    * with every other cut in the process instead of only this call's.
+    * Isolation also keeps the layout identical to the public
+    * `setCheckpointDir` contract (one UUID level per establishment),
+    * so external tooling that walks checkpoint dirs sees one shape. */
   def cut(df: DataFrame): DataFrame =
     new CkptChain(df.sparkSession, None).cut("cut")(df)
 
@@ -208,8 +221,21 @@ object Ckpt {
   private def deleteFile(f: String,
                          hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = new org.apache.hadoop.fs.Path(f)
-    try p.getFileSystem(hadoopConf).delete(p, true)
-    catch { case _: java.io.IOException => () }
+    try {
+      val fs = p.getFileSystem(hadoopConf)
+      fs.delete(p, true)
+      // the rdd-N dir's parent is a per-chain UUID subdir (minted by
+      // reliableCut, or by the public setCheckpointDir for non-graft
+      // checkpoints a full release sweeps) — removing the LAST rdd dir
+      // must remove the now-empty parent too (ADVICE r14: a reliable-
+      // mode 270-query sweep left hundreds of empty UUID dirs). The
+      // non-recursive delete fails harmlessly if a concurrent cut
+      // repopulated it between the emptiness check and the delete; a
+      // later cut that still holds the path re-mkdirs it on write.
+      val parent = p.getParent
+      if (parent != null && fs.listStatus(parent).isEmpty)
+        fs.delete(parent, false)
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Release the storage behind a checkpointed DataFrame — block-manager
@@ -262,28 +288,39 @@ object Ckpt {
     import scala.jdk.CollectionConverters._
     val sc = spark.sparkContext
     val app = sc.applicationId
+    // snapshot the registry FIRST (ADVICE r14): every phase below acts
+    // only on entries that existed when the sweep began. A checkpoint
+    // issued CONCURRENTLY by another thread (a pattern reliableLock
+    // explicitly supports) lands after this snapshot and is neither
+    // swept (its result is still live) nor pruned (a prune over the
+    // live key set raced against an earlier `persistent` snapshot
+    // silently dropped such entries from the registry, stranding their
+    // blocks on the GC-timed ContextCleaner) — it is simply left for
+    // the next sweep, by which point its result is consumed.
+    val snapshot = issued.keySet.asScala.toSet
     val persistent = sc.getPersistentRDDs
     var n = 0
     persistent.foreach { case (id, rdd) =>
-      if (issued.remove((app, id)) != null) {
+      if (snapshot.contains((app, id)) && issued.remove((app, id)) != null) {
         rdd.unpersist(blocking = false); n += 1
       }
     }
     // current-app reliable entries: not persistent RDDs, but their file
     // paths were recorded at issue time — delete and count them
-    issued.entrySet().asScala
-      .filter(e => e.getKey._1 == app && e.getValue.nonEmpty).toSeq
-      .foreach { e =>
-        if (issued.remove(e.getKey) != null) {
-          deleteFile(e.getValue, sc.hadoopConfiguration); n += 1
-        }
+    snapshot.filter(_._1 == app).foreach { k =>
+      val f = issued.get(k)
+      if (f != null && f.nonEmpty && issued.remove(k) != null) {
+        deleteFile(f, sc.hadoopConfiguration); n += 1
       }
-    // prune: current-app local entries no longer persistent are gone
-    // for good (ContextCleaner property once unreachable), and ANY
-    // other-app entry is stopped-context residue (one live context per
-    // JVM) that this registry could never act on — drop both, so the
-    // registry is bounded by the number of LIVE checkpoints, period.
-    issued.keySet.removeIf(k => k._1 != app || !persistent.contains(k._2))
+    }
+    // prune (snapshot-scoped): current-app local entries no longer
+    // persistent are gone for good (ContextCleaner property once
+    // unreachable), and ANY other-app entry is stopped-context residue
+    // (one live context per JVM) that this registry could never act on
+    // — drop both, so the registry is bounded by the number of LIVE
+    // checkpoints, period.
+    issued.keySet.removeIf(k => snapshot.contains(k) &&
+      (k._1 != app || !persistent.contains(k._2)))
     n
   }
 

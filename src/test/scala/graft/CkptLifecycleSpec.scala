@@ -360,4 +360,55 @@ class CkptLifecycleSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(argDir))
     }
   }
+
+  /** EVERY filesystem entry under `root` (files and dirs, root itself
+    * excluded) — unlike [[rddDirCount]] this sees the per-chain UUID
+    * subdirs, the residue class ADVICE r14 flagged as invisible to the
+    * rdd-dir pins. */
+  private def totalEntries(root: String): Int = {
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(p)) 0
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.count().toInt - 1
+      finally s.close()
+    }
+  }
+
+  test("release removes the per-chain UUID subdirs too: the checkpoint " +
+    "dir is COMPLETELY empty after release — iterative chain, conf-" +
+    "posture Ckpt.cut, and the releaseIssued sweep all covered " +
+    "(ADVICE r14: rdd-dir pins could not see empty-UUID-dir residue)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-empty-").toString
+    val confDir = java.nio.file.Files.createTempDirectory("graft-cut-empty-").toString
+    try {
+      // (1) per-call-arg iterative chain: its rounds all share one UUID
+      // subdir; releasing the result must take the subdir with it
+      val pr = Graph.pageRank(edges, "src", "dst", iters = 3,
+        checkpointDir = Some(dir))
+      pr.collect()
+      assert(totalEntries(dir) > 0, "reliable run must have written files")
+      Ckpt.release(pr)
+      assert(totalEntries(dir) == 0,
+        s"release left ${totalEntries(dir)} entries (UUID-dir residue?) in $dir")
+      // (2) conf-posture Ckpt.cut sites: triangleCounts makes TWO cuts,
+      // each a throwaway one-cut chain with its own UUID subdir
+      spark.conf.set("spark.graft.checkpointDir", confDir)
+      val t = Graph.triangleCounts(kedges, "a", "b")
+      t.collect()
+      Ckpt.release(t)
+      assert(totalEntries(confDir) == 0,
+        s"Ckpt.cut release left ${totalEntries(confDir)} entries in $confDir")
+      // (3) the harness sweep path: result dropped without release,
+      // releaseIssued deletes files AND their emptied parent subdirs
+      Graph.pageRank(edges, "src", "dst", iters = 2).collect()
+      assert(Ckpt.releaseIssued(spark) >= 1)
+      assert(totalEntries(confDir) == 0,
+        s"releaseIssued left ${totalEntries(confDir)} entries in $confDir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(confDir))
+    }
+  }
 }
