@@ -26,11 +26,12 @@ import org.apache.spark.sql.SparkSession
   * sum of their micro-batch durations (`stream_batch_sum`), splitting
   * per-trigger plan cost from the replay rig's start/stop overhead.
   *
-  * Output is TWO JSON lines: the full per-query line, then a short
-  * totals-only summary. The driver keeps only the tail of stdout and
-  * both prior rounds lost the head of the single long line (the batch/
-  * streaming split and the early alphabetical per-query numbers were
-  * unrecoverable) — the trailing summary survives any truncation.
+  * Output is THREE JSON lines: the full per-query line, a headline
+  * summary (totals + slowest-5 with env/phase records), and finally a
+  * ≤200-byte totals-only MICRO line. The driver keeps only the tail of
+  * stdout; prior rounds lost the head of the long line, and round 14's
+  * driver artifact lost even the summary's own total — the micro line
+  * is short enough to survive any tail capture that keeps one line.
   */
 object Bench {
   /** JIT code-cache telemetry (round 10): the full-surface bench
@@ -182,18 +183,32 @@ object Bench {
     // rep frees its own files instead of accumulating them across
     // reps+queries). Plan construction stays INSIDE the timer: the
     // iterative operators execute during it (eager per-round cuts).
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Round 15 (ADVICE r14): the release runs in its OWN try — the
+    // measurement is complete once the sink returns, so a release
+    // hiccup (e.g. unpersist on a stopping context) logs but can no
+    // longer overwrite a valid rep with -1. `dataDir` defaults to the
+    // sweep's SF dir; the scale-decade gate points it at the sf1.0
+    // fixture.
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dataDir: String = sfDir): Double = {
       val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        resultCkpts += graft.operators.Ckpt.releaseResult(df)
-        dt
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+      val measured =
+        try {
+          val df = fn(spark, dataDir)
+          df.write.format("noop").mode("overwrite").save()
+          Some(((System.nanoTime() - t0) / 1e9, df))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
+      measured match {
+        case Some((dt, df)) =>
+          try resultCkpts += graft.operators.Ckpt.releaseResult(df)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name release failed (rep kept): ${e.getMessage}")
+          }
+          dt
+        case None => -1.0
       }
     }
     // s* queries run the Structured Streaming harness: their time is
@@ -257,12 +272,23 @@ object Bench {
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
           if (measuredRuns.contains(e.runId)) terminatedRuns.add(e.runId)
       })
-    // listener events arrive on an async bus (in order per run):
-    // terminated-for-every-measured-run means every measured progress
-    // event has already been accumulated
+    // listener events arrive on an async bus. By the time this is
+    // called, runOnce has returned: every measured run was started AND
+    // stopped, so every one of its events is already POSTED — draining
+    // the bus is the deterministic wait (round 15, ADVICE r14: the old
+    // terminated>=measured count raced in both directions — a
+    // still-queued FIRST started event made 0<0 read complete, and for
+    // a query running two sequential streams, terminated(run1) could
+    // satisfy the count while run2's started event was still queued).
+    // Fallback if the drain times out (a foreign event storm): the
+    // counting loop, which now also insists on having seen at least one
+    // started event.
     def awaitMeasuredEvents(): Unit = {
+      if (org.apache.spark.graft.ListenerBusAccess
+            .waitUntilEmpty(spark.sparkContext, 2000)) return
       val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
-      while (terminatedRuns.size < measuredRuns.size &&
+      while ((measuredRuns.isEmpty ||
+              terminatedRuns.size < measuredRuns.size) &&
              System.nanoTime() < deadline) Thread.sleep(10)
     }
 
@@ -380,11 +406,51 @@ object Bench {
         qi + 1 < sorted.length && sorted(qi + 1)._1.startsWith("m"))
       timing
     }
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val passed = results.filter(_._2 >= 0)
+    val resultsMap = collection.mutable.LinkedHashMap(results: _*)
+
+    // rep-spread predicate (round 15, ADVICE r14): compare the TWO
+    // SMALLEST reps — "the min is still suspect" means its nearest
+    // corroborating rep disagrees by >2×. The old max>2·min form was
+    // tautological for any query that triggered the in-band extra rep
+    // (a superset can only widen min/max), so a fast-confirmed min
+    // stayed flagged forever.
+    def spreadFlagged(e: QueryEnv): Boolean = {
+      val ok = e.reps.filter(_ >= 0).sorted
+      ok.length >= 2 && ok.head > 2.0 && ok(1) > 2.0 * ok.head
+    }
+
+    // post-sweep re-probe (round 15, VERDICT r14 #1b): a flagged query
+    // gets ONE more rep after the sweep — usually past whatever
+    // transient hog inflated it mid-run — and BOTH readings go in the
+    // artifact. A confirming re-probe lowers the reported number and
+    // clears the flag (self-correcting); a still-spread one leaves the
+    // flag as evidence. The env record keeps its sweep-time gc/fault
+    // deltas (the contention calibration is sweep-scoped); only the
+    // rep list grows.
+    val reprobed = collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    val fnByName = sorted.toMap
+    queryEnv.toSeq.sortBy(_._1).foreach { case (name, e) =>
+      if (spreadFlagged(e) && !isStreaming(name)) {
+        if (name.startsWith("m"))
+          graft.multimodal.Multimodal.attachBinaryCached(spark, sfDir)
+        val before = resultsMap(name)
+        val extra = runOnce(name, fnByName(name))
+        reclaimAfter(name, keepFixtures = false)
+        if (extra >= 0) {
+          val withExtra = e.copy(reps = e.reps :+ extra)
+          queryEnv(name) = withExtra
+          val after = withExtra.reps.filter(_ >= 0).min
+          resultsMap(name) = after
+          reprobed(name) = (before, extra, after)
+        } else reprobed(name) = (before, -1.0, before)
+      }
+    }
+
+    val failed = resultsMap.toSeq.collect { case (k, v) if v < 0 => k }
+    val passed = resultsMap.toSeq.filter(_._2 >= 0)
     val batchSec = passed.filterNot(kv => isStreaming(kv._1)).map(_._2).sum
     val streamingSec = passed.filter(kv => isStreaming(kv._1)).map(_._2).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = resultsMap.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-s*-query micro-batch-duration sums, a SIBLING map so the
@@ -454,10 +520,10 @@ object Bench {
     // exactly the three slowest queries. ≥2 flagged queries ⇒
     // contended (one flag alone could be a single AQE/GC hiccup; every
     // clean run measured to date reads zero flags).
-    val spreadFlags = queryEnv.toSeq.filter { case (_, e) =>
-      val ok = e.reps.filter(_ >= 0)
-      ok.length >= 2 && ok.min > 2.0 && ok.max > 2.0 * ok.min
-    }.map(_._1).sorted
+    // computed AFTER the re-probe pass, so a flag here means the min
+    // stayed uncorroborated even with the post-sweep reading in hand
+    val spreadFlags = queryEnv.toSeq
+      .filter { case (_, e) => spreadFlagged(e) }.map(_._1).sorted
     val contended = contentionIdx >= 1.5 || spreadFlags.size >= 2
     val contentionJson =
       f""""contention_index":$contentionIdx%.2f,"contended":$contended,""" +
@@ -467,12 +533,64 @@ object Bench {
       s""""majflt_total":$majfltTotal,"minflt_total":$minfltTotal,""" +
       s""""rss_end_mb":${if (rssEndPages < 0) -1L else rssEndPages * pageKb / 1024L},""" +
       contentionJson + "}"
+    // both readings of every flagged-then-reprobed query, so the
+    // artifact shows the correction instead of only its result
+    val reprobeJson = "\"reprobe\":" + reprobed.map { case (k, (b, r, a)) =>
+      f""""$k":{"before":$b%.3f,"rep":$r%.3f,"after":$a%.3f}"""
+    }.mkString("{", ",", "}")
+
+    // ---- scale-decade standing gate (round 15, VERDICT r14 #3) ----
+    // The five heavy-family members run ONCE against a persisted sf1.0
+    // fixture (disjoint-copy ×10 of the sweep's own SF dir — the r14
+    // probe's construction, generator-versioned so a stale fixture
+    // regenerates). Ratio vs each query's just-measured sweep number;
+    // `ok` = every member sublinear at 10× data. Skipped under a query
+    // filter (probe runs) or SPARK_GRAFT_SCALE_DECADE=0. A reading
+    // above the data ratio gets ONE retry (same self-correction
+    // rationale as the reprobe pass) before it fails the gate.
+    val decade: Option[(Boolean, String)] = {
+      val members = graft.tools.ProbeScaleDecade.Queries
+      val enabled = sys.env.getOrElse("SPARK_GRAFT_SCALE_DECADE", "1") != "0" &&
+        nameFilter.isEmpty && members.forall(q => resultsMap.get(q).exists(_ > 0))
+      if (!enabled) None
+      else try {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_DECADE_DIR",
+          "/root/repo/scale_fixtures/sf10")
+        val generated = graft.tools.ProbeScaleDecade.ensureFixture(spark, sfDir, dir, 10)
+        val rows = members.map { q =>
+          val fn = SparkEntry.queries(q)
+          var t = runOnce(q, fn, dir)
+          reclaimAfter(q, keepFixtures = false)
+          val base = resultsMap(q)
+          if (t >= 0 && t / base > 10.0) {
+            val t2 = runOnce(q, fn, dir)
+            reclaimAfter(q, keepFixtures = false)
+            if (t2 >= 0 && t2 < t) t = t2
+          }
+          (q, base, t)
+        }
+        val ok = rows.forall { case (_, b, t) => t >= 0 && t / b <= 10.0 }
+        val qjson = rows.map { case (q, b, t) =>
+          f""""$q":{"sf01":$b%.2f,"sf10":$t%.2f,""" +
+            f""""ratio":${if (t < 0) -1.0 else t / b}%.2f}"""
+        }.mkString("{", ",", "}")
+        Some((ok, s""""scale_decade":{"ok":$ok,""" +
+          s""""gen":"${graft.tools.ProbeScaleDecade.GenVersion}",""" +
+          s""""generated_this_run":$generated,"fixture":"$dir",""" +
+          s""""queries":$qjson},"""))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale_decade failed: ${e.getMessage}")
+        Some((false, s""""scale_decade":{"ok":false,""" +
+          s""""error":"${e.getClass.getSimpleName}"},"""))
+      }
+    }
+    val decadeJson = decade.map(_._2).getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""batch_sec":$batchSec,"streaming_sec":$streamingSec,""" +
       s""""stream_batch_sum_sec":$streamBatchSec,""" +
       s""""reps":$reps,"failed":$failedJson,"queries":$qs,""" +
       s""""stream_batch_sum":$sbs,"stream_progress":$spJson,""" +
-      s""""query_env":$envJson,$envAggJson,""" +
+      s""""query_env":$envJson,$envAggJson,$reprobeJson,$decadeJson""" +
       s"""$ccJson,$storageJson,"sf":"$sfDir"}""")
     // truncation-proof headline: totals + failures + 5 slowest queries
     // (with their environment records)
@@ -494,7 +612,20 @@ object Bench {
       s""""reps":$reps,"failed":$failedJson,"slowest":$slowest,""" +
       s""""slowest_env":$slowestEnv,""" +
       s""""slowest_stream_progress":$slowestSp,$envAggJson,""" +
+      s"""$reprobeJson,$decadeJson""" +
       s"""$ccJson,$storageJson,"sf":"$sfDir"}""")
+    // totals-only MICRO line — the LAST bytes of stdout (round 15,
+    // VERDICT r14 #1a: the r14 driver artifact lost its own headline
+    // when tail-capture truncated the longer lines). ≤200 bytes by
+    // construction: fixed keys, bounded-precision numbers — survives
+    // any tail truncation that keeps even one full line.
+    val microDecade =
+      decade.map { case (ok, _) => s""","scale_decade_ok":$ok""" }.getOrElse("")
+    println(f"""{"metric":"total","value":$total%.1f,"unit":"sec",""" +
+      f""""batch_sec":$batchSec%.1f,"streaming_sec":$streamingSec%.1f,""" +
+      s""""failed_n":${failed.size},""" +
+      f""""contention_index":$contentionIdx%.2f,"contended":$contended""" +
+      s"""$microDecade}""")
     spark.stop()
   }
 }

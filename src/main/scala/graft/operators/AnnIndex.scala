@@ -86,7 +86,7 @@ object AnnIndex {
     * hook) or through a transactional table format. */
   def ingestStream(spark: SparkSession, newVecs: DataFrame, root: String,
                    encode: DataFrame => DataFrame): Unit =
-    graft.streaming.Streams.runHarnessQuery("ann_ingest") { ckpt =>
+    graft.streaming.Streams.runHarnessQuery(spark, "ann_ingest") { ckpt =>
       newVecs.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)

@@ -135,7 +135,7 @@ object Stateful {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         spark.catalog.dropTempView(name)
-        Streams.runHarnessQuery(name) { ckpt =>
+        Streams.runHarnessQuery(spark, name) { ckpt =>
           runningTotalsTws(spark, Streams.eventStream(spark, dir))
             .writeStream.format("memory").queryName(name)
             .option("checkpointLocation", ckpt).outputMode("append").start()
@@ -152,7 +152,7 @@ object Stateful {
   def runToCompletion(spark: SparkSession, dir: String, name: String): DataFrame =
     Streams.withHarnessPartitions(spark) {
       spark.catalog.dropTempView(name)
-      Streams.runHarnessQuery(name) { ckpt =>
+      Streams.runHarnessQuery(spark, name) { ckpt =>
         runningTotals(spark, Streams.eventStream(spark, dir))
           .writeStream.format("memory").queryName(name)
           .option("checkpointLocation", ckpt).outputMode("append").start()
@@ -165,7 +165,7 @@ object Stateful {
     * idempotency hooks; here: append one parquet dir per batch). */
   def writeViaForeachBatch(spark: SparkSession, events: DataFrame,
                            outDir: String): Unit = {
-    Streams.runHarnessQuery("foreach_batch") { ckpt =>
+    Streams.runHarnessQuery(spark, "foreach_batch") { ckpt =>
       Streams.tumblingCounts(events)
         .writeStream
         .outputMode("update")

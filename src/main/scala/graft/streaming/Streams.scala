@@ -444,37 +444,46 @@ object Streams {
     try f finally spark.conf.set(key, prev)
   }
 
-  /** Fresh checkpoint dir for ONE harness replay run, preferring tmpfs
-    * (/dev/shm) when present (round 13). Without an explicit location,
-    * Spark puts the temp checkpoint — offset/commit WAL fsyncs AND the
-    * state store — under java.io.tmpdir, i.e. host disk; under host IO
-    * contention those fsyncs stall and the stall lands in the measured
-    * streaming wall (the r13 inflated-run artifact shows s14
-    * stateCommit 23.7 s vs 0.7 s steady at identical batch counts —
-    * pure rig, zero plan cost). The replay harness is not measuring WAL
-    * durability — a production job points checkpointLocation at
-    * durable storage — so its checkpoints belong on the fastest local
-    * medium available. Unique dir per RUN (a conf-root would make rep 2
+  /** Fresh checkpoint dir for ONE harness replay run. Base resolution
+    * (round 15, VERDICT r14 #2 — explicit override > conf > tmpfs/temp):
+    *
+    *   1. `GRAFT_HARNESS_CKPT_BASE` env — the explicit override
+    *      (probing; hosts whose tmpfs is too small for replay state);
+    *   2. `spark.graft.checkpointDir` session conf — the same ONE CONF
+    *      LINE that turns every batch-side graft checkpoint durable
+    *      extends to the streaming entry points: with it set, offset/
+    *      commit WALs and state stores land under the durable dir, the
+    *      posture a production deployment wants (its streams additionally
+    *      pass their own long-lived `checkpointLocation`s; the conf
+    *      covers the packaged replay-harness paths);
+    *   3. tmpfs (/dev/shm) when present, else java.io.tmpdir — the
+    *      bench-right default (round 13): the replay harness is not
+    *      measuring WAL durability, and host-disk fsync stalls land in
+    *      the measured streaming wall (the r13 inflated artifact shows
+    *      s14 stateCommit 23.7 s vs 0.7 s steady — pure rig).
+    *
+    * Unique dir per RUN in every mode (a fixed root would make rep 2
     * RESUME the finished rep-1 checkpoint instead of replaying);
-    * deleted by the caller after stop. */
-  private[graft] def harnessCheckpointDir(name: String): String = {
-    // GRAFT_HARNESS_CKPT_BASE overrides (probing; hosts whose tmpfs is
-    // too small for the replay state) — else tmpfs when present
+    * deleted by the caller after stop — a COMPLETED replay's checkpoint
+    * is transient state in any posture. */
+  private[graft] def harnessCheckpointDir(spark: SparkSession, name: String): String = {
     val root = sys.env.get("GRAFT_HARNESS_CKPT_BASE")
+      .orElse(spark.conf.getOption("spark.graft.checkpointDir"))
       .map(java.nio.file.Paths.get(_))
       .getOrElse {
         val shm = new java.io.File("/dev/shm")
         if (shm.isDirectory && shm.canWrite) shm.toPath
         else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       }
+    java.nio.file.Files.createDirectories(root)
     java.nio.file.Files.createTempDirectory(root, s"graft-ckpt-$name-").toString
   }
 
   /** Start a harness streaming query with a fresh [[harnessCheckpointDir]],
     * drain it, stop it, and remove the checkpoint. */
-  private[graft] def runHarnessQuery(name: String)(
+  private[graft] def runHarnessQuery(spark: SparkSession, name: String)(
       start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val ckpt = harnessCheckpointDir(name)
+    val ckpt = harnessCheckpointDir(spark, name)
     try {
       val q = start(ckpt)
       try q.processAllAvailable() finally q.stop()
@@ -485,7 +494,7 @@ object Streams {
                               name: String, outputMode: String): DataFrame =
     withHarnessPartitions(spark) {
       spark.catalog.dropTempView(name)
-      runHarnessQuery(name) { ckpt =>
+      runHarnessQuery(spark, name) { ckpt =>
         streamingDf.writeStream
           .format("memory")
           .queryName(name)
@@ -540,7 +549,7 @@ object Streams {
       val byLatest = Window.partitionBy(keyCol)
         .orderBy(col(tsCol).desc, col(tieCol).desc)
       val latestDir = new java.util.concurrent.atomic.AtomicReference[String](null)
-      runHarnessQuery("cdc_apply") { ckpt =>
+      runHarnessQuery(spark, "cdc_apply") { ckpt =>
         changes.writeStream
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, id: Long) =>

@@ -34,8 +34,41 @@ import org.apache.spark.sql.functions._
   * Results → stdout table; recorded in PLANS.md.
   */
 object ProbeScaleDecade {
-  private val Queries = Seq("c57_pagerank", "c104_kcore",
+  /** The five heavy-family members of the standing per-round gate
+    * ([[graft.Bench]]'s `scale_decade` block, round 15). */
+  val Queries = Seq("c57_pagerank", "c104_kcore",
     "c100_triangle_count", "c2_dedup_minhash", "c14_ann_knn")
+
+  /** Generator version, recorded in each fixture's `_DONE` marker and
+    * in the bench artifact. Bump on ANY change to [[generate]]: a
+    * persisted fixture whose marker doesn't match is regenerated, so a
+    * stale-fixture round can never masquerade as a clean ratio. */
+  val GenVersion = "disjoint-copy-v1"
+
+  /** Generate the k× fixture at `dir` from `base` unless a fixture with
+    * the current [[GenVersion]] already exists there (generation is
+    * deterministic, so persisted slices are reused across rounds).
+    * `docsOnly` replicates just the documents table (the dedup-family
+    * probes read nothing else; its marker is tagged so a docs-only
+    * fixture can never satisfy a full-fixture request). Returns true if
+    * generation ran. */
+  def ensureFixture(spark: SparkSession, base: String, dir: String, k: Int,
+                    docsOnly: Boolean = false): Boolean = {
+    // the marker records generator version AND provenance (base, k): a
+    // fixture generated from a different base SF or multiplier must
+    // regenerate, not be silently reused against the wrong baseline
+    val tag = GenVersion + (if (docsOnly) "-docs" else "") + s":$base:x$k"
+    val marker = java.nio.file.Paths.get(s"$dir/_DONE")
+    val current = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker)).trim == tag
+    if (current) false
+    else {
+      if (docsOnly) generateDocuments(spark, base, dir, k)
+      else generate(spark, base, dir, k)
+      java.nio.file.Files.write(marker, tag.getBytes)
+      true
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -45,11 +78,9 @@ object ProbeScaleDecade {
       (s"sf1.0", s"$root/sf10", 10))
 
     scales.drop(1).foreach { case (tag, dir, k) =>
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_DONE"))) {
-        println(s"[decade] generating $tag (${k}x) at $dir ...")
-        generate(spark, base, dir, k)
-        java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_DONE"))
-      } else println(s"[decade] reusing $tag at $dir")
+      if (ensureFixture(spark, base, dir, k))
+        println(s"[decade] generated $tag (${k}x) at $dir")
+      else println(s"[decade] reusing $tag at $dir")
     }
 
     // sanity: the scaled dirs really are k× on the scaled tables
@@ -86,6 +117,26 @@ object ProbeScaleDecade {
     spark.stop()
   }
 
+  /** The documents half of [[generate]]: doc_id shifted per copy, text
+    * Caesar-rotated (a letter bijection — within-copy shingle Jaccard
+    * preserved verbatim, cross-copy shingle sets disjoint, so dup
+    * pairs scale ×k, not ×k²). */
+  private[tools] def generateDocuments(spark: SparkSession, base: String,
+                                       out: String, k: Int): Unit = {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val sDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val upper = alpha.toUpperCase
+    def rot(s: String, c: Int) = s.drop(c % 26) + s.take(c % 26)
+    (0 until k).map { c =>
+      val t = if (c == 0) col("text")
+        else translate(col("text"), alpha + upper, rot(alpha, c) + rot(upper, c))
+      docs.select((col("doc_id") + lit(c.toLong * sDoc)).as("doc_id"),
+        t.as("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
   /** k disjoint-copy replication of the four heavy tables; the other
     * six copied verbatim (the five probed queries only read the four,
     * but a uniform directory keeps Tables.load semantics identical). */
@@ -113,18 +164,7 @@ object ProbeScaleDecade {
         col("l_linestatus"), col("l_shipdate"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    val sDoc = span(docs, "doc_id")
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    val upper = alpha.toUpperCase
-    def rot(s: String, c: Int) = s.drop(c % 26) + s.take(c % 26)
-    (0 until k).map { c =>
-      val t = if (c == 0) col("text")
-        else translate(col("text"), alpha + upper, rot(alpha, c) + rot(upper, c))
-      docs.select((col("doc_id") + lit(c.toLong * sDoc)).as("doc_id"),
-        t.as("text"), col("lang"), col("source"), col("n_chars"))
-    }.reduce(_.unionAll(_))
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    generateDocuments(spark, base, out, k)
 
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
     val sVec = span(embs, "vec_id")

@@ -650,4 +650,49 @@ class StreamingSpec extends AnyFunSuite {
     // every event appears exactly once: intervals partition time
     assert(Streams.scd2JoinAtEventTime(events, dim, "cust").count() == 5)
   }
+
+  test("one-conf-line durable posture extends to streaming (r15): with " +
+    "spark.graft.checkpointDir set, harness checkpoints — offset WAL " +
+    "and state store — land under the conf dir, and s1/s13/s22 replay " +
+    "to identical results") {
+    val names = Seq("s1_stream_tumble", "s13_stream_ann_ingest", "s22_cdc_apply")
+    def run(n: String): Set[Seq[Any]] =
+      SparkEntry.queries(n)(spark, dir).collect().map(_.toSeq).toSet
+    val plain = names.map(run)
+    val confDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-conf-").toString
+    try {
+      spark.conf.set("spark.graft.checkpointDir", confDir)
+      // placement: the minted per-run dir resolves under the conf dir
+      // (resolution order is env override > conf > tmpfs — the env is
+      // unset in-suite, so the conf governs)
+      val ckpt = graft.streaming.Streams.harnessCheckpointDir(spark, "posture")
+      assert(java.nio.file.Paths.get(ckpt).normalize()
+          .startsWith(java.nio.file.Paths.get(confDir).normalize()),
+        s"harness checkpoint $ckpt not under conf dir $confDir")
+      // the real artifacts land there: run a stream against that dir
+      // and observe the offset WAL + state store on disk before the
+      // harness's per-run cleanup would remove them
+      val q = Streams.tumblingCounts(Streams.eventStream(spark, dir))
+        .writeStream.format("memory").queryName("posture_pin")
+        .option("checkpointLocation", ckpt).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val entries = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toSet }
+        finally s.close()
+      }
+      assert(entries.contains("offsets") && entries.contains("commits"),
+        s"expected offset/commit WALs under $ckpt, found $entries")
+      spark.catalog.dropTempView("posture_pin")
+      // replay equivalence: the packaged streaming queries run under
+      // the durable posture unchanged
+      assert(names.map(run) == plain,
+        "conf-dir posture changed a streaming query's result")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(confDir))
+    }
+  }
 }
