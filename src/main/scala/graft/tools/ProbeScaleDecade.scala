@@ -43,7 +43,7 @@ object ProbeScaleDecade {
     * in the bench artifact. Bump on ANY change to [[generate]]: a
     * persisted fixture whose marker doesn't match is regenerated, so a
     * stale-fixture round can never masquerade as a clean ratio. */
-  val GenVersion = "disjoint-copy-v1"
+  val GenVersion = "disjoint-copy-v2"
 
   /** Generate the k× fixture at `dir` from `base` unless a fixture with
     * the current [[GenVersion]] already exists there (generation is
@@ -118,19 +118,37 @@ object ProbeScaleDecade {
   }
 
   /** The documents half of [[generate]]: doc_id shifted per copy, text
-    * Caesar-rotated (a letter bijection — within-copy shingle Jaccard
-    * preserved verbatim, cross-copy shingle sets disjoint, so dup
-    * pairs scale ×k, not ×k²). */
+    * mapped through a copy-specific LETTER BIJECTION — within-copy
+    * shingle Jaccard preserved verbatim (both docs of a pair pass
+    * through the same bijection), cross-copy shingle sets disjoint, so
+    * dup pairs scale ×k, not ×k².
+    *
+    * The bijection family is the AFFINE cipher over the lowercase
+    * alphabet: letter i → a·i + b (mod 26) with a coprime to 26 —
+    * 12 × 26 = 312 distinct permutations, identity at copy 0 (gen v3).
+    * History, both caught by this round's sf3 probe: v1 used Caesar
+    * rotation alone (26 classes), so at k=30 copies c and c−26 shared
+    * a rotation and became EXACT cross-copy duplicates — c2 read
+    * 29 728 pairs against the ×k-expected 7 680, the excess
+    * decomposing exactly into 4 duplicated-rotation copy pairs ×
+    * (5 000 identical + 2·256 twin near-dup pairs); v2 added a
+    * case-swap axis, which is a NO-OP because `word_shingles`
+    * lowercases before shingling (same 29 728). Case is folded to the
+    * mapped lowercase on both input cases for the same reason.
+    * k ≤ 312 enforced. */
   private[tools] def generateDocuments(spark: SparkSession, base: String,
                                        out: String, k: Int): Unit = {
+    require(k <= 312, s"affine letter-bijection family has 312 classes, got k=$k")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val sDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val upper = alpha.toUpperCase
-    def rot(s: String, c: Int) = s.drop(c % 26) + s.take(c % 26)
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     (0 until k).map { c =>
+      val a = coprimes(c / 26); val b = c % 26
+      val mapped = (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
       val t = if (c == 0) col("text")
-        else translate(col("text"), alpha + upper, rot(alpha, c) + rot(upper, c))
+        else translate(col("text"), alpha + upper, mapped + mapped)
       docs.select((col("doc_id") + lit(c.toLong * sDoc)).as("doc_id"),
         t.as("text"), col("lang"), col("source"), col("n_chars"))
     }.reduce(_.unionAll(_))
