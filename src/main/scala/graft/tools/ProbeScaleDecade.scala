@@ -43,7 +43,7 @@ object ProbeScaleDecade {
     * in the bench artifact. Bump on ANY change to [[generate]]: a
     * persisted fixture whose marker doesn't match is regenerated, so a
     * stale-fixture round can never masquerade as a clean ratio. */
-  val GenVersion = "disjoint-copy-v2"
+  val GenVersion = "disjoint-copy-v3"
 
   /** Generate the k× fixture at `dir` from `base` unless a fixture with
     * the current [[GenVersion]] already exists there (generation is
