@@ -96,10 +96,16 @@ object Bench {
     * hypervisor, which is exactly what the steal counter counts; high
     * iowait instead names a storage stall). (-1,-1,-1) off-procfs. */
   private def cpuStat(): (Long, Long, Long) = try {
-    val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    val line = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/stat")).get(0)
     val f = line.trim.split("\\s+").drop(1).map(_.toLong)
     // user nice system idle iowait irq softirq steal [guest guest_nice]
-    (if (f.length > 7) f(7) else 0L, if (f.length > 4) f(4) else 0L, f.sum)
+    // — guest/guest_nice are already folded into user by the kernel, so
+    // the denominator sums fields 0-7 only (ADVICE/VERDICT r15: summing
+    // all fields double-counts guest ticks and under-reads steal_pct on
+    // guest-running hosts)
+    (if (f.length > 7) f(7) else 0L, if (f.length > 4) f(4) else 0L,
+      f.take(8).sum)
   } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   /** One query's environment record, JSON-rendered into the artifact.
@@ -493,6 +499,14 @@ object Bench {
     // deltas (the contention calibration is sweep-scoped); only the
     // rep list grows.
     val reprobed = collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    // streaming queries are NOT re-probed (their single measured rep is
+    // harness latency, and re-running the replay rig mid-artifact would
+    // re-enter the capturing machinery); the exclusion is RECORDED so a
+    // reader knows a flagged s* query was never adjudicated (VERDICT
+    // r15 nit #1) rather than silently skipped
+    val reprobeSkipped = queryEnv.toSeq.sortBy(_._1).collect {
+      case (name, e) if spreadFlagged(e) && isStreaming(name) => name
+    }
     val fnByName = sorted.toMap
     queryEnv.toSeq.sortBy(_._1).foreach { case (name, e) =>
       if (spreadFlagged(e) && !isStreaming(name)) {
@@ -618,7 +632,10 @@ object Bench {
     // artifact shows the correction instead of only its result
     val reprobeJson = "\"reprobe\":" + reprobed.map { case (k, (b, r, a)) =>
       f""""$k":{"before":$b%.3f,"rep":$r%.3f,"after":$a%.3f}"""
-    }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}") +
+      (if (reprobeSkipped.isEmpty) ""
+       else ",\"reprobe_skipped\":" +
+         reprobeSkipped.map("\"" + _ + "\"").mkString("[", ",", "]"))
 
     // ---- scale-decade gate assembly (measured at process start, see
     // decadeMeasured above): ratio = best sf1.0 rep / the query's

@@ -14,6 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Inferred-once parquet schema per path (round 16, guide §6 —
+    * driver-side work): without an explicit schema every
+    * `spark.read.parquet` call re-infers by reading footers on the
+    * DRIVER — measured 280 ms/call at sf0.1 vs 23 ms with the schema
+    * supplied, paid 1-3× per query PER REP across the 270-query sweep
+    * (the bulk of the sub-second queries' ~0.3 s floor). The fixture
+    * tables are immutable within a process, so the schema is inferred
+    * once per path and passed explicitly thereafter — exactly what a
+    * catalog/metastore does in production; no data is cached. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+  private[graft] def parquetSchema(spark: SparkSession, path: String) =
+    schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts precision varies by fixture generation: TIMESTAMP(NANOS)
     // (which Spark's vectorized reader rejects — read nanos as long and
@@ -22,7 +36,8 @@ object Tables {
     // value-preserving under the session's UTC timezone). Either way the
     // column lands as micro-precision TimestampType, oracle-comparable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.schema(parquetSchema(spark, path)).parquet(path)
     if (name == "events") {
       guardNanos(df, s"$dir/$name")
       normalizeTs(df)

@@ -124,6 +124,7 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
                undirected: Boolean = true,
+               edgesDistinctDisjoint: Boolean = false,
                checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 32, s"unreasonable iters $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
@@ -132,11 +133,21 @@ object Graph {
     try {
     val raw = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
-    val dir = (if (undirected)
-      raw.unionAll(raw.select(col("b").as("a"), col("a").as("b"))) else raw)
-      .distinct()
-    val nodes = dir.select(col("a").as("node"))
-      .unionAll(dir.select(col("b").as("node")))
+    val sym = if (undirected)
+      raw.unionAll(raw.select(col("b").as("a"), col("a").as("b"))) else raw
+    // `edgesDistinctDisjoint` (round 16, the bfsHops precedent): set
+    // when `edges` is already duplicate-free AND no edge appears in
+    // both orientations — the symmetrized union is then provably
+    // duplicate-free and the post-union `distinct()` (a full
+    // shuffle+dedup of the LARGEST relation in the computation) is
+    // skipped. Results are unchanged by the same argument as bfsHops.
+    val dir = if (edgesDistinctDisjoint) sym else sym.distinct()
+    // under the symmetrizing union the a-side alone already carries
+    // every node ({a} = {b} when dir is symmetric) — half the rows
+    // into the node distinct (round 16)
+    val nodes = (if (undirected) dir.select(col("a").as("node"))
+      else dir.select(col("a").as("node"))
+        .unionAll(dir.select(col("b").as("node"))))
       .distinct().transform(ch.cut("nodes"))
     val n = nodes.count()
     // (a, b, w = 1/outdeg(a)): the per-edge share of a's rank
@@ -150,8 +161,17 @@ object Graph {
         .join(ranks, contrib("a") === ranks("node"))
         .groupBy(col("b").as("node"))
         .agg(sum(col("rank") * col("w")).as("_in"))
-      // left join keeps isolated / in-edge-free nodes at pure teleport
-      ranks = nodes.join(inflow, Seq("node"), "left")
+      // Undirected graphs need no outer extension (round 16, guide
+      // §2.4): symmetrization gives every node an in-edge, so
+      // inflow's node set IS the node set and the per-round
+      // nodes-left-join (one SMJ + exchange per iteration in the
+      // settled AQE plan — ProbePageRank, PLANS.md r11) is a no-op;
+      // `_in` is a sum over a non-empty group, never null, so the old
+      // coalesce(_in, 0) produced the identical value. Directed
+      // graphs keep the left join: in-edge-free nodes must stay at
+      // pure teleport.
+      ranks = (if (undirected) inflow
+        else nodes.join(inflow, Seq("node"), "left"))
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("_in"), lit(0.0)))
             .as("rank"))
@@ -281,19 +301,31 @@ object Graph {
   }
 
   /** Pairing core over an already-deduped (e, i) relation: candidate
-    * pairs come from ONE self-join keyed on the item id (only entities
-    * sharing an item ever meet — never the n² entity cross product),
-    * with the optional hub prune applied first. */
+    * pairs come from intra-bucket pairing keyed on the item id (only
+    * entities sharing an item ever meet — never the n² entity cross
+    * product).
+    *
+    * Round 16 (guide §2.4): the pairing runs through the
+    * single-exchange [[graft.plans.SelfPairsByKey]] exec instead of the
+    * self-equi-join idiom — the join shuffled (or broadcast) the SAME
+    * banded relation TWICE and materialized each bucket's m×m cross
+    * product before filtering half away; the exec plans exactly ONE
+    * exchange of the skinny (i, e) relation and emits each bucket's
+    * C(m,2) ordered pairs directly (the round-9 measured 2.4× on the
+    * dedup candidate stage, applied to the graph tier). Semantics are
+    * identical on the deduped input: the exec's `maxBucket` keeps
+    * buckets of raw size <= cap — exactly the old `count <= maxItemDeg`
+    * keep-filter — and its strict `id_a < id_b` under the id type's
+    * natural ordering matches the join's `x.e < y.e`. Null item keys
+    * are filtered first (the equi-join never matched them; the exec
+    * would bucket them together). */
   private def pairsFromDeduped(b: DataFrame, minShared: Long,
                                maxItemDeg: Long): DataFrame = {
-    val paired = if (maxItemDeg > 0) {
-      val keep = b.groupBy("i").agg(count(lit(1)).as("_id"))
-        .filter(col("_id") <= maxItemDeg).select("i")
-      b.join(keep, "i")
-    } else b
-    paired.as("x").join(paired.as("y"),
-        col("x.i") === col("y.i") && col("x.e") < col("y.e"))
-      .groupBy(col("x.e").as("id_a"), col("y.e").as("id_b"))
+    require(maxItemDeg <= Int.MaxValue, s"maxItemDeg $maxItemDeg out of range")
+    graft.plans.SelfPairsByKey
+      .selfPairsByKey(b.filter(col("i").isNotNull), Seq("i"), "e",
+        maxBucket = maxItemDeg.toInt)
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= minShared)
   }
@@ -359,11 +391,25 @@ object Graph {
     // for the empty-graph short-circuit.
     var prev = e.count()
     var r = 0
+    // Round-16 round shape (guide §2.4): per-round degrees come from
+    // TWO window counts (partitionBy u, then v) instead of a degree
+    // aggregation + two semi-joins — a row survives iff
+    // deg(u) >= k AND deg(v) >= k, exactly the old keep-set
+    // membership test (e is duplicate-free, so the window row count
+    // IS the degree). The old shape planned ~5 exchanges per round in
+    // the settled AQE plan (the post-checkpoint edge relation
+    // re-shuffled for each SMJ semi-join plus the agg and keep-set
+    // exchanges — no broadcasts: a cut relation carries default
+    // stats); the window shape plans exactly TWO exchanges of the
+    // edge relation per round and nothing else. Skew exposure is
+    // unchanged: the semi-join already co-located each hub's rows on
+    // one task to probe the keep set.
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy("v")
     while (r < rounds && prev > 0) {
-      val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("u")
-      e = e.join(keep, Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+      e = e.withColumn("_du", count(lit(1)).over(wu))
+        .withColumn("_dv", count(lit(1)).over(wv))
+        .filter(col("_du") >= k && col("_dv") >= k)
         .select("u", "v")
         .transform(ch.cut("e"))
       val cur = e.count()

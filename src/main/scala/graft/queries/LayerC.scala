@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
+import graft.operators.{Ckpt, Dedup, Graph, Similarity, TextAnalysis}
 
 /** Layer C — the LLM-training-data-pipeline operators (SURVEY.md §2.3):
   * dedup (exact / MinHash / SimHash / n-gram Jaccard), similarity search
@@ -241,9 +241,15 @@ object LayerC {
     // the PAIR graph), never corpus-sized; one self-join on the pair
     // relation
     "c116_pair_transitivity" -> { (s, dir) =>
-      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+      // round 16: the pair relation feeds FOUR consumers (both union
+      // branches of e, the closure semi-join's right side, and the
+      // n_pairs aggregate) — cut it once so the shingle
+      // index+prune+verify pipeline executes ONCE instead of per
+      // consumer (the dupClusters pre-cut discipline; the r16 before-
+      // plan shows the duplicated subtrees: 85 KB of plan text)
+      val pairs = Ckpt.cut(Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
           shingleN = 3, threshold = 0.5)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"))
       val e = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       val wedges = e.as("x").join(e.as("y"), col("x.id_b") === col("y.id_a"))
@@ -791,17 +797,17 @@ object LayerC {
     // explode the self-join — the reason naive neighbor-pairing dies at
     // scale and compact-forward does not
     "c100_triangle_count" -> { (s, dir) =>
-      val b = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      // round 16: the co-purchase edge build goes through the SHARED
+      // Graph.coOccurrencePairs path (identical semantics — distinct
+      // (c, p), pair per shared part, count >= 3), which now runs the
+      // single-exchange SelfPairsByKey exec instead of the
+      // two-exchange self-equi-join idiom (guide §2.4)
+      val rel = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
         .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
-      val e = b.as("x").join(b.as("y"),
-          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-        .groupBy(col("x.c").as("u"), col("y.c").as("v"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 3)
-        .select("u", "v")
+      val e = Graph.coOccurrencePairs(rel, "c", "p", minShared = 3L)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
       Graph.triangleCounts(e, "u", "v").orderBy("node")
     },
 
@@ -1489,12 +1495,22 @@ object LayerC {
     // c55's reachability. Mean-normalized (1.0 = uniform) so rounding
     // stays meaningful at any N; every node emitted, no float-ranked cut.
     "c57_pagerank" -> { (s, dir) =>
+      // distinct runs on the (long, long) key pair BEFORE the string
+      // node labels are built (round 16 — the c55 pattern):
+      // fixed-width hashing beats string hashing on the biggest
+      // shuffle, and the c/s prefixes make the two orientations
+      // disjoint, so pageRank can skip its post-symmetrize dedup
+      // (edgesDistinctDisjoint) — the traversal's largest exchange
+      // removed outright (guide §2.4)
       val e = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
         .join(Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+        .distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-      Graph.pageRank(e, "src", "dst", iters = 5)
+      Graph.pageRank(e, "src", "dst", iters = 5,
+          edgesDistinctDisjoint = true)
         .select(col("node"), round(col("rank"), 6).as("pr"))
         .orderBy("node")
     },

@@ -120,8 +120,12 @@ object ProbeScaleDecade {
   /** The documents half of [[generate]]: doc_id shifted per copy, text
     * mapped through a copy-specific LETTER BIJECTION — within-copy
     * shingle Jaccard preserved verbatim (both docs of a pair pass
-    * through the same bijection), cross-copy shingle sets disjoint, so
-    * dup pairs scale ×k, not ×k².
+    * through the same bijection), cross-copy shingle overlap negligible
+    * (not structurally zero — digits/punctuation pass through
+    * `translate` unchanged and distinct affine maps can collide on
+    * individual words; the dup-pair ×k law rests on the empirical sf3
+    * output-pair check, which read exactly ×3.00 — ADVICE r15), so dup
+    * pairs scale ×k, not ×k².
     *
     * The bijection family is the AFFINE cipher over the lowercase
     * alphabet: letter i → a·i + b (mod 26) with a coprime to 26 —
