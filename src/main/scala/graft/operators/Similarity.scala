@@ -592,10 +592,17 @@ object Similarity {
     // production scale the signature projection is persisted alongside
     // the vectors, so the re-read here is an index scan, not a recompute.
     val banded = v.select(col("id"), posexplode(sigs).as(Seq("table_idx", "bucket")))
-    val a = banded.select(col("id").as("id_a"), col("table_idx"), col("bucket"))
-    val b = banded.select(col("id").as("id_b"), col("table_idx"), col("bucket"))
-    val cand = a.join(b, Seq("table_idx", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // round 16 (guide §2.4): intra-bucket pairing via the
+    // single-exchange SelfPairsByKey exec — the self-equi-join
+    // shuffled the banded relation TWICE and materialized each
+    // bucket's m×m cross product before filtering half away; the exec
+    // plans ONE exchange and emits each bucket's C(m,2) ordered pairs
+    // directly. Identical semantics: one row per (id, table) so no
+    // within-bucket multiplicity, (table_idx, bucket) keys are never
+    // null, and the exec's strict id_a < id_b under the id's natural
+    // ordering matches the join's filter.
+    val cand = graft.plans.SelfPairsByKey
+      .selfPairsByKey(banded, Seq("table_idx", "bucket"), "id")
       .select("id_a", "id_b").distinct()
     val va = v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
     val vb = v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
@@ -722,6 +729,55 @@ object Similarity {
                           centroids: Seq[Seq[Double]], nProbe: Int,
                           centroidJoinFrom: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))
+    ivfScoredCandidates(corpus, queries, idCol, vecCol, centroids, nProbe,
+        centroidJoinFrom)
+      .drop("_pr")
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+  }
+
+  /** nProbe SWEEP against ONE pre-trained coarse quantizer (round 16,
+    * guide §1.2/§2.4 — c94's recall curve): score the candidate set
+    * ONCE at max(probeCounts) with each candidate's per-query cell
+    * rank (`_pr`) riding along, checkpoint it, and slice every
+    * operating point out of that one relation. Each returned arm is
+    * VALUE-IDENTICAL to `ivfKnnFromCentroids` at that nProbe: the
+    * plain path filters `_pr <= nProbe` on the probe side BEFORE the
+    * cell join, the sweep applies the same filter on the same column
+    * AFTER it — the join never changes `_pr`, so the candidate sets
+    * are equal, and the ranking window is the same expression. The
+    * old 4-arm union re-scanned corpus+queries and re-ran assignment
+    * per arm (72 exchanges / 36 scans in the r16 before-plan); the
+    * sweep pays one pipeline + four node-cheap slices, and probes
+    * 1.0× the corpus instead of Σp/nCells ≈ 1.44×. The cut backing
+    * the slices follows the standard caller-release contract. */
+  def ivfKnnSweepFromCentroids(corpus: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String, k: Int,
+                               centroids: Seq[Seq[Double]],
+                               probeCounts: Seq[Int],
+                               centroidJoinFrom: Int = 256): Seq[(Int, DataFrame)] = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeCounts.nonEmpty, "ivfKnnSweepFromCentroids needs >= 1 arm")
+    val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))
+    val scored = Ckpt.cut(ivfScoredCandidates(corpus, queries, idCol, vecCol,
+      centroids, probeCounts.max, centroidJoinFrom))
+    probeCounts.map { p =>
+      p -> scored.filter(col("_pr") <= p).drop("_pr")
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+    }
+  }
+
+  /** Shared IVF candidate scoring: (query_id, nn_id, _pr, cosine) for
+    * every corpus row in one of the query's `nProbe` nearest cells —
+    * `_pr` is the probed cell's per-query rank, kept so a sweep caller
+    * can slice smaller operating points out of a larger one. */
+  private def ivfScoredCandidates(corpus: DataFrame, queries: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  centroids: Seq[Seq[Double]], nProbe: Int,
+                                  centroidJoinFrom: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nCells = centroids.size
     val c = corpus
       .select(col(idCol).as("nn_id"), col(vecCol).cast("array<double>").as("cv"))
@@ -749,7 +805,7 @@ object Similarity {
           posexplode(cellDists(col("qv"))).as(Seq("_cell", "_cd")))
         .withColumn("_pr", row_number().over(wp))
         .filter(col("_pr") <= nProbe)
-        .select(col("query_id"), col("qv"), col("qn"), col("_cell"))
+        .select(col("query_id"), col("qv"), col("qn"), col("_cell"), col("_pr"))
       (asg, prb)
     } else {
       // broadcast the (tiny) centroid table; distance is ONE small
@@ -777,19 +833,17 @@ object Similarity {
         .withColumn("_cd", col("_cen2") - lit(2.0) * dot(col("qv"), col("_cen")))
         .withColumn("_pr", row_number().over(wp))
         .filter(col("_pr") <= nProbe)
-        .select(col("query_id"), col("qv"), col("qn"), col("_cell"))
+        .select(col("query_id"), col("qv"), col("qn"), col("_cell"), col("_pr"))
       (asg, prb)
     }
     // each corpus row lives in exactly one cell and probed cells are
-    // distinct per query → no duplicate (query, nn) pairs to dedup
-    val wr = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nn_id"))
+    // distinct per query → no duplicate (query, nn) pairs to dedup;
+    // ranking/top-k live in the public entry points
     probes.join(assigned, Seq("_cell"))
       .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id"),
+      .select(col("query_id"), col("nn_id"), col("_pr"),
         cosineOrNull(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("cosine"))
       .filter(col("cosine").isNotNull)
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
   }
 
   /** Per-subspace PQ codebooks: split `dim` into `m` subspaces of

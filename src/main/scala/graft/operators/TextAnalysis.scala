@@ -599,13 +599,17 @@ object TextAnalysis {
   def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
                          labelCol: String, alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0, s"smoothing alpha must be positive, got $alpha")
-    // the ONE corpus explode: per-(doc, class, token) occurrence counts
-    val base = df
+    // the ONE corpus explode: per-(doc, class, token) occurrence counts.
+    // Cut (round 16): `base` feeds the token-class model, the class
+    // priors AND the scoring join — without the cut each consumer
+    // re-ran the corpus explode+aggregation (the r16 before-plan shows
+    // 18 parquet scans for c48); with it the corpus pass executes once.
+    val base = Ckpt.cut(df
       .select(col(idCol), col(labelCol).as("_cls"),
         explode(split(lower(col(textCol)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col(idCol), col("_cls"), col("token"))
-      .agg(count(lit(1)).as("_k"))
+      .agg(count(lit(1)).as("_k")))
     val wc = base.groupBy("token", "_cls").agg(sum("_k").as("_n"))
     // class priors and per-class token totals from the model aggregates
     val cls = base.groupBy("_cls")
@@ -896,12 +900,22 @@ object TextAnalysis {
         weighted.groupBy("token").agg(count(lit(1)).as("_pl"))
           .filter(col("_pl") <= maxPostings).select("token"),
         Seq("token"), "left_semi")
-    postings.as("a").join(postings.as("b"),
-        col("a.token") === col("b.token") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // round 16 (guide §2.4): the pairing runs the payload form of the
+    // single-exchange SelfPairsByKey exec — the self-equi-join shuffled
+    // the postings relation twice (or re-ran its whole TF-IDF pipeline
+    // per side under an AQE broadcast); the exec plans ONE exchange,
+    // and the per-side weights ride WITH each pair so the cosine needs
+    // no re-join. Semantics identical: postings is one row per
+    // (id, token), the exec's strict id_a < id_b matches the join's
+    // x.id < y.id, token keys are never null (empty tokens filtered),
+    // and the downstream agg sums the same per-token products.
+    graft.plans.SelfPairsByKey
+      .selfPairsByKeyWithPayload(
+        postings.select(col("token"), col(idCol), col("_w")),
+        Seq("token"), idCol, "_w", ("_wa", "_wb"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"),
-        sum(col("a._w") * col("b._w")).as("cosine"))
+        sum(col("_wa") * col("_wb")).as("cosine"))
       .filter(col("n_shared") >= minShared)
   }
 
@@ -1032,9 +1046,12 @@ object TextAnalysis {
     * relation. */
   def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
                     shingleN: Int = 3): DataFrame = {
-    val ss = df.select(col(groupCol).as("_g"),
+    // cut (round 16): the distinct (group, shingle) relation feeds the
+    // group-size aggregate AND the pair expansion — without it each
+    // consumer re-ran the corpus shingle explode + distinct
+    val ss = Ckpt.cut(df.select(col(groupCol).as("_g"),
       explode(graft.operators.Dedup.shingles(col(textCol), shingleN)).as("_s"))
-      .distinct()
+      .distinct())
     val sizes = ss.groupBy("_g").agg(count(lit(1)).as("_n"))
     val pairs = ss.groupBy("_s")
       .agg(sort_array(collect_set(col("_g"))).as("_gs"))

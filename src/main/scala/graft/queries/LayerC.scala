@@ -434,18 +434,23 @@ object LayerC {
     "c94_recall_curve" -> { (s, dir) =>
       val e = embs(s, dir)
       val qs = e.filter(col("vec_id") % 37 === 0).select("vec_id", "embedding")
-      val truth = Similarity
+      // round 16: truth feeds all four arm joins plus the denominator
+      // count — cut it once so brute force runs ONCE (the r16
+      // before-plan re-ran it per consumer: 72 exchanges / 36 scans)
+      val truth = Ckpt.cut(Similarity
         .bruteForceKnn(e, qs, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("nn_id"))
+        .select(col("query_id"), col("nn_id")))
       val truthN = truth.agg(count(lit(1)).as("n_truth"))
       // ONE coarse-quantizer fit shared across the whole sweep — the
-      // operating points differ only in how many cells they probe
+      // operating points differ only in how many cells they probe —
+      // and (round 16) ONE scored-candidate pass sliced per operating
+      // point (ivfKnnSweepFromCentroids; value-identical per arm)
       val cents = Similarity.ivfTrainCentroids(e, "embedding",
         nCells = 16, seed = 7L)
-      Seq(1, 2, 4, 16).map { p =>
-          Similarity.ivfKnnFromCentroids(e, qs, "vec_id", "embedding",
-              k = 10, cents, nProbe = p)
-            .select(col("query_id"), col("nn_id"))
+      Similarity.ivfKnnSweepFromCentroids(e, qs, "vec_id", "embedding",
+          k = 10, cents, probeCounts = Seq(1, 2, 4, 16))
+        .map { case (p, arm) =>
+          arm.select(col("query_id"), col("nn_id"))
             .join(truth, Seq("query_id", "nn_id"))
             .agg(count(lit(1)).as("n_hits"))
             .select(lit(p).as("n_probe"), col("n_hits"))
@@ -968,10 +973,12 @@ object LayerC {
         explode(Dedup.shingles(col("text"), 3)).as("_s"))
       val mins = (0 until nH).map(i =>
         min(mix64(fingerprint64(concat(lit(s"$i:"), col("_s"))))).as(s"_h$i"))
-      val sig = sh.groupBy(col("doc_id"))
+      // cut (round 16): sig joins BOTH pair sides — without it each
+      // side re-ran the shingle explode + 16-slot min aggregation
+      val sig = Ckpt.cut(sh.groupBy(col("doc_id"))
         .agg(mins.head, mins.tail: _*)
         .select(col("doc_id"),
-          array((0 until nH).map(i => col(s"_h$i")): _*).as("_sig"))
+          array((0 until nH).map(i => col(s"_h$i")): _*).as("_sig")))
       Dedup.ngramJaccardPairs(d, "doc_id", "text", shingleN = 3, threshold = 0.2)
         .join(sig.select(col("doc_id").as("id_a"), col("_sig").as("_sa")), Seq("id_a"))
         .join(sig.select(col("doc_id").as("id_b"), col("_sig").as("_sb")), Seq("id_b"))

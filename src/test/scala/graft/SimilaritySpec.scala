@@ -127,6 +127,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.last._2 == 1.0, s"full probe must be exhaustive: ${out.toSeq}")
   }
 
+  test("ivfKnnSweepFromCentroids: every arm equals the per-arm " +
+    "ivfKnnFromCentroids (round-16 sweep restructure)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" % 37 === 0).select("vec_id", "embedding")
+    val cents = Similarity.ivfTrainCentroids(e, "embedding", nCells = 16,
+      seed = 7L)
+    val arms = Similarity.ivfKnnSweepFromCentroids(e, queries, "vec_id",
+      "embedding", k = 10, cents, probeCounts = Seq(1, 2, 4, 16))
+    arms.foreach { case (p, arm) =>
+      val got = arm.select("query_id", "nn_id", "cosine", "rank")
+        .collect().map(_.toSeq).toSet
+      val want = Similarity.ivfKnnFromCentroids(e, queries, "vec_id",
+          "embedding", k = 10, cents, nProbe = p)
+        .select("query_id", "nn_id", "cosine", "rank")
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"sweep arm nProbe=$p diverges from plain path")
+    }
+    graft.operators.Ckpt.releaseIssued(spark)
+  }
+
   test("pqKnn: pruned rerank recall >= 0.8 vs brute force; unbounded rerank is exact") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter($"vec_id" < 20)
