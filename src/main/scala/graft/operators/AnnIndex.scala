@@ -44,6 +44,10 @@ object AnnIndex {
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/model")
     coded.write.mode(SaveMode.Overwrite).parquet(s"$root/codes")
+    // an overwritten artifact may change layout: drop the cached
+    // schemas so the next readStable re-infers (ADVICE r16)
+    graft.Tables.invalidateSchema(s"$root/model")
+    graft.Tables.invalidateSchema(s"$root/codes")
   }
 
   /** Reload the PQ codebooks: codebooks(j)(c) = centroid vector. */

@@ -167,6 +167,21 @@ object Ckpt {
       df.localCheckpoint()
     else df.localCheckpoint(true, StorageLevel.DISK_ONLY))
 
+  /** [[local]] that also returns the cut's row count — taken from the
+    * eager checkpoint's OWN materializing job (round 17, VERDICT r16
+    * #6), so convergence-checked loops pay one job per round, not a cut
+    * job plus a count job. Same backend selection as [[local]]. */
+  def localCounted(df: DataFrame): (DataFrame, Long) = {
+    val level =
+      if (df.sparkSession.conf
+          .getOption("spark.graft.graph.checkpointStorage").contains("memdisk"))
+        None
+      else Some(StorageLevel.DISK_ONLY)
+    val (cut, n) = org.apache.spark.sql.GraftCheckpointBridge
+      .cutCounted(df, reliable = false, level)
+    (track(cut), n)
+  }
+
   /** Reliable checkpoint cut into the context's checkpoint dir (the
     * caller — normally [[CkptChain]], which holds [[reliableLock]] and
     * exact-restores the application's prior dir around the cut — has
@@ -184,6 +199,15 @@ object Ckpt {
     * final-stage recompute is repaid in block write+read. Kept plain
     * per the measured-win-only rule. */
   def reliable(df: DataFrame): DataFrame = track(df.checkpoint())
+
+  /** [[reliable]] with the materializing count returned (see
+    * [[localCounted]]). Caller ([[CkptChain.reliableCut]]) holds
+    * [[reliableLock]] and has pointed the context's checkpoint dir. */
+  def reliableCounted(df: DataFrame): (DataFrame, Long) = {
+    val (cut, n) = org.apache.spark.sql.GraftCheckpointBridge
+      .cutCounted(df, reliable = true, None)
+    (track(cut), n)
+  }
 
   /** One-off conf-aware cut for the NON-iterative plan-flattening sites
     * (triangleCounts' edge/orientation cuts, neighborJaccard's dedup,
@@ -366,7 +390,8 @@ private[graft] final class CkptChain(spark: SparkSession,
   private var ourSub: Option[String] = None
   private var held = Map.empty[String, DataFrame]
 
-  private def reliableCut(d: String, df: DataFrame): DataFrame =
+  private def reliableCut[A](d: String, df: DataFrame,
+                             cut: DataFrame => A): A =
     Ckpt.reliableLock.synchronized {
       val sc = spark.sparkContext
       val prior = CheckpointDirAccess.get(sc)
@@ -385,18 +410,31 @@ private[graft] final class CkptChain(spark: SparkSession,
         s
       }
       CheckpointDirAccess.restore(sc, Some(sub))
-      try Ckpt.reliable(df)
+      try cut(df)
       finally CheckpointDirAccess.restore(sc, prior)
     }
 
   def cut(slot: String)(df: DataFrame): DataFrame = {
     val cur = dir match {
-      case Some(d) => reliableCut(d, df)
+      case Some(d) => reliableCut(d, df, Ckpt.reliable)
       case None    => Ckpt.local(df)
     }
     held.get(slot).foreach(Ckpt.release)
     held += slot -> cur
     cur
+  }
+
+  /** [[cut]] that also returns the cut's row count, read off the eager
+    * checkpoint's own materializing job (round 17, VERDICT r16 #6) —
+    * the one-job-per-round form for convergence-checked loops. */
+  def cutCounted(slot: String)(df: DataFrame): (DataFrame, Long) = {
+    val (cur, n) = dir match {
+      case Some(d) => reliableCut(d, df, Ckpt.reliableCounted)
+      case None    => Ckpt.localCounted(df)
+    }
+    held.get(slot).foreach(Ckpt.release)
+    held += slot -> cur
+    (cur, n)
   }
 
   /** Release every held checkpoint except the `keep` slots. Call once

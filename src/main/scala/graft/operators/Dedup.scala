@@ -446,11 +446,29 @@ object Dedup {
         .join(labels.select(col("node").as("src"), col("rep").as("srep")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("srep")).as("nrep"))
+      // round 17 (VERDICT r16 #6): the changed-label count rides out of
+      // the cut's own materializing job via Dataset.observe — one Spark
+      // job per propagation round instead of cut + filtered count.
+      // count(when(...)) never returns null; the filtered-count fallback
+      // covers a dropped listener event (the observation travels the
+      // listener bus, which sheds load by dropping)
+      val obs = org.apache.spark.sql.Observation()
       val updated = ch.cut("labels")(labels
         .join(candidates, Seq("node"), "left")
         .select(col("node"), col("rep").as("_old"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep")))
-      changed = updated.filter(col("rep") =!= col("_old")).count()
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .observe(obs, count(when(col("rep") =!= col("_old"), lit(1)))
+          .as("_chg")))
+      changed =
+        try {
+          import scala.concurrent.duration._
+          scala.concurrent.Await.result(
+            scala.concurrent.Future(obs.get)(
+              scala.concurrent.ExecutionContext.global), 60.seconds)("_chg")
+            .asInstanceOf[Long]
+        } catch { case _: java.util.concurrent.TimeoutException =>
+          updated.filter(col("rep") =!= col("_old")).count()
+        }
       labels = updated.select("node", "rep")
       iter += 1
     }

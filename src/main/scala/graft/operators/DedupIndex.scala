@@ -47,6 +47,10 @@ object DedupIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$root/index")
     corpus.select(col(idCol).as("id_b")).distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$root/ids")
+    // an overwritten artifact may change layout: drop the cached
+    // schemas so the next readStable re-infers (ADVICE r16)
+    graft.Tables.invalidateSchema(s"$root/index")
+    graft.Tables.invalidateSchema(s"$root/ids")
   }
 
   /** Append an admitted batch's rows to the persisted index — the

@@ -81,12 +81,14 @@ object Graph {
     var grown = true
     while (h < maxHops && grown) {
       h += 1
-      val next = und.join(frontier, und("a") === frontier("node"))
-        .select(col("b").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .withColumn("hops", lit(h))
-        .transform(ch.cut("next"))
-      if (next.isEmpty) grown = false
+      // cutCounted (round 17): the frontier-emptiness test rides out of
+      // the checkpoint's materializing job — no separate isEmpty job
+      val (next, n) = ch.cutCounted("next")(
+        und.join(frontier, und("a") === frontier("node"))
+          .select(col("b").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("hops", lit(h)))
+      if (n == 0L) grown = false
       else {
         visited = visited.unionAll(next).transform(ch.cut("visited"))
         frontier = next.select("node")
@@ -120,7 +122,14 @@ object Graph {
     * (the [[bfsHops]] / dupClusters precedent), each rank vector
     * checkpointed so lineage stays flat and the superseded round
     * released once the new one materializes. Node count N is computed
-    * once and folded in as a literal. */
+    * once and folded in as a literal.
+    *
+    * Precondition (ADVICE r16): node ids must be non-null. Undirected
+    * mode returns inflow directly (no per-round nodes join), and under
+    * groupBy a null id forms a real group — so a null node would
+    * accumulate inflow where the r15 null-unsafe join left it at pure
+    * teleport. Every packaged caller builds ids by concat/cast of
+    * non-null keys; callers with nullable id columns filter first. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
                undirected: Boolean = true,
@@ -145,11 +154,13 @@ object Graph {
     // under the symmetrizing union the a-side alone already carries
     // every node ({a} = {b} when dir is symmetric) — half the rows
     // into the node distinct (round 16)
-    val nodes = (if (undirected) dir.select(col("a").as("node"))
-      else dir.select(col("a").as("node"))
-        .unionAll(dir.select(col("b").as("node"))))
-      .distinct().transform(ch.cut("nodes"))
-    val n = nodes.count()
+    // cutCounted (round 17): N rides out of the checkpoint's own
+    // materializing job — the separate nodes.count() job is gone
+    val (nodes, n) = ch.cutCounted("nodes")(
+      (if (undirected) dir.select(col("a").as("node"))
+       else dir.select(col("a").as("node"))
+         .unionAll(dir.select(col("b").as("node"))))
+        .distinct())
     // (a, b, w = 1/outdeg(a)): the per-edge share of a's rank
     val contrib = dir
       .join(dir.groupBy("a").agg(count(lit(1)).as("_deg")), "a")
@@ -321,13 +332,40 @@ object Graph {
     * would bucket them together). */
   private def pairsFromDeduped(b: DataFrame, minShared: Long,
                                maxItemDeg: Long): DataFrame = {
-    require(maxItemDeg <= Int.MaxValue, s"maxItemDeg $maxItemDeg out of range")
-    graft.plans.SelfPairsByKey
-      .selfPairsByKey(b.filter(col("i").isNotNull), Seq("i"), "e",
-        maxBucket = maxItemDeg.toInt)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-      .filter(col("common") >= minShared)
+    val deduped = b.filter(col("i").isNotNull)
+    // a cap above Int.MaxValue is semantically "no prune" — route it to
+    // the unbounded path instead of failing (ADVICE r16)
+    val paired =
+      if (maxItemDeg > 0 && maxItemDeg <= Int.MaxValue)
+        // capped (c104's edge build, the dedup/LSH tiers): the cap
+        // itself bounds every bucket, so the single-exchange exec is
+        // skew-bounded by construction — and measured 1.19× faster
+        // than the join at sf10 (tools/ProbeGraphAB r17, min-of-4
+        // interleaved: 16.94 vs 20.23 s)
+        graft.plans.SelfPairsByKey
+          .selfPairsByKey(deduped, Seq("i"), "e", maxBucket = maxItemDeg.toInt)
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("common"))
+      else
+        // UNCAPPED (c100/c101, round 17 — VERDICT r16 #3): back to the
+        // self-equi-join idiom. The exec emits a bucket's C(m,2) pairs
+        // on ONE task and its custom ClusteredDistribution is invisible
+        // to AQE's skew-join splitting, so a viral item at 100 TB is a
+        // straggler-or-OOM; the join shape lets AQE split a hot key's
+        // oversized partition at runtime. A block-decomposed exec
+        // variant was built and measured this round and REJECTED: the
+        // bucket-size pre-pass + hot/cold split cost 0.85 s at sf0.1
+        // and ~7 s at sf10 over the join (probe log in
+        // OPTIMIZATION_r17.md), while join vs plain exec is a wash at
+        // both SFs here (sf0.1 3.54 vs 3.56; sf10 min 19.11 vs 16.99
+        // but within the arms' rep spread) — skew safety comes free
+        // with the join, so it wins the uncapped tier.
+        deduped.as("x")
+          .join(deduped.as("y"),
+            col("x.i") === col("y.i") && col("x.e") < col("y.e"))
+          .groupBy(col("x.e").as("id_a"), col("y.e").as("id_b"))
+          .agg(count(lit(1)).as("common"))
+    paired.filter(col("common") >= minShared)
   }
 
   /** Bounded-round k-core peeling: repeatedly drop nodes of degree < k
@@ -367,13 +405,16 @@ object Graph {
     // and inflate its node's degree by one (caught by the round-12
     // generative peel test; production c104 inputs are id_a < id_b
     // pairs, which can never loop)
-    var e = edges
+    // cutCounted (round 17, VERDICT r16 #6): every round's edge count —
+    // the convergence signal — rides out of the checkpoint's own
+    // materializing job, so a peel round is ONE Spark job, not
+    // cut + count
+    var (e, prev0) = ch.cutCounted("e")(edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .unionAll(edges.select(col(dstCol).cast("long").as("u"),
         col(srcCol).cast("long").as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .transform(ch.cut("e"))
+      .distinct())
     // Early exit on convergence (round 12): the peel only ever REMOVES
     // edges, so an unchanged edge count proves the edge SET is
     // unchanged — a fixed point, after which every remaining round
@@ -389,7 +430,7 @@ object Graph {
     // A/B reads as a wash (count overhead below run noise); kept for
     // the asymmetric payoff on peels that DO converge under budget and
     // for the empty-graph short-circuit.
-    var prev = e.count()
+    var prev = prev0
     var r = 0
     // Round-16 round shape (guide §2.4): per-round degrees come from
     // TWO window counts (partitionBy u, then v) instead of a degree
@@ -407,12 +448,12 @@ object Graph {
     val wu = org.apache.spark.sql.expressions.Window.partitionBy("u")
     val wv = org.apache.spark.sql.expressions.Window.partitionBy("v")
     while (r < rounds && prev > 0) {
-      e = e.withColumn("_du", count(lit(1)).over(wu))
-        .withColumn("_dv", count(lit(1)).over(wv))
-        .filter(col("_du") >= k && col("_dv") >= k)
-        .select("u", "v")
-        .transform(ch.cut("e"))
-      val cur = e.count()
+      val (e2, cur) = ch.cutCounted("e")(
+        e.withColumn("_du", count(lit(1)).over(wu))
+          .withColumn("_dv", count(lit(1)).over(wv))
+          .filter(col("_du") >= k && col("_dv") >= k)
+          .select("u", "v"))
+      e = e2
       r = if (cur == prev) rounds else r + 1
       prev = cur
     }

@@ -303,10 +303,13 @@ object TextAnalysis {
     * budget decision actually needs ("how many types cover 95 % of
     * tokens"). Ties rank by token string, so the curve is total.
     *
-    * Scale note: the ordered window runs over the VOCABULARY relation —
-    * model-sized by definition (the entire point of a vocabulary), not
-    * corpus-sized — so the single-partition window is bounded the same
-    * way every other vocab-bounded loop here is. */
+    * Scale note (round 17, VERDICT r16 #4): the rank/cumsum over the
+    * frequency order used to be a single-partition global window; a web
+    * corpus's type vocabulary is NOT bounded the way a tokenizer vocab
+    * is, so the ordered pass now runs through [[GlobalOrder]]'s
+    * two-phase rank (range-partitioned local windows + a collected
+    * partition-boundary offset table) — value-identical because the
+    * (_f desc, token asc) key is unique per row. */
   def vocabCoverage(df: DataFrame, textCol: String,
                     levels: Seq[Double]): DataFrame = {
     require(levels.nonEmpty && levels.forall(p => p > 0.0 && p <= 1.0),
@@ -315,11 +318,8 @@ object TextAnalysis {
       .select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("_f"))
-    val w = Window.orderBy(col("_f").desc, col("token").asc)
-    val ranked = freqs
-      .withColumn("_rk", row_number().over(w))
-      .withColumn("_cum", sum(col("_f"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = GlobalOrder.withRankAndRunningSum(freqs,
+      Seq(col("_f").desc, col("token").asc), Some("_rk"), Some(("_f", "_cum")))
     val total = freqs.agg(sum(col("_f")).as("_tot"))
     val lv = levels.map(lit(_))
     ranked.crossJoin(broadcast(total))
@@ -558,10 +558,14 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
     val total = scored.agg(count(lit(1)).as("_cnt"))
     val dist = scored.groupBy("avg_logprob").agg(count(lit(1)).as("_c"))
-    // cumulative docs-at-or-above-score over the distribution relation;
-    // single-partition is intentional — this is model-sized data
-    val cum = dist.withColumn("_cum",
-      sum("_c").over(Window.orderBy(col("avg_logprob").desc)))
+    // cumulative docs-at-or-above-score over the distribution relation.
+    // Distinct 6-dp scores can approach DOC count, so this is not
+    // model-sized (VERDICT r16 #4) — two-phase global cumsum instead of
+    // the single-partition window; value-identical (avg_logprob is
+    // unique per row post-groupBy, and the old RANGE frame equals ROWS
+    // under unique keys)
+    val cum = GlobalOrder.withRunningSum(dist,
+      Seq(col("avg_logprob").desc), "_c", "_cum")
     val buckets = cum.crossJoin(broadcast(total)).select(
       col("avg_logprob"),
       when(col("_cum") <= ceil(col("_cnt") / 3.0d), lit("head"))

@@ -517,7 +517,13 @@ object Streams {
       if (Option(p.toUri.getScheme).exists(_ != "file"))
         try { p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true); () }
-        catch { case _: Throwable => () }
+        catch { case t: Throwable =>
+          // best-effort cleanup stays best-effort, but a leaked DURABLE
+          // checkpoint dir must leave a trace (ADVICE r16) — unlike the
+          // local path, nothing else will ever reclaim it
+          System.err.println(
+            s"[streams] failed to delete checkpoint $ckpt: $t")
+        }
       else graft.Tables.deleteRecursively(ckpt)
     }
   }

@@ -117,15 +117,44 @@ object ProbeGraphAB {
     def e104old() = oldPairs(rel104(), 3L, 45L)
       .select(col("id_a").as("u"), col("id_b").as("v"))
 
-    val arms: Seq[(String, () => Unit)] = Seq(
+    // round 17: c100's edge build is UNCAPPED (maxItemDeg=0) — its own
+    // arms, plus the full triangle pipeline, to adjudicate the driver's
+    // c100 both-SF regression reading separately from the capped tier
+    def e100new() = Graph.coOccurrencePairs(rel104(), "c", "p", minShared = 3L)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    def e100old() = oldPairs(rel104(), 3L, 0L)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    // the r16 shape: plain single-exchange exec, no skew decomposition
+    def e100exec() = {
+      val b = rel104().select(col("c").as("e"), col("p").as("i")).distinct()
+      graft.plans.SelfPairsByKey
+        .selfPairsByKey(b.filter(col("i").isNotNull), Seq("i"), "e")
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 3L)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+    }
+
+    val allArms: Seq[(String, () => Unit)] = Seq(
       "pairs OLD " -> (() => noop(e104old())),
       "pairs NEW " -> (() => noop(e104new())),
       "kcore OLD " -> (() => noop(oldKCore(e104old(), 3, 8))),
       "kcore NEW " -> (() => noop(Graph.kCoreBounded(e104new(), "u", "v", 3, 8))),
       "pr    OLD " -> (() => noop(oldPageRank(e57old(), 5))),
       "pr    NEW " -> (() => noop(Graph.pageRank(e57(), "src", "dst", 5,
-        edgesDistinctDisjoint = true)))
+        edgesDistinctDisjoint = true))),
+      "pairs0 OLD" -> (() => noop(e100old())),
+      "pairs0 NEW" -> (() => noop(e100new())),
+      "pairs0 EXE" -> (() => noop(e100exec())),
+      "tri OLD   " -> (() => noop(Graph.triangleCounts(e100old(), "u", "v"))),
+      "tri NEW   " -> (() => noop(Graph.triangleCounts(e100new(), "u", "v"))),
+      "tri EXE   " -> (() => noop(Graph.triangleCounts(e100exec(), "u", "v")))
     )
+    // AB_ARMS: comma-separated substring filter over arm names
+    val armFilter = sys.env.get("AB_ARMS").map(_.split(",").toSeq)
+    val arms = armFilter.fold(allArms) { fs =>
+      allArms.filter { case (n, _) => fs.exists(n.trim.startsWith) }
+    }
     val reps = sys.env.getOrElse("AB_REPS", "4").toInt
     val results = collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     // warmup both arms once (JIT + fault tax), then alternate

@@ -45,6 +45,20 @@ object ProbeScaleDecade {
     * stale-fixture round can never masquerade as a clean ratio. */
   val GenVersion = "disjoint-copy-v3"
 
+  /** Expected output-row multiplier per gate member on a ×k
+    * disjoint-copy fixture (round 17, VERDICT r16 #2 — the
+    * row-invariant decade gate): graph node relations and within-copy
+    * dup pairs replicate ×k exactly (cross-copy shingle overlap is
+    * empirically zero at k ≤ 10 — verified ×10.000 on this fixture,
+    * and ×3.00 at sf3 in r15); c14's query set is pinned (vec_id < 10,
+    * all in copy 0), so its output is corpus-size-invariant. The law is
+    * host-noise-IMMUNE: a fixture or plan regression moves rows, a bad
+    * host window only moves seconds. */
+  def rowLaw(k: Int): Map[String, Long] = Map(
+    "c57_pagerank" -> k.toLong, "c104_kcore" -> k.toLong,
+    "c100_triangle_count" -> k.toLong, "c2_dedup_minhash" -> k.toLong,
+    "c14_ann_knn" -> 1L)
+
   /** Generate the k× fixture at `dir` from `base` unless a fixture with
     * the current [[GenVersion]] already exists there (generation is
     * deterministic, so persisted slices are reused across rounds).

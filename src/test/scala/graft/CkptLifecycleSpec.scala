@@ -411,4 +411,34 @@ class CkptLifecycleSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(confDir))
     }
   }
+
+  // ---- round 17: counted cuts (VERDICT r16 #6) ----
+
+  test("cutCounted returns the cut relation AND its row count from the " +
+    "materializing job, on all three backends") {
+    import graft.operators.CkptChain
+    val df = (1L to 257L).toDF("v").repartition(7)
+    val expect = (1L to 257L).map(Seq(_)).toSet
+
+    def check(ch: CkptChain): Unit = {
+      val (cut, n) = ch.cutCounted("s")(df)
+      assert(n == 257L, s"materializing count must equal the row count, got $n")
+      assert(cut.collect().map(_.toSeq).toSet == expect,
+        "counted cut must return the same relation as a plain cut")
+      ch.close()
+    }
+
+    // local DISK_ONLY (default)
+    check(new CkptChain(spark, None))
+    // local MEMORY_AND_DISK (memdisk opt-in)
+    spark.conf.set("spark.graft.graph.checkpointStorage", "memdisk")
+    try check(new CkptChain(spark, None))
+    finally spark.conf.unset("spark.graft.graph.checkpointStorage")
+    // reliable checkpoint-dir backend
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-").toString
+    try check(new CkptChain(spark, Some(dir)))
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    assert(Ckpt.releaseIssued(spark) == 0,
+      "close() must have released every counted cut")
+  }
 }
