@@ -148,7 +148,11 @@ object ProbeGraphAB {
       "pairs0 EXE" -> (() => noop(e100exec())),
       "tri OLD   " -> (() => noop(Graph.triangleCounts(e100old(), "u", "v"))),
       "tri NEW   " -> (() => noop(Graph.triangleCounts(e100new(), "u", "v"))),
-      "tri EXE   " -> (() => noop(Graph.triangleCounts(e100exec(), "u", "v")))
+      "tri EXE   " -> (() => noop(Graph.triangleCounts(e100exec(), "u", "v"))),
+      // peel-ISOLATED kcore arms (round 17): both consume the SAME edge
+      // build, so the delta is purely window-shape vs degree-agg+semi-join
+      "peel OLD  " -> (() => noop(oldKCore(e104new(), 3, 8))),
+      "peel NEW  " -> (() => noop(Graph.kCoreBounded(e104new(), "u", "v", 3, 8)))
     )
     // AB_ARMS: comma-separated substring filter over arm names
     val armFilter = sys.env.get("AB_ARMS").map(_.split(",").toSeq)

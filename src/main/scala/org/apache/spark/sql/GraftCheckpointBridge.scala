@@ -30,7 +30,16 @@ object GraftCheckpointBridge {
     val actionName = if (reliable) "checkpoint" else "localCheckpoint"
     SQLExecution.withNewExecutionId(qe, Some(actionName)) {
       qe.executedPlan.resetMetrics()
-      val internalRdd: RDD[InternalRow] = qe.executedPlan.execute().map(_.copy())
+      // mapPartitionsWithIndexInternal, NOT map: the public map() runs
+      // the ClosureCleaner over the lambda, and the cleaner must read
+      // the capturing class's bytes through the thread's context
+      // classloader — which other suites/sessions in the same JVM may
+      // have swapped to one that cannot see this library (observed:
+      // "capturingClassReader is null" NPEs when the full test suite
+      // runs suites in one JVM). The internal variant skips cleaning —
+      // safe here because the closure captures nothing.
+      val internalRdd: RDD[InternalRow] = qe.executedPlan.execute()
+        .mapPartitionsWithIndexInternal((_, iter) => iter.map(_.copy()))
       if (reliable) {
         internalRdd.checkpoint()
       } else {
