@@ -28,14 +28,38 @@ object Tables {
   private[graft] def parquetSchema(spark: SparkSession, path: String) =
     schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
 
-  /** Drop a cached schema (ADVICE r16): writers that OVERWRITE an
-    * artifact path (AnnIndex.save, DedupIndex.save) must invalidate so a
-    * layout change re-infers — an explicit stale schema makes Spark
-    * silently null/drop mismatched columns instead of erroring. Today
-    * every writer reproduces the same schema, so this is a guard, not a
-    * live bug fix. */
-  private[graft] def invalidateSchema(path: String): Unit =
-    schemaCache.remove(path): Unit
+  /** Replace a cached schema with the one just WRITTEN to `path`
+    * (ADVICE r16): writers that overwrite an artifact (AnnIndex.save,
+    * DedupIndex.save) must not leave a stale entry — an explicit stale
+    * schema makes Spark silently null/drop mismatched columns instead
+    * of erroring. Recording the writer's own schema (rather than just
+    * invalidating) keeps the next read free of the ~280 ms footer
+    * re-inference the cache exists to avoid — measured +0.4 s on s13
+    * and +0.2 s on c34/c68 when this was a plain invalidation. The
+    * writer's schema is nullable-ized first: Spark's file reader marks
+    * every parquet field nullable regardless of the written
+    * requiredness, and the recorded entry must equal what footer
+    * inference would return — pinned by the cache-vs-fresh-inference
+    * equality test in SimilaritySpec. */
+  private[graft] def recordSchema(path: String,
+                                  schema: org.apache.spark.sql.types.StructType): Unit =
+    schemaCache.put(path, asNullable(schema)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]): Unit
+
+  /** Mirror of Spark's private DataType.asNullable: what
+    * `spark.read.parquet` reports for any written field. */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StructType(fields) => StructType(fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case ArrayType(et, _) => ArrayType(asNullable(et), containsNull = true)
+      case MapType(kt, vt, _) =>
+        MapType(asNullable(kt), asNullable(vt), valueContainsNull = true)
+      case other => other
+    }
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts precision varies by fixture generation: TIMESTAMP(NANOS)

@@ -38,16 +38,17 @@ object AnnIndex {
     val coarseRows = coarse.toSeq.flatMap(_.zipWithIndex.map {
       case (cen, c) => ("coarse", 0, c, cen)
     })
-    (pqRows ++ coarseRows)
+    val model = (pqRows ++ coarseRows)
       .toDF("kind", "subspace", "centroid", "vec")
       // model-sized → one file; repartition(1) keeps the directory tidy
       .repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/model")
+    model.write.mode(SaveMode.Overwrite).parquet(s"$root/model")
     coded.write.mode(SaveMode.Overwrite).parquet(s"$root/codes")
-    // an overwritten artifact may change layout: drop the cached
-    // schemas so the next readStable re-infers (ADVICE r16)
-    graft.Tables.invalidateSchema(s"$root/model")
-    graft.Tables.invalidateSchema(s"$root/codes")
+    // an overwritten artifact may change layout: record the schema just
+    // written so the next readStable is neither stale nor re-inferring
+    // (ADVICE r16; fidelity pinned in SimilaritySpec)
+    graft.Tables.recordSchema(s"$root/model", model.schema)
+    graft.Tables.recordSchema(s"$root/codes", coded.schema)
   }
 
   /** Reload the PQ codebooks: codebooks(j)(c) = centroid vector. */

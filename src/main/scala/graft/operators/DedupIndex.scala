@@ -43,14 +43,15 @@ object DedupIndex {
     * doc-count-sized `ids` sidecar the probe's coverage guard reads. */
   def save(spark: SparkSession, root: String, corpus: DataFrame,
            idCol: String, textCol: String, shingleN: Int): Unit = {
-    Dedup.invertedIndex(corpus, idCol, textCol, shingleN, "id_b", "_nb")
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/index")
-    corpus.select(col(idCol).as("id_b")).distinct()
-      .write.mode(SaveMode.Overwrite).parquet(s"$root/ids")
-    // an overwritten artifact may change layout: drop the cached
-    // schemas so the next readStable re-infers (ADVICE r16)
-    graft.Tables.invalidateSchema(s"$root/index")
-    graft.Tables.invalidateSchema(s"$root/ids")
+    val index = Dedup.invertedIndex(corpus, idCol, textCol, shingleN, "id_b", "_nb")
+    index.write.mode(SaveMode.Overwrite).parquet(s"$root/index")
+    val ids = corpus.select(col(idCol).as("id_b")).distinct()
+    ids.write.mode(SaveMode.Overwrite).parquet(s"$root/ids")
+    // an overwritten artifact may change layout: record the schema just
+    // written so the next readStable is neither stale nor re-inferring
+    // (ADVICE r16; fidelity pinned in SimilaritySpec)
+    graft.Tables.recordSchema(s"$root/index", index.schema)
+    graft.Tables.recordSchema(s"$root/ids", ids.schema)
   }
 
   /** Append an admitted batch's rows to the persisted index — the

@@ -616,4 +616,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.semanticDecontam(corpus, bench, "vec_id", "embedding",
       threshold = 0.999).count() == 0L)
   }
+
+  test("index save records the written schema faithfully: the cached " +
+    "entry equals a fresh footer inference for every artifact path " +
+    "(round 17, ADVICE r16 — no stale cache, no re-inference)") {
+    import graft.operators.{AnnIndex, DedupIndex}
+    val spark2 = spark
+    import spark2.implicits._
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val codebooks = Similarity.pqTrain(e, "embedding", 64, 8, 16, seed = 7L)
+    val coded = Similarity.pqEncode(e, "vec_id", "embedding", codebooks, 64)
+    val annRoot = java.nio.file.Files
+      .createTempDirectory("graft-schema-ann").toString
+    AnnIndex.save(spark, annRoot, codebooks, coded)
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val dedupRoot = java.nio.file.Files
+      .createTempDirectory("graft-schema-dedup").toString
+    DedupIndex.save(spark, dedupRoot, corpus, "doc_id", "text", shingleN = 3)
+    for (p <- Seq(s"$annRoot/model", s"$annRoot/codes",
+                  s"$dedupRoot/index", s"$dedupRoot/ids")) {
+      val cached = Tables.parquetSchema(spark, p) // the recorded entry
+      val fresh = spark.read.parquet(p).schema    // footer inference
+      assert(cached == fresh,
+        s"recorded schema for $p diverges from fresh inference:\n" +
+          s"  recorded $cached\n  inferred $fresh")
+    }
+    Tables.deleteRecursively(annRoot)
+    Tables.deleteRecursively(dedupRoot)
+  }
 }
